@@ -1,0 +1,94 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32)
+and prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is fully materialized through the noop sink so every
+column is computed (a bare count() would let Catalyst prune the
+work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench_query_names() -> list[str]:
+    """Representative headline set: one per operator family, heavy
+    enough to measure. Grows as modules land."""
+    from fin_trade_craft_spark.queries import all_queries
+
+    preferred = [
+        "pricing_summary",
+        "conditional_pivot_agg",
+        "top_revenue_customers",
+        "regional_revenue",
+        "order_fill_left_join",
+        "latest_order_per_customer",
+        "top_orders_per_segment",
+        "segment_percentile_bounds",
+        # window / time-series family
+        "rolling_user_features",
+        "user_session_stats",
+        "sma_crossover_signals",
+        "rsi_zone_signals",
+        "asof_enrichment",
+        "ema_features",
+        # LLM-data-pipeline family
+        "doc_quality_scores",
+        "dedup_ngram_jaccard",
+        "minhash_near_dupes",
+        "knn_bruteforce",
+    ]
+    available = all_queries()
+    return [q for q in preferred if q in available]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from fin_trade_craft_spark.queries import all_queries
+    from fin_trade_craft_spark.session import get_spark
+
+    spark = get_spark("bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Warm the JVM + parquet footers once so per-query numbers
+    # measure the plan, not first-touch JIT.
+    spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in bench_query_names():
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

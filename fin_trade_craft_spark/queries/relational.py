@@ -1,0 +1,522 @@
+"""Relational core: scans, filters, joins, aggregations, top-k.
+
+Covers SURVEY §2 ids (queries below note theirs): scans S1, filter/
+projection P1-P2/P9, distinct P6, distinct-on P7, joins J1-J8/J11,
+aggregations A1/A3-A8/A9/A13, sorts/top-k O1-O5, set ops §2.7,
+null-handling F7.
+
+Scale notes (100 TB stance):
+- Dimension joins (region/nation/customer/part) are explicitly
+  ``broadcast()`` — no shuffle of the fact side.
+- Fact-fact joins key on the join column and let AQE pick
+  sort-merge vs shuffled-hash and split skewed partitions.
+- Aggregates are expressed declaratively so Catalyst plans partial
+  (map-side) aggregation before the shuffle.
+- All money sums use exact decimal accumulation (functions.exact)
+  so results are identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg, dsum
+from ..sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------- A-family
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregate (SURVEY A1/A4 analog;
+    mirrors the reference's grouped conditional sums,
+    transform_insider_transactions_agg.py:75-124)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+    AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def conditional_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual-pivot conditional aggregation — SUM/AVG/COUNT(CASE
+    WHEN …) per group (SURVEY A1/A3; reference
+    transform_insider_transactions_agg.py:75-124 does 30 of these)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = F.col("l_quantity") > 25
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(big, F.col("l_extendedprice").cast("decimal(18,2)")))
+            .cast("double")
+            .alias("sum_big_price"),
+            F.sum(F.when(~big, F.col("l_extendedprice").cast("decimal(18,2)")))
+            .cast("double")
+            .alias("sum_small_price"),
+            F.count(F.when(big, F.lit(1))).alias("n_big"),
+            F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_disc"),
+            (
+                F.sum(F.when(big, F.col("l_quantity").cast("decimal(18,2)"))).cast("double")
+                / F.count(F.when(big, F.lit(1)))
+            ).alias("avg_big_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_CONDITIONAL_PIVOT = """
+SELECT
+  l_returnflag,
+  CAST(SUM(CASE WHEN l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_big_price,
+  CAST(SUM(CASE WHEN NOT (l_quantity > 25) THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_small_price,
+  COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_big,
+  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_disc,
+  CAST(SUM(CASE WHEN l_quantity > 25 THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+    / COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS avg_big_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT per group (SURVEY A5/A6;
+    database_summary_view.py:125-134)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_ORDER_PRIORITY_STATS = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def union_all_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL stacked per-table stats (SURVEY A8;
+    database_summary_view.py:121-184)."""
+    rows = []
+    for name, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey"), ("customer", "c_custkey")]:
+        df = _t(spark, sf_dir, name)
+        rows.append(
+            df.agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(key).alias("n_keys"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("table_name")
+
+
+ORACLE_UNION_ALL_REPORT = """
+SELECT * FROM (
+  SELECT 'orders' AS table_name, COUNT(*) AS n_rows, COUNT(DISTINCT o_orderkey) AS n_keys FROM orders
+  UNION ALL
+  SELECT 'lineitem', COUNT(*), COUNT(DISTINCT l_orderkey) FROM lineitem
+  UNION ALL
+  SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey) FROM customer
+) ORDER BY table_name
+"""
+
+
+def union_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with dedup — key space union (SURVEY A7;
+    transform_fundamental_quality_scores.py:114-131)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("custkey"))
+    big = o.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("custkey"))
+    return urgent.union(big).distinct().orderBy("custkey")
+
+
+ORACLE_UNION_DEDUP_KEYS = """
+SELECT DISTINCT custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+) ORDER BY custkey
+"""
+
+
+def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global share-of-total via empty-frame window (SURVEY A13/W20;
+    transform_earnings_call_transcript_eda.py:98-103)."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return cnt.withColumn("pct", F.lit(100.0) * F.col("n") / total).orderBy("event_type")
+
+
+ORACLE_EVENT_TYPE_SHARE = """
+SELECT event_type, n, 100.0 * n / SUM(n) OVER () AS pct
+FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------- joins
+def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi join + grouped agg + deterministic top-k
+    (SURVEY J1, O4; backtest_strategies.py:101-121 join shape).
+    orders⋈lineitem shuffles on the join key; AQE handles skew."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.countDistinct("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey, "inner")
+        .select(F.col("c_custkey").alias("custkey"), "c_name", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(10)
+    )
+
+
+ORACLE_TOP_REVENUE_CUSTOMERS = """
+SELECT c_custkey AS custkey, c_name, revenue, n_orders
+FROM (
+  SELECT o_custkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+         COUNT(DISTINCT o_orderkey) AS n_orders
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+) r JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, custkey
+LIMIT 10
+"""
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join through broadcast dims (SURVEY J3/J4;
+    transform_fundamental_quality_scores.py:185-230 multi-join).
+    customer/nation/region are broadcast — only one fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name")
+    )
+
+
+ORACLE_REGIONAL_REVENUE = """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def customers_without_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — unprocessed-keys discovery idiom (SURVEY J7;
+    transform_trading_signals.py:930-946)."""
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_URGENT = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+"""
+
+
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join universe filter (SURVEY J8;
+    transform_load_symbol_universe.py:305-331)."""
+    c = _t(spark, sf_dir, "customer")
+    open_o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(open_o, c.c_custkey == open_o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_CUSTOMERS_WITH_OPEN_ORDERS = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+ORDER BY c_custkey
+"""
+
+
+def order_fill_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving unmatched + COALESCE fill (SURVEY J2,
+    F7; transform_trading_signals.py:182-187 raw⟕features)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    heavy = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_heavy"), dsum("l_quantity").alias("heavy_qty"))
+    )
+    return (
+        o.join(heavy, o.o_orderkey == heavy.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.coalesce("n_heavy", F.lit(0)).alias("n_heavy"),
+            F.coalesce("heavy_qty", F.lit(0.0)).alias("heavy_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_ORDER_FILL_LEFT_JOIN = """
+SELECT o_orderkey, o_orderdate,
+       COALESCE(n_heavy, 0) AS n_heavy,
+       COALESCE(heavy_qty, 0.0) AS heavy_qty
+FROM orders
+LEFT JOIN (
+  SELECT l_orderkey, COUNT(*) AS n_heavy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS heavy_qty
+  FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey
+) h ON o_orderkey = h.l_orderkey
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+ORDER BY o_orderkey
+"""
+
+
+def key_list_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side key-list filter — IN-list pushed to the scan
+    (SURVEY J11/P9; trading_bot/daily_signal_scorer.py:102-138)."""
+    o = _t(spark, sf_dir, "orders")
+    keys = [1, 7, 42, 99, 123, 500, 777, 1001]
+    return (
+        o.filter(F.col("o_custkey").isin(keys))
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_KEY_LIST_PUSHDOWN = """
+SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+FROM orders
+WHERE o_custkey IN (1, 7, 42, 99, 123, 500, 777, 1001)
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------- dedup / top-k
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON — latest row per key (SURVEY P7/O5/O6;
+    trading_bot/daily_signal_scorer.py:73-89)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_LATEST_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (SURVEY O5; scoring funnel top-25 idiom,
+    run_daily_transform.py:289-295)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+ORACLE_TOP_ORDERS_PER_SEGMENT = """
+SELECT c_mktsegment, rk, o_orderkey, o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rk <= 3
+ORDER BY c_mktsegment, rk
+"""
+
+
+def segment_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete 10th/90th percentile per group via rank arithmetic —
+    identical formula both engines (SURVEY A9;
+    transform_fundamental_quality_scores.py:250-284). Uses discrete
+    selection (value at ceil(q*n)) instead of interpolation so the
+    result is an actual data value — exactly reproducible, unlike
+    interpolated quantiles whose float expression trees differ
+    across engines."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wc = Window.partitionBy("c_mktsegment")
+    ranked = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    p10 = F.ceil(F.lit(0.1) * F.col("n")).cast("int")
+    p90 = F.ceil(F.lit(0.9) * F.col("n")).cast("int")
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.min(F.when(F.col("rn") == p10, F.col("c_acctbal"))).alias("p10_acctbal"),
+            F.min(F.when(F.col("rn") == p90, F.col("c_acctbal"))).alias("p90_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_SEGMENT_PERCENTILE_BOUNDS = """
+SELECT c_mktsegment,
+       MIN(CASE WHEN rn = CAST(CEIL(0.1 * n) AS INT) THEN c_acctbal END) AS p10_acctbal,
+       MIN(CASE WHEN rn = CAST(CEIL(0.9 * n) AS INT) THEN c_acctbal END) AS p90_acctbal,
+       COUNT(*) AS n_customers
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "conditional_pivot_agg": conditional_pivot_agg,
+    "order_priority_stats": order_priority_stats,
+    "union_all_report": union_all_report,
+    "union_dedup_keys": union_dedup_keys,
+    "event_type_share": event_type_share,
+    "top_revenue_customers": top_revenue_customers,
+    "regional_revenue": regional_revenue,
+    "customers_without_urgent": customers_without_urgent,
+    "customers_with_open_orders": customers_with_open_orders,
+    "order_fill_left_join": order_fill_left_join,
+    "key_list_pushdown": key_list_pushdown,
+    "latest_order_per_customer": latest_order_per_customer,
+    "top_orders_per_segment": top_orders_per_segment,
+    "segment_percentile_bounds": segment_percentile_bounds,
+}
+
+ORACLES = {
+    "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "conditional_pivot_agg": ORACLE_CONDITIONAL_PIVOT,
+    "order_priority_stats": ORACLE_ORDER_PRIORITY_STATS,
+    "union_all_report": ORACLE_UNION_ALL_REPORT,
+    "union_dedup_keys": ORACLE_UNION_DEDUP_KEYS,
+    "event_type_share": ORACLE_EVENT_TYPE_SHARE,
+    "top_revenue_customers": ORACLE_TOP_REVENUE_CUSTOMERS,
+    "regional_revenue": ORACLE_REGIONAL_REVENUE,
+    "customers_without_urgent": ORACLE_CUSTOMERS_WITHOUT_URGENT,
+    "customers_with_open_orders": ORACLE_CUSTOMERS_WITH_OPEN_ORDERS,
+    "order_fill_left_join": ORACLE_ORDER_FILL_LEFT_JOIN,
+    "key_list_pushdown": ORACLE_KEY_LIST_PUSHDOWN,
+    "latest_order_per_customer": ORACLE_LATEST_ORDER_PER_CUSTOMER,
+    "top_orders_per_segment": ORACLE_TOP_ORDERS_PER_SEGMENT,
+    "segment_percentile_bounds": ORACLE_SEGMENT_PERCENTILE_BOUNDS,
+}

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local test/bench runs use ``local[N]``; the same configs are what we
+would ship to a 1000-executor cluster (AQE, adaptive skew join,
+arrow). Shuffle partitions default small for fixture-scale data and
+should be raised (or left to AQE coalescing) at real scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are correct at ANY scale: AQE re-plans at runtime
+# (coalesces tiny shuffle partitions at fixture scale, splits skewed
+# ones at cluster scale), arrow makes the pandas-UDF islands cheap,
+# and a UTC session timezone keeps timestamp semantics identical to
+# the DuckDB oracle and to parquet-at-rest.
+_BASE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # broadcast threshold: dims (region/nation/customer/part) stay
+    # broadcast-able well past sf1; explicit broadcast() hints are
+    # still used where we *know* the side is dimensional.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "fin-trade-craft-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver
+    contract) falling back to ``local[*]``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_BASE_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
