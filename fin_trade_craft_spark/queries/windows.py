@@ -1,0 +1,532 @@
+"""Window / time-series queries over the ``events`` table.
+
+Covers SURVEY §2.5 — the heart of the reference: rolling features
+W1/W11/W12/W13/W15/W16, cumulative W7/W8, lag/lead W9/W10 (+F10
+bucketize), crossover W17, stateful zone W18, simple-RSI W3-variant,
+cross-sectional rank W14, bounded recompute W21, plus sessionization
+and tumbling-window aggregation (the Structured-Streaming-shaped
+batch analogs).
+
+Every query partitions by ``user_id`` and orders by ``(ts,
+event_id)`` — the Spark translation of the reference's per-symbol
+pandas loops. One shuffle on the partition key serves all window
+features in a query (Catalyst reuses the sort), which is the 100 TB
+design point: feature count scales without extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..operators import ranks, rolling, signals
+from ..sources.catalog import load_table
+
+_W_SQL = "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _w():
+    return rolling.rows_window("user_id", [F.col("ts"), F.col("event_id")])
+
+
+# ---------------------------------------------------------------- W1/W11/W12
+def rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _w()
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        rolling.rolling_mean(F.col("value"), w, 5).alias("sma5"),
+        rolling.rolling_std(F.col("value"), w, 10).alias("std10"),
+        rolling.rolling_zscore(F.col("value"), w, 10).alias("z10"),
+    )
+
+
+ORACLE_ROLLING_USER_FEATURES = f"""
+WITH base AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+    COUNT(value) OVER w5 AS c5,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w5 AS DOUBLE) AS s5,
+    COUNT(value) OVER w10 AS c10,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w10 AS DOUBLE) AS s10,
+    CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) OVER w10 AS DOUBLE) AS ss10
+  FROM events
+  WINDOW
+    w5 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+    w10 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, value,
+  CASE WHEN c5 >= 5 THEN s5 / c5 END AS sma5,
+  CASE WHEN c10 >= 10 THEN SQRT((ss10 - s10 * s10 / c10) / (c10 - 1)) END AS std10,
+  (value - CASE WHEN c10 >= 10 THEN s10 / c10 END)
+    / (CASE WHEN c10 >= 10 THEN SQRT((ss10 - s10 * s10 / c10) / (c10 - 1)) END + 1e-8) AS z10
+FROM base
+"""
+
+
+# ---------------------------------------------------------------- W9/W10/F10
+def lag_lead_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _w()
+    ev = _events(spark, sf_dir)
+    prev = F.lag("value").over(w)
+    fwd5 = F.lead("value", 5).over(w)
+    ret1 = F.col("value") / F.nullif(prev, F.lit(0)) - 1
+    fwd_ret5 = fwd5 / F.nullif(F.col("value"), F.lit(0)) - 1
+    direction = (
+        F.when(fwd_ret5 <= -0.02, 0).when(fwd_ret5 <= 0.02, 1).when(fwd_ret5.isNotNull(), 2)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        ret1.alias("ret1"),
+        fwd_ret5.alias("fwd_ret5"),
+        direction.alias("direction"),
+    )
+
+
+ORACLE_LAG_LEAD_RETURNS = f"""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+  value / NULLIF(LAG(value) OVER w, 0) - 1 AS ret1,
+  LEAD(value, 5) OVER w / NULLIF(value, 0) - 1 AS fwd_ret5,
+  CASE WHEN LEAD(value, 5) OVER w / NULLIF(value, 0) - 1 <= -0.02 THEN 0
+       WHEN LEAD(value, 5) OVER w / NULLIF(value, 0) - 1 <= 0.02 THEN 1
+       WHEN LEAD(value, 5) OVER w / NULLIF(value, 0) - 1 IS NOT NULL THEN 2
+  END AS direction
+FROM events
+{_W_SQL}
+"""
+
+
+# ---------------------------------------------------------------- W7/W8
+def cumulative_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (signed) equity curve + running max + drawdown."""
+    w = _w()
+    ev = _events(spark, sf_dir)
+    signed = F.when(F.col("event_type") == "error", -F.col("value")).otherwise(F.col("value"))
+    from pyspark.sql import Window
+
+    cum_dec = F.sum(signed.cast("decimal(12,2)")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    step1 = ev.select("event_id", "user_id", "ts", cum_dec.alias("cum_dec"))
+    runmax_dec = F.max("cum_dec").over(
+        rolling.rows_window("user_id", [F.col("ts"), F.col("event_id")]).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    step2 = step1.withColumn("runmax_dec", runmax_dec)
+    cum = F.col("cum_dec").cast("double")
+    runmax = F.col("runmax_dec").cast("double")
+    return step2.select(
+        "event_id",
+        "user_id",
+        "ts",
+        cum.alias("cum_value"),
+        runmax.alias("run_peak"),
+        F.when(runmax != 0, (cum - runmax) / runmax).alias("drawdown"),
+    )
+
+
+ORACLE_CUMULATIVE_USER_STATS = """
+WITH c AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+    SUM(CAST(CASE WHEN event_type = 'error' THEN -value ELSE value END AS DECIMAL(12,2)))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+  FROM events
+), m AS (
+  SELECT *, MAX(cum_dec) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax_dec
+  FROM c
+)
+SELECT event_id, user_id, ts,
+  CAST(cum_dec AS DOUBLE) AS cum_value,
+  CAST(runmax_dec AS DOUBLE) AS run_peak,
+  CASE WHEN CAST(runmax_dec AS DOUBLE) <> 0
+       THEN (CAST(cum_dec AS DOUBLE) - CAST(runmax_dec AS DOUBLE)) / CAST(runmax_dec AS DOUBLE)
+  END AS drawdown
+FROM m
+"""
+
+
+# ---------------------------------------------------------------- W17 + W1
+def sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast/slow SMA crossover — the vectorized form of the
+    reference's per-row crossover loops (W17)."""
+    w = _w()
+    ev = _events(spark, sf_dir)
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        rolling.rolling_mean(F.col("value"), w, 5).alias("sma5"),
+        rolling.rolling_mean(F.col("value"), w, 20).alias("sma20"),
+    )
+    w2 = _w()
+    up, down = signals.crossover(F.col("sma5"), F.col("sma20"), w2)
+    flagged = feat.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "sma5",
+        "sma20",
+        up.alias("cross_up"),
+        down.alias("cross_down"),
+    )
+    return flagged.filter(F.col("cross_up") | F.col("cross_down"))
+
+
+ORACLE_SMA_CROSSOVER_SIGNALS = """
+WITH feat AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+    CASE WHEN COUNT(value) OVER w5 >= 5
+         THEN CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w5 AS DOUBLE) / COUNT(value) OVER w5 END AS sma5,
+    CASE WHEN COUNT(value) OVER w20 >= 20
+         THEN CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w20 AS DOUBLE) / COUNT(value) OVER w20 END AS sma20
+  FROM events
+  WINDOW
+    w5 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+    w20 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), x AS (
+  SELECT *,
+    (LAG(sma5) OVER w <= LAG(sma20) OVER w) AND (sma5 > sma20) AS cross_up,
+    (LAG(sma5) OVER w >= LAG(sma20) OVER w) AND (sma5 < sma20) AS cross_down
+  FROM feat
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts, sma5, sma20, cross_up, cross_down
+FROM x WHERE cross_up OR cross_down
+"""
+
+
+# ---------------------------------------------------------------- W15
+def breakout_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-period high/low breakout vs the *previous* rolling extreme
+    (transform_trading_signals.py:642-679)."""
+    w = _w()
+    ev = _events(spark, sf_dir)
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        rolling.rolling_max(F.col("value"), w, 20).alias("max20"),
+        rolling.rolling_min(F.col("value"), w, 20).alias("min20"),
+    )
+    w2 = _w()
+    prev_max = F.lag("max20").over(w2)
+    prev_min = F.lag("min20").over(w2)
+    out = feat.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("value") > prev_max).alias("breakout_up"),
+        (F.col("value") < prev_min).alias("breakout_down"),
+    )
+    return out.filter(F.col("breakout_up") | F.col("breakout_down"))
+
+
+ORACLE_BREAKOUT_SIGNALS = """
+WITH feat AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+    CASE WHEN COUNT(value) OVER w20 >= 20 THEN MAX(value) OVER w20 END AS max20,
+    CASE WHEN COUNT(value) OVER w20 >= 20 THEN MIN(value) OVER w20 END AS min20
+  FROM events
+  WINDOW w20 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), x AS (
+  SELECT event_id, user_id, ts, value,
+    value > LAG(max20) OVER w AS breakout_up,
+    value < LAG(min20) OVER w AS breakout_down
+  FROM feat
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT * FROM x WHERE breakout_up OR breakout_down
+"""
+
+
+# ---------------------------------------------------------------- W16
+def centered_extrema_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _w()
+    ev = _events(spark, sf_dir)
+    is_low, is_high = rolling.centered_extrema_flags(F.col("value"), w, half=2)
+    out = ev.select(
+        "event_id", "user_id", "ts", "value", is_low.alias("pivot_low"), is_high.alias("pivot_high")
+    )
+    return out.filter(F.col("pivot_low") | F.col("pivot_high"))
+
+
+ORACLE_CENTERED_EXTREMA_PIVOTS = """
+WITH x AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+    COUNT(value) OVER wc = 5 AND value = MIN(value) OVER wc AS pivot_low,
+    COUNT(value) OVER wc = 5 AND value = MAX(value) OVER wc AS pivot_high
+  FROM events
+  WINDOW wc AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+)
+SELECT * FROM x WHERE pivot_low OR pivot_high
+"""
+
+
+# ---------------------------------------------------------------- W13
+def rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _w()
+    ev = _events(spark, sf_dir)
+    step1 = ev.select("event_id", "user_id", "ts", "value", F.row_number().over(w).alias("x"))
+    w2 = _w()
+    slope = rolling.rolling_slope(F.col("value"), F.col("x"), w2, 21)
+    return step1.select("event_id", "user_id", "ts", slope.alias("slope21"))
+
+
+ORACLE_ROLLING_REGRESSION_SLOPE = """
+WITH pos AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x
+  FROM events
+), s AS (
+  SELECT event_id, user_id, ts,
+    COUNT(value) OVER w21 AS c,
+    CAST(SUM(CAST(x AS DECIMAL(12,0))) OVER w21 AS DOUBLE) AS sx,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w21 AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(value AS DECIMAL(12,2))) OVER w21 AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,0))) OVER w21 AS DOUBLE) AS sxx
+  FROM pos
+  WINDOW w21 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts,
+  CASE WHEN c >= 21
+       THEN (CAST(c AS DOUBLE) * sxy - sx * sy) / (CAST(c AS DOUBLE) * sxx - sx * sx)
+  END AS slope21
+FROM s
+"""
+
+
+# ---------------------------------------------------------------- W3 (simple variant)
+def rsi_sma_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _w()
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id", "user_id", "ts", signals.rsi_simple(F.col("value"), w, 14).alias("rsi14")
+    )
+
+
+_RSI_SQL_CTE = """
+WITH d AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+    CAST(value AS DECIMAL(12,2))
+      - LAG(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events
+), g AS (
+  SELECT event_id, user_id, ts,
+    COUNT(delta) OVER w14 AS c,
+    CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE CAST(0 AS DECIMAL(13,2)) END) OVER w14 AS DOUBLE) AS sgain,
+    CAST(SUM(CASE WHEN delta < 0 THEN -delta ELSE CAST(0 AS DECIMAL(13,2)) END) OVER w14 AS DOUBLE) AS sloss
+  FROM d
+  WINDOW w14 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts,
+  CASE WHEN c >= 14 THEN
+    CASE WHEN sloss = 0 THEN 100.0 ELSE 100.0 - 100.0 / (1.0 + sgain / sloss) END
+  END AS rsi14
+FROM g
+"""
+
+ORACLE_RSI_SMA_14 = _RSI_SQL_CTE
+
+
+# ---------------------------------------------------------------- W18
+def rsi_zone_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful zone-confirmation signals on the 14-period RSI
+    (rsi_crossing, W18) — see operators.signals.
+    zone_confirmation_signals for the de-stating proof."""
+    w = _w()
+    ev = _events(spark, sf_dir)
+    feat = ev.select(
+        "event_id", "user_id", "ts", signals.rsi_simple(F.col("value"), w, 14).alias("rsi14")
+    )
+    w2 = _w()
+    buy, sell = signals.zone_confirmation_signals(F.col("rsi14"), w2)
+    out = feat.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "rsi14",
+        buy.alias("buy_signal"),
+        sell.alias("sell_signal"),
+    )
+    out = out.filter(F.col("buy_signal") | F.col("sell_signal"))
+    strength = F.when(F.col("buy_signal"), F.col("rsi14")).otherwise(100.0 - F.col("rsi14"))
+    return out.withColumn("signal_strength", strength)
+
+
+ORACLE_RSI_ZONE_SIGNALS = f"""
+WITH rsi AS ({_RSI_SQL_CTE}), x AS (
+  SELECT event_id, user_id, ts, rsi14,
+    (LAG(rsi14) OVER w <= 30 AND rsi14 > 30 AND rsi14 < 70) AS buy_signal,
+    (LAG(rsi14) OVER w >= 70 AND rsi14 < 70 AND rsi14 > 30) AS sell_signal
+  FROM rsi
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts, rsi14, buy_signal, sell_signal,
+  CASE WHEN buy_signal THEN rsi14 ELSE 100.0 - rsi14 END AS signal_strength
+FROM x WHERE buy_signal OR sell_signal
+"""
+
+
+# ---------------------------------------------------------------- W14
+def daily_user_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional pandas-style percent rank (average ties) of
+    per-user daily purchase spend (W14)."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "user_id")
+        .agg(dsum("value").alias("spend"), F.count(F.lit(1)).alias("n_purchases"))
+    )
+    pct = ranks.pct_rank_avg_ties([F.col("day")], F.col("spend"))
+    return daily.select("day", "user_id", "spend", "n_purchases", pct.alias("spend_pct_rank"))
+
+
+ORACLE_DAILY_USER_SPEND_RANK = """
+WITH daily AS (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+         COUNT(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT day, user_id, spend, n_purchases,
+  (RANK() OVER (PARTITION BY day ORDER BY spend)
+   + (COUNT(*) OVER (PARTITION BY day, spend) - 1) / 2.0)
+  / COUNT(*) OVER (PARTITION BY day) AS spend_pct_rank
+FROM daily
+"""
+
+
+# ---------------------------------------------------------------- W21
+def latest_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-recompute window: newest 50 rows per key (W21)."""
+    ev = _events(spark, sf_dir)
+    return ranks.latest_n_per_key(
+        ev, ["user_id"], [F.desc("ts"), F.desc("event_id")], 50
+    ).select("event_id", "user_id", "ts", "event_type", "value")
+
+
+ORACLE_LATEST_EVENTS_PER_USER = """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 50
+"""
+
+
+# ---------------------------------------------------------------- sessionization
+def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session
+    stats — the batch shape of a streaming session window."""
+    from pyspark.sql import Window
+
+    w = _w()
+    ev = _events(spark, sf_dir)
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > 1_800_000_000), 1
+    ).otherwise(0)
+    step1 = ev.select("event_id", "user_id", "ts", "value", new_sess.alias("new_sess"))
+    sid = F.sum("new_sess").over(
+        rolling.rows_window("user_id", [F.col("ts"), F.col("event_id")]).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    step2 = step1.withColumn("session_id", sid)
+    return step2.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        dsum("value").alias("total_value"),
+    )
+
+
+ORACLE_USER_SESSION_STATS = """
+WITH t AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+    CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+           OR epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM t
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------- tumbling window
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup — identical logic runs under
+    Structured Streaming via ``F.window`` (see streaming/)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value").alias("total_value"),
+    )
+
+
+ORACLE_HOURLY_EVENT_ROLLUP = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+       COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "rolling_user_features": rolling_user_features,
+    "lag_lead_returns": lag_lead_returns,
+    "cumulative_user_stats": cumulative_user_stats,
+    "sma_crossover_signals": sma_crossover_signals,
+    "breakout_signals": breakout_signals,
+    "centered_extrema_pivots": centered_extrema_pivots,
+    "rolling_regression_slope": rolling_regression_slope,
+    "rsi_sma_14": rsi_sma_14,
+    "rsi_zone_signals": rsi_zone_signals,
+    "daily_user_spend_rank": daily_user_spend_rank,
+    "latest_events_per_user": latest_events_per_user,
+    "user_session_stats": user_session_stats,
+    "hourly_event_rollup": hourly_event_rollup,
+}
+
+ORACLES = {
+    "rolling_user_features": ORACLE_ROLLING_USER_FEATURES,
+    "lag_lead_returns": ORACLE_LAG_LEAD_RETURNS,
+    "cumulative_user_stats": ORACLE_CUMULATIVE_USER_STATS,
+    "sma_crossover_signals": ORACLE_SMA_CROSSOVER_SIGNALS,
+    "breakout_signals": ORACLE_BREAKOUT_SIGNALS,
+    "centered_extrema_pivots": ORACLE_CENTERED_EXTREMA_PIVOTS,
+    "rolling_regression_slope": ORACLE_ROLLING_REGRESSION_SLOPE,
+    "rsi_sma_14": ORACLE_RSI_SMA_14,
+    "rsi_zone_signals": ORACLE_RSI_ZONE_SIGNALS,
+    "daily_user_spend_rank": ORACLE_DAILY_USER_SPEND_RANK,
+    "latest_events_per_user": ORACLE_LATEST_EVENTS_PER_USER,
+    "user_session_stats": ORACLE_USER_SESSION_STATS,
+    "hourly_event_rollup": ORACLE_HOURLY_EVENT_ROLLUP,
+}

@@ -48,7 +48,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")))
+        # integer DIV, not `/`: ns-since-epoch (~1.7e18) exceeds
+        # double's 53-bit mantissa, so float division is off by ±1µs
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
