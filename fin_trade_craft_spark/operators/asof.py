@@ -1,0 +1,61 @@
+"""Point-in-time (as-of / interval) join — SURVEY §2.3 J6.
+
+The reference enriches each trade with the most recent fundamental
+snapshot whose publication window covers the trade date
+(`backtesting/join_fundamentals_to_trades.py:170-269`: 45-day
+publication lag, 90-day validity, latest-per-trade, unmatched rows
+preserved with NULLs). Spark has no native as-of join; the idiom is
+
+    equi-join on key  +  range predicate  +  row_number dedup
+
+which Catalyst executes as one shuffle on the key plus a window —
+no driver-side loop (the reference's row-loop variant,
+`backtesting/daily_signal_scorer.py:141-225`, is O(trades) Python).
+
+Scale notes: the join is equi on ``on`` keys, so it shuffles both
+sides once by key (or broadcasts a small right side); the range
+predicate is applied post-match, and the dedup window reuses the
+same partitioning. Skewed keys fall to AQE skew-join splitting. If
+the right side per key is huge, pre-filter it to the left side's
+time range first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    left_key: str | list[str],
+    *,
+    validity: Column | None = None,
+    tiebreak: list[Column] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_time <= left_time`` (and, if given, within
+    ``validity``), preserving unmatched left rows when how='left'.
+
+    ``left_key`` uniquely identifies a left row (the dedup grain).
+    ``validity`` is an extra boolean Column over the joined row
+    (e.g. a bounded lookback window). ``tiebreak`` orders equal
+    right_time rows deterministically.
+    """
+    lt, rt = F.col(left_time), F.col(right_time)
+    cond = rt <= lt
+    if validity is not None:
+        cond = cond & validity
+    for k in on:
+        cond = cond & (left[k] == right[k])
+
+    joined = left.join(right, cond, how)
+    left_key = [left_key] if isinstance(left_key, str) else left_key
+    order = [rt.desc_nulls_last()] + list(tiebreak or [])
+    w = Window.partitionBy(*[left[k] for k in left_key]).orderBy(*order)
+    return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

@@ -1,0 +1,90 @@
+"""Embedding similarity search (LLM-pipeline ANN operators).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query
+set against the corpus; per-pair dot products run as JVM
+higher-order functions (``zip_with`` + ``aggregate``) with an exact
+DECIMAL accumulator, so scores are order-independent and
+bit-reproducible at any parallelism.
+
+Scale path: IVF — assign vectors to coarse centroids (k-means-style,
+here the provided ``label`` partitions or computed centroids), probe
+only the nearest partitions. Candidate set shrinks from N to
+N/k_partitions × n_probe; same top-k tail.
+
+A Pandas-UDF (numpy matmul) variant exists for throughput when
+bit-reproducibility is not required; the decimal path is the
+correctness reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Float accumulation scheme: round each double product to an
+# integer number of 1e-12 units via floor(x*1e12 + 0.5) — pure IEEE
+# double ops with identical results in every engine — then sum the
+# resulting BIGINTs exactly. We deliberately avoid double→DECIMAL
+# casts here: engines disagree on the rounding mode (HALF_UP vs
+# half-even), and raw binary floats DO land on exact 1e-12 ties
+# (any dyadic m/2^(s+1) with odd m), unlike decimal-valued money
+# columns which provably can't tie. Scaled sums stay < 2^53, so the
+# final integer→double conversion is exact.
+_SCALE = "1e12"
+
+
+def _scaled(prod: str) -> str:
+    return f"CAST(floor(({prod}) * {_SCALE} + 0.5) AS BIGINT)"
+
+
+def dot_exact(a: str, b: str) -> Column:
+    """Order-independent dot product of two array<float> columns."""
+    return F.expr(
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" {_scaled('CAST(x AS DOUBLE) * CAST(y AS DOUBLE)')}),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / {_SCALE}"
+    )
+
+
+def norm2_exact(a: str) -> Column:
+    """Order-independent squared L2 norm of an array<float> column."""
+    return F.expr(
+        f"CAST(aggregate({a}, CAST(0 AS BIGINT), (acc, x) ->"
+        f" acc + {_scaled('CAST(x AS DOUBLE) * CAST(x AS DOUBLE)')}) AS DOUBLE) / {_SCALE}"
+    )
+
+
+def cosine(dot: Column, n2a: Column, n2b: Column) -> Column:
+    return dot / (F.sqrt(n2a) * F.sqrt(n2b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector (self excluded).
+
+    ``queries`` is broadcast — the corpus is never shuffled, each
+    partition scores its slice and the final top-k is a cheap
+    window over qid (k·|queries| rows)."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_emb"))
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("c_emb"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("nid") != F.col("qid"))
+    scored = pairs.select(
+        "qid",
+        "nid",
+        cosine(
+            dot_exact("q_emb", "c_emb"), norm2_exact("q_emb"), norm2_exact("c_emb")
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cos_sim")
+    )

@@ -1,0 +1,164 @@
+"""Deduplication queries over ``documents`` (LLM-pipeline dedup
+ladder: exact / MinHash-LSH / SimHash / n-gram Jaccard)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..sources.catalog import load_table
+
+_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(toks) - 1),"
+    " i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+)
+_SHINGLE_CTE = f"""
+WITH toks_t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sh_sets AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM toks_t WHERE len(toks) >= 3
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical = min doc_id per content hash."""
+    d = _docs(spark, sf_dir).select("doc_id", T.content_hash(F.col("text")).alias("h"))
+    groups = d.groupBy("h").agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    return (
+        d.join(groups, "h")
+        .select("doc_id", F.col("h").alias("content_md5"), "canonical_id", "n_copies",
+                (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"))
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH h AS (SELECT doc_id, md5({_NORM}) AS content_md5 FROM documents),
+g AS (SELECT content_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies FROM h GROUP BY content_md5)
+SELECT doc_id, h.content_md5, canonical_id, n_copies, doc_id <> canonical_id AS is_dup
+FROM h JOIN g USING (content_md5)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    sets = D.with_shingle_sets(_docs(spark, sf_dir))
+    return D.exact_jaccard_pairs(sets, min_jaccard=0.5).select("d1", "d2", "inter", "n1", "n2", "jaccard")
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+{_SHINGLE_CTE},
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_sets),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh_sets),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, inter, s1.n_sh AS n1, s2.n_sh AS n2,
+       inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) AS jaccard
+FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
+"""
+
+
+def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 perms) → LSH(4 bands × 2 rows) candidates →
+    exact-Jaccard verify ≥ 0.5 — the scale path: candidate pairs
+    come from band-bucket collisions, not a full self-join."""
+    sets = D.with_shingle_sets(_docs(spark, sf_dir))
+    sigs = D.minhash_signatures(sets, num_perm=8)
+    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
+    exact = D.exact_jaccard_pairs(sets, min_jaccard=0.5)
+    return cands.join(exact, ["d1", "d2"]).select("d1", "d2", "jaccard")
+
+
+_MH_COLS = ",\n".join(
+    f"  list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}" for i in range(8)
+)
+_BANDS = ", ".join(f"'{b}|' || mh{2*b} || '|' || mh{2*b+1}" for b in range(4))
+
+ORACLE_MINHASH_NEAR_DUPES = f"""
+{_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id,
+{_MH_COLS}
+  FROM sh_sets
+),
+banded AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_sets),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh_sets),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) AS jaccard
+FROM cands JOIN inter USING (d1, d2)
+JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
+"""
+
+
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures + 4-bit bucket histogram join."""
+    sigs = D.simhash_bits(_docs(spark, sf_dir))
+    bucket = F.substring("simhash", 1, 4)
+    counts = sigs.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_in_bucket"))
+    return (
+        sigs.withColumn("bucket", bucket)
+        .join(counts, "bucket")
+        .select("doc_id", "simhash", "bucket", "n_in_bucket")
+    )
+
+
+def _simhash_sql_bits() -> str:
+    bits = []
+    for j in range(1, 17):
+        vote = (
+            f"list_sum(list_transform(toks, t -> CASE WHEN substr(md5(t), {j}, 1)"
+            f" IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"(CASE WHEN ({vote}) > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+ORACLE_SIMHASH_BUCKETS = f"""
+WITH toks_t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sigs AS (
+  SELECT doc_id, {_simhash_sql_bits()} AS simhash FROM toks_t
+), b AS (
+  SELECT doc_id, simhash, substr(simhash, 1, 4) AS bucket FROM sigs
+), c AS (
+  SELECT bucket, COUNT(*) AS n_in_bucket FROM b GROUP BY bucket
+)
+SELECT doc_id, simhash, bucket, n_in_bucket FROM b JOIN c USING (bucket)
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "minhash_near_dupes": minhash_near_dupes,
+    "simhash_buckets": simhash_buckets,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "minhash_near_dupes": ORACLE_MINHASH_NEAR_DUPES,
+    "simhash_buckets": ORACLE_SIMHASH_BUCKETS,
+}

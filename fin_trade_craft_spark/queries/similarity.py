@@ -1,0 +1,184 @@
+"""Embedding similarity queries over ``embeddings``
+(array<float> column, 64-dim, ~unit-norm, labels 0-9).
+
+Float accumulation uses the scaled-integer scheme from
+operators.similarity: products are rounded to 1e-12 units with pure
+double arithmetic (identical in every engine) and summed as exact
+integers — immune to both summation order and cross-engine decimal
+rounding-mode differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..sources.catalog import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the probe vectors
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.knn_bruteforce(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=5)
+
+
+_EX = """
+ex AS (
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2
+  FROM ex GROUP BY vec_id
+)
+"""
+
+ORACLE_KNN_BRUTEFORCE = f"""
+WITH {_EX},
+dots AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         CAST(SUM(CAST(floor((q.v * c.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM ex q JOIN ex c ON q.i = c.i
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT qid, nid, dot / (SQRT(nq.n2) * SQRT(nc.n2)) AS cos_sim
+  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON nid = nc.vec_id
+)
+SELECT qid, rank, nid, cos_sim FROM (
+  SELECT qid, nid, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components via exact scaled-integer means
+    — the IVF coarse-quantizer build step. posexplode keeps
+    positions 0-based to match the oracle."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select("label", F.posexplode("embedding").alias("i", "v"))
+    scaled = F.floor(F.col("v").cast("double") * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+    return ex.groupBy("label", "i").agg(
+        (F.sum(scaled).cast("double") / F.lit(1e12) / F.count(F.lit(1))).alias("centroid_v"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+ORACLE_LABEL_CENTROIDS = """
+SELECT label, i,
+       CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1e12 / COUNT(*) AS centroid_v,
+       COUNT(*) AS n_vecs
+FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+GROUP BY label, i
+"""
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF partition assignment: nearest (cosine) label centroid per
+    vector — the coarse-quantization step of the ANN scale path.
+    Centroid arrays are collected per label (10×64 doubles, tiny)
+    and broadcast; scoring reuses the scaled-integer dot product."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    cents = (
+        label_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "centroid_v"))).alias("pairs"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(pairs, p -> p.centroid_v)").alias("c_vec"),
+        )
+    )
+    pairs = emb.crossJoin(F.broadcast(cents))
+    dot = F.expr(
+        "CAST(aggregate(zip_with(embedding, c_vec, (x, y) ->"
+        " CAST(floor((CAST(x AS DOUBLE) * y) * 1e12 + 0.5) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e12"
+    )
+    n2v = S.norm2_exact("embedding")
+    n2c = F.expr(
+        "CAST(aggregate(c_vec, CAST(0 AS BIGINT), (acc, x) ->"
+        " acc + CAST(floor((x * x) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12"
+    )
+    scored = pairs.select(
+        "vec_id",
+        "label",
+        "c_label",
+        (dot / (F.sqrt(n2v) * F.sqrt(n2c))).alias("cos_to_centroid"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_to_centroid"), F.asc("c_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label").alias("assigned_label"),
+            "cos_to_centroid",
+            (F.col("label") == F.col("c_label")).alias("matches_true_label"),
+        )
+    )
+
+
+ORACLE_IVF_ASSIGNMENTS = """
+WITH ex AS (
+  SELECT vec_id, label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+),
+cent AS (
+  SELECT label AS c_label, i,
+         CAST(SUM(CAST(floor(v * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 / COUNT(*) AS cv
+  FROM ex GROUP BY label, i
+),
+cnorm AS (
+  SELECT c_label,
+         CAST(SUM(CAST(floor((cv * cv) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2c
+  FROM cent GROUP BY c_label
+),
+vnorm AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2v
+  FROM ex GROUP BY vec_id
+),
+dots AS (
+  SELECT ex.vec_id, ex.label, cent.c_label,
+         CAST(SUM(CAST(floor((ex.v * cent.cv) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM ex JOIN cent ON ex.i = cent.i
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT vec_id, label, c_label, dot / (SQRT(n2v) * SQRT(n2c)) AS cos_to_centroid
+  FROM dots JOIN vnorm USING (vec_id) JOIN cnorm USING (c_label)
+)
+SELECT vec_id, label, c_label AS assigned_label, cos_to_centroid,
+       label = c_label AS matches_true_label
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_to_centroid DESC, c_label ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "label_centroids": label_centroids,
+    "ivf_assignments": ivf_assignments,
+}
+
+ORACLES = {
+    "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
+    "label_centroids": ORACLE_LABEL_CENTROIDS,
+    "ivf_assignments": ORACLE_IVF_ASSIGNMENTS,
+}

@@ -1,0 +1,186 @@
+"""Text-analysis queries over ``documents`` — the LLM-data-pipeline
+text operators (language-ID, quality scoring, token counting,
+fingerprinting) plus the reference's string family (F1-F4).
+
+Everything is JVM expressions (codegen-friendly); tokenization
+happens once per query via a materialized token-array column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources.catalog import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword / type-token quality heuristics — the
+    quality-scoring stage of a training-data pipeline."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", T.tokens(F.col("text")).alias("toks"), "text")
+    nt = F.expr("size(toks)")
+    nstop = T.word_count("toks", T.STOPWORDS)
+    ttr = T.type_token_ratio("toks")
+    avg_len = (F.length(T.normalize_ws(F.col("text"))) - (nt - 1)) / nt
+    stop_ratio = nstop / nt
+    quality = F.lit(100.0) * (
+        F.lit(0.4) * F.least(F.lit(1.0), nt / F.lit(60.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * ttr
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        nt.alias("n_tokens"),
+        nstop.alias("n_stopwords"),
+        stop_ratio.alias("stop_ratio"),
+        ttr.alias("ttr"),
+        avg_len.alias("avg_token_len"),
+        quality.alias("quality_score"),
+    )
+
+
+ORACLE_DOC_QUALITY_SCORES = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks,
+    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id, lang,
+  len(toks) AS n_tokens,
+  len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS n_stopwords,
+  len(list_filter(toks, t -> t IN ({_STOP_SQL}))) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+  len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS ttr,
+  (length(norm) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+  CAST(100.0 AS DOUBLE) * (CAST(0.4 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE), len(toks) / CAST(60.0 AS DOUBLE))
+         + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - len(list_filter(toks, t -> t IN ({_STOP_SQL}))) / CAST(len(toks) AS DOUBLE))
+         + CAST(0.3 AS DOUBLE) * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE))) AS quality_score
+FROM d
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID with deterministic argmax (fixed
+    priority on ties). Synthetic corpora → the value is the
+    operator shape, not linguistic accuracy."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", T.tokens(F.col("text")).alias("toks"))
+    scores = {lg: T.word_count("toks", ws).alias(f"c_{lg}") for lg, ws in T.LANG_MARKERS.items()}
+    scored = d.select("doc_id", "lang", *scores.values())
+    langs = list(T.LANG_MARKERS)
+    best = F.greatest(*[F.col(f"c_{lg}") for lg in langs])
+    pred = F.when(F.lit(False), F.lit(None))
+    expr = None
+    for lg in langs:  # fixed priority order = deterministic tie-break
+        cond = F.col(f"c_{lg}") == best
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    return scored.select(
+        "doc_id",
+        "lang",
+        *[f"c_{lg}" for lg in langs],
+        expr.alias("predicted_lang"),
+        (expr == F.col("lang")).alias("is_match"),
+    )
+
+
+_marker_cols = "\n".join(
+    f"  len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in ws)}))) AS c_{lg},"
+    for lg, ws in T.LANG_MARKERS.items()
+)
+_langs = list(T.LANG_MARKERS)
+_best = "GREATEST(" + ", ".join(f"c_{lg}" for lg in _langs) + ")"
+_pred = "CASE " + " ".join(f"WHEN c_{lg} = {_best} THEN '{lg}'" for lg in _langs) + " END"
+
+ORACLE_LANG_ID_HEURISTIC = f"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+{_marker_cols}
+  FROM d
+)
+SELECT doc_id, lang, c_en, c_es, c_de, c_fr, c_zh,
+  {_pred} AS predicted_lang,
+  {_pred} = lang AS is_match
+FROM s
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    d = _docs(spark, sf_dir)
+    bpe = F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[0-9]+"))
+    nt = F.size(T.tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.length("text").alias("len_text"),
+        nt.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (F.length("text") / bpe.cast("double")).alias("chars_per_bpe_token"),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id, n_chars, length(text) AS len_text,
+  len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_bpe_tokens,
+  length(text) / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS DOUBLE) AS chars_per_bpe_token
+FROM documents
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full-text MD5, min-shingle-hash (a
+    1-permutation MinHash), and a 2-hex-char bucket for grouping."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", T.tokens(F.col("text")).alias("toks"))
+    full = F.md5(T.normalize_ws(F.col("text")))
+    minsh = F.expr("array_min(transform(" + "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))" + ", s -> md5(s)))")
+    return d.filter(F.expr("size(toks) >= 3")).select(
+        "doc_id",
+        full.alias("content_md5"),
+        minsh.alias("min_shingle_md5"),
+        F.substring(full, 1, 2).alias("bucket"),
+    )
+
+
+ORACLE_DOC_FINGERPRINTS = """
+WITH d AS (
+  SELECT doc_id,
+    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
+    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  md5(norm) AS content_md5,
+  list_min(list_transform(
+    list_distinct(list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))),
+    s -> md5(s))) AS min_shingle_md5,
+  substr(md5(norm), 1, 2) AS bucket
+FROM d
+WHERE len(toks) >= 3
+"""
+
+
+QUERIES = {
+    "doc_quality_scores": doc_quality_scores,
+    "lang_id_heuristic": lang_id_heuristic,
+    "token_stats": token_stats,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+ORACLES = {
+    "doc_quality_scores": ORACLE_DOC_QUALITY_SCORES,
+    "lang_id_heuristic": ORACLE_LANG_ID_HEURISTIC,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+}
