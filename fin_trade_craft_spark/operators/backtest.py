@@ -1,0 +1,149 @@
+"""Backtest trade simulator + metrics (SURVEY §2.10 U5, §2.4 A11,
+§2.5 W8).
+
+The reference's simulator (`backtesting/backtest_strategies.py:
+171-302`) is an inherently sequential per-(strategy, symbol) state
+machine: open on buy if flat and past the cooldown, close on sell,
+force-close at end of period. State never crosses symbols
+(positions/cooldowns are dicts keyed by symbol, `:186-187`), so
+group-parallel ``applyInPandas`` is semantics-preserving — each
+group is one pandas loop, groups scale out across executors.
+
+Economics defaults mirror the reference: $100k capital, 2% position
+size, 0.1% commission per side, 60-day cooldown
+(`backtest_strategies.py:54-62,171-178`).
+
+Metrics (win rate, profit factor, Sharpe·√252, max drawdown via
+running-peak) are plain DataFrame aggregations/windows — no UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TRADE_SCHEMA = StructType(
+    [
+        StructField("strategy", StringType()),
+        StructField("symbol", LongType()),
+        StructField("entry_date", TimestampType()),
+        StructField("exit_date", TimestampType()),
+        StructField("entry_price", DoubleType()),
+        StructField("exit_price", DoubleType()),
+        StructField("shares", DoubleType()),
+        StructField("pnl", DoubleType()),
+        StructField("pnl_pct", DoubleType()),
+        StructField("commission", DoubleType()),
+        StructField("exit_reason", StringType()),
+    ]
+)
+
+
+def simulate_trades(
+    signals: DataFrame,
+    prices: DataFrame,
+    capital: float = 100_000.0,
+    position_pct: float = 0.02,
+    commission_pct: float = 0.001,
+    cooldown_days: float = 60.0,
+) -> DataFrame:
+    """signals: (symbol, date, strategy, buy_signal, sell_signal);
+    prices: (symbol, date, close). Returns closed trades."""
+    strategies = signals.select("strategy").distinct()
+    series = (
+        prices.crossJoin(F.broadcast(strategies))
+        .join(signals, ["strategy", "symbol", "date"], "left")
+        .select(
+            "strategy",
+            "symbol",
+            "date",
+            "close",
+            F.coalesce("buy_signal", F.lit(False)).alias("buy_signal"),
+            F.coalesce("sell_signal", F.lit(False)).alias("sell_signal"),
+        )
+    )
+    position_value = capital * position_pct
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        trades = []
+        entry = None  # (date, price, shares)
+        last_exit_date = None
+        for row in pdf.itertuples(index=False):
+            if entry is None and row.buy_signal:
+                if (
+                    last_exit_date is not None
+                    and (row.date - last_exit_date).total_seconds() < cooldown_days * 86400.0
+                ):
+                    continue
+                if row.close and row.close > 0:
+                    entry = (row.date, row.close, position_value / row.close)
+            elif entry is not None and row.sell_signal:
+                trades.append((entry, (row.date, row.close), "sell_signal"))
+                last_exit_date = row.date
+                entry = None
+        if entry is not None and len(pdf):
+            last = pdf.iloc[-1]
+            trades.append((entry, (last["date"], last["close"]), "end_of_period"))
+            entry = None
+        out = []
+        strategy = pdf["strategy"].iloc[0] if len(pdf) else None
+        symbol = pdf["symbol"].iloc[0] if len(pdf) else None
+        for (ed, ep, sh), (xd, xp, *_), reason in [
+            (t[0], t[1], t[2]) for t in trades
+        ]:
+            commission = (ep * sh + xp * sh) * commission_pct
+            pnl = (xp - ep) * sh - commission
+            out.append(
+                {
+                    "strategy": strategy,
+                    "symbol": symbol,
+                    "entry_date": ed,
+                    "exit_date": xd,
+                    "entry_price": float(ep),
+                    "exit_price": float(xp),
+                    "shares": float(sh),
+                    "pnl": float(pnl),
+                    "pnl_pct": float((xp - ep) / ep * 100.0),
+                    "commission": float(commission),
+                    "exit_reason": reason,
+                }
+            )
+        return pd.DataFrame(out, columns=[f.name for f in TRADE_SCHEMA.fields])
+
+    return series.groupBy("strategy", "symbol").applyInPandas(fn, TRADE_SCHEMA)
+
+
+def backtest_metrics(trades: DataFrame) -> DataFrame:
+    """Per-strategy rollup (A11): win rate, totals, profit factor,
+    annualized Sharpe, max drawdown over the equity curve (W8)."""
+    w = Window.partitionBy("strategy").orderBy("exit_date", "symbol", "entry_date")
+    cum = F.sum("pnl").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    curve = trades.withColumn("cum_pnl", cum)
+    runmax = F.max("cum_pnl").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    curve = curve.withColumn("dd", F.col("cum_pnl") - runmax)
+    return (
+        curve.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            (F.count(F.when(F.col("pnl") > 0, 1)) / F.count(F.lit(1))).alias("win_rate"),
+            F.sum("pnl").alias("total_pnl"),
+            F.avg("pnl_pct").alias("avg_pnl_pct"),
+            (
+                F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0))
+                / F.abs(F.sum(F.when(F.col("pnl") < 0, F.col("pnl")).otherwise(0.0)))
+            ).alias("profit_factor"),
+            (F.avg("pnl_pct") / F.stddev_samp("pnl_pct") * F.sqrt(F.lit(252.0))).alias("sharpe"),
+            F.min("dd").alias("max_drawdown"),
+            F.sum("commission").alias("total_commission"),
+        )
+    )

@@ -1,0 +1,161 @@
+"""EWM-family indicators — the grouped pandas-UDF island (SURVEY
+§2.5 W2/W4, W3-Wilder, W6-ATR; §4.2 item 1).
+
+These are the only reference operators whose numeric recurrences
+don't map to built-in window aggregates: pandas ``ewm(span=n)``
+defaults ``adjust=True`` (weighted prefix average, not the classic
+seeded recursion), and the reference's features are *defined* by
+pandas' output (`transform_time_series_daily_adjusted.py:189-202`
+calls ``close.ewm(span=span).mean()``). Rather than re-derive the
+recurrence and chase ulps, the island runs pandas itself inside
+``applyInPandas`` — parity by construction, Arrow-batched, one task
+per group key, embarrassingly parallel across keys.
+
+Scale notes: state never crosses group keys, so 21k symbols → 21k
+independent pandas frames; the schema passed to applyInPandas is
+narrow (key, order, value, features) to keep Arrow transfer small;
+everything before/after the island stays in whole-stage codegen.
+
+No DuckDB oracle exists for these by design (the driver records a
+rows-only check): an exact SQL formulation needs either unstable
+``pow()`` chains or an O(n²) prefix sum with engine-specific float
+fold order. Correctness evidence is the pytest parity suite vs
+pandas.Series.ewm on fixtures — the same semantics the reference
+consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def _out_schema(df: DataFrame, keep: list[str], feats: list[str]) -> StructType:
+    fields = [df.schema[c] for c in keep]
+    fields += [StructField(f, DoubleType()) for f in feats]
+    return StructType(fields)
+
+
+def ema_features(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value: str,
+    spans: tuple[int, ...] = (8, 21, 34, 55),
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """EMA(span) per key + value/EMA ratios (W2 semantics:
+    pandas ewm(span=n, adjust=True).mean())."""
+    keep = keep if keep is not None else [key, *order, value]
+    feats = [f"ema_{n}" for n in spans] + [f"{value}_ema_{n}_ratio" for n in spans]
+    schema = _out_schema(df, keep, feats)
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        out = pdf[keep].copy()
+        for n in spans:
+            ema = pdf[value].ewm(span=n).mean()
+            out[f"ema_{n}"] = ema
+            out[f"{value}_ema_{n}_ratio"] = pdf[value] / ema
+        return out
+
+    return df.groupBy(key).applyInPandas(fn, schema)
+
+
+def macd_features(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value: str,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """MACD(fast,slow,signal) + histogram (W4; ta.macd semantics:
+    EMA(fast)−EMA(slow), signal = EMA(signal) of MACD)."""
+    keep = keep if keep is not None else [key, *order, value]
+    feats = ["macd", "macd_signal", "macd_hist"]
+    schema = _out_schema(df, keep, feats)
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        out = pdf[keep].copy()
+        macd = pdf[value].ewm(span=fast).mean() - pdf[value].ewm(span=slow).mean()
+        sig = macd.ewm(span=signal).mean()
+        out["macd"] = macd
+        out["macd_signal"] = sig
+        out["macd_hist"] = macd - sig
+        return out
+
+    return df.groupBy(key).applyInPandas(fn, schema)
+
+
+def rsi_wilder(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    value: str,
+    length: int = 14,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Wilder's RSI (W3 primary variant): RMA of gains/losses with
+    alpha = 1/length, min_periods = length — the pandas_ta ``rsi``
+    recurrence (reference consumes ta.rsi at
+    transform_time_series_daily_adjusted.py:229-235)."""
+    keep = keep if keep is not None else [key, *order, value]
+    schema = _out_schema(df, keep, [f"rsi_{length}"])
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        out = pdf[keep].copy()
+        delta = pdf[value].diff()
+        gain = delta.clip(lower=0)
+        loss = (-delta).clip(lower=0)
+        avg_gain = gain.ewm(alpha=1.0 / length, min_periods=length).mean()
+        avg_loss = loss.ewm(alpha=1.0 / length, min_periods=length).mean()
+        rs = avg_gain / avg_loss
+        out[f"rsi_{length}"] = 100.0 - 100.0 / (1.0 + rs)
+        return out
+
+    return df.groupBy(key).applyInPandas(fn, schema)
+
+
+def atr_features(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    high: str,
+    low: str,
+    close: str,
+    lengths: tuple[int, ...] = (10, 14),
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """ATR(n) + ATR%% (W6: TR = max(h−l, |h−prev_c|, |l−prev_c|),
+    Wilder RMA smoothing; ta.atr semantics)."""
+    keep = keep if keep is not None else [key, *order, high, low, close]
+    feats = [f"atr_{n}" for n in lengths] + [f"atr_{n}_pct" for n in lengths]
+    schema = _out_schema(df, keep, feats)
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        out = pdf[keep].copy()
+        prev_close = pdf[close].shift(1)
+        tr = pd.concat(
+            [
+                pdf[high] - pdf[low],
+                (pdf[high] - prev_close).abs(),
+                (pdf[low] - prev_close).abs(),
+            ],
+            axis=1,
+        ).max(axis=1)
+        for n in lengths:
+            atr = tr.ewm(alpha=1.0 / n, min_periods=n).mean()
+            out[f"atr_{n}"] = atr
+            out[f"atr_{n}_pct"] = 100.0 * atr / pdf[close]
+        return out
+
+    return df.groupBy(key).applyInPandas(fn, schema)

@@ -1,0 +1,90 @@
+"""Golden tests for the trade simulator (U5) — the FIXTURES.md F12
+scenarios: open-skip while holding, cooldown suppression,
+end-of-period force-close."""
+
+from __future__ import annotations
+
+import sys
+from datetime import datetime, timedelta
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from fin_trade_craft_spark.operators.backtest import backtest_metrics, simulate_trades  # noqa: E402
+
+D0 = datetime(2024, 1, 1)
+
+
+def _frames(spark, events):
+    """events: list of (day, close, buy, sell) for one symbol."""
+    prices = spark.createDataFrame(
+        [(1, D0 + timedelta(days=d), float(c)) for d, c, _, _ in events],
+        "symbol long, date timestamp, close double",
+    )
+    sigs = spark.createDataFrame(
+        [
+            ("s1", 1, D0 + timedelta(days=d), bool(b), bool(s))
+            for d, _, b, s in events
+            if b or s
+        ],
+        "strategy string, symbol long, date timestamp, buy_signal boolean, sell_signal boolean",
+    )
+    return sigs, prices
+
+
+def test_basic_roundtrip_and_force_close(spark):
+    events = [
+        (0, 100, 1, 0),   # open @100
+        (1, 105, 1, 0),   # already holding -> skipped
+        (2, 110, 0, 1),   # close @110
+        (3, 100, 0, 0),
+        (70, 100, 1, 0),  # past cooldown -> open
+        (75, 90, 0, 0),   # no sell -> force-close at end @90
+    ]
+    sigs, prices = _frames(spark, events)
+    trades = simulate_trades(sigs, prices, cooldown_days=60).orderBy("entry_date").collect()
+    assert len(trades) == 2
+    t1, t2 = trades
+    assert (t1.entry_price, t1.exit_price, t1.exit_reason) == (100.0, 110.0, "sell_signal")
+    # 2% of 100k = $2000 position -> 20 shares @100
+    assert abs(t1.shares - 20.0) < 1e-9
+    expected_comm = (100 * 20 + 110 * 20) * 0.001
+    assert abs(t1.pnl - ((110 - 100) * 20 - expected_comm)) < 1e-9
+    assert t2.exit_reason == "end_of_period" and t2.exit_price == 90.0
+
+
+def test_cooldown_suppresses_reentry(spark):
+    events = [
+        (0, 100, 1, 0),
+        (2, 110, 0, 1),
+        (10, 95, 1, 0),   # within 60d cooldown -> suppressed
+        (80, 95, 1, 0),   # past cooldown -> open
+        (85, 99, 0, 1),
+    ]
+    sigs, prices = _frames(spark, events)
+    trades = simulate_trades(sigs, prices, cooldown_days=60).orderBy("entry_date").collect()
+    assert [t.entry_price for t in trades] == [100.0, 95.0]
+    assert trades[1].entry_date == D0 + timedelta(days=80)
+
+
+def test_sell_without_position_ignored(spark):
+    events = [(0, 100, 0, 1), (1, 101, 1, 0), (2, 102, 0, 1)]
+    sigs, prices = _frames(spark, events)
+    trades = simulate_trades(sigs, prices, cooldown_days=0).collect()
+    assert len(trades) == 1
+    assert trades[0].entry_price == 101.0 and trades[0].exit_price == 102.0
+
+
+def test_metrics_rollup(spark):
+    events = [
+        (0, 100, 1, 0), (1, 110, 0, 1),   # win
+        (2, 100, 1, 0), (3, 95, 0, 1),    # loss
+        (4, 100, 1, 0), (5, 120, 0, 1),   # win
+    ]
+    sigs, prices = _frames(spark, events)
+    trades = simulate_trades(sigs, prices, cooldown_days=0)
+    m = backtest_metrics(trades).collect()[0]
+    assert m.n_trades == 3
+    assert abs(m.win_rate - 2 / 3) < 1e-9
+    assert m.profit_factor > 1
+    assert m.max_drawdown < 0  # the losing trade dents the curve

@@ -1,0 +1,99 @@
+"""Parity tests: the EWM pandas-UDF island vs pandas itself on
+fixture series (the reference's features are *defined* by pandas
+ewm output, SURVEY §7.3 risk 1)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from fin_trade_craft_spark.operators import ewm  # noqa: E402
+
+
+def _series(seed: int = 7, n: int = 120) -> list[float]:
+    import random
+
+    rng = random.Random(seed)
+    v, out = 100.0, []
+    for _ in range(n):
+        v *= 1 + rng.uniform(-0.02, 0.02)
+        out.append(round(v, 2))
+    return out
+
+
+def _df(spark, vals, key=1):
+    return spark.createDataFrame(
+        [(key, i, v) for i, v in enumerate(vals)], "sym long, bar long, close double"
+    )
+
+
+def test_ema_matches_pandas(spark):
+    vals = _series()
+    out = (
+        ewm.ema_features(_df(spark, vals), "sym", ["bar"], "close", spans=(8, 21))
+        .orderBy("bar")
+        .toPandas()
+    )
+    for n in (8, 21):
+        want = pd.Series(vals).ewm(span=n).mean()
+        assert (out[f"ema_{n}"] - want).abs().max() < 1e-9
+
+
+def test_macd_matches_pandas(spark):
+    vals = _series(11)
+    out = ewm.macd_features(_df(spark, vals), "sym", ["bar"], "close").orderBy("bar").toPandas()
+    s = pd.Series(vals)
+    macd = s.ewm(span=12).mean() - s.ewm(span=26).mean()
+    sig = macd.ewm(span=9).mean()
+    assert (out["macd"] - macd).abs().max() < 1e-9
+    assert (out["macd_signal"] - sig).abs().max() < 1e-9
+    assert (out["macd_hist"] - (macd - sig)).abs().max() < 1e-9
+
+
+def test_rsi_wilder_matches_pandas(spark):
+    vals = _series(13)
+    out = ewm.rsi_wilder(_df(spark, vals), "sym", ["bar"], "close", 14).orderBy("bar").toPandas()
+    s = pd.Series(vals)
+    delta = s.diff()
+    avg_gain = delta.clip(lower=0).ewm(alpha=1 / 14, min_periods=14).mean()
+    avg_loss = (-delta).clip(lower=0).ewm(alpha=1 / 14, min_periods=14).mean()
+    want = 100 - 100 / (1 + avg_gain / avg_loss)
+    got = out["rsi_14"]
+    assert got[:13].isna().all() and not got[14:].isna().any()
+    assert (got - want).abs().max() < 1e-9
+
+
+def test_atr_matches_pandas(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    c = 100.0
+    for i in range(80):
+        c *= 1 + rng.uniform(-0.02, 0.02)
+        h, lo = c * (1 + rng.uniform(0, 0.01)), c * (1 - rng.uniform(0, 0.01))
+        rows.append((1, i, round(h, 2), round(lo, 2), round(c, 2)))
+    df = spark.createDataFrame(rows, "sym long, bar long, high double, low double, close double")
+    out = ewm.atr_features(df, "sym", ["bar"], "high", "low", "close", (14,)).orderBy("bar").toPandas()
+    pdf = pd.DataFrame(rows, columns=["sym", "bar", "high", "low", "close"])
+    prev = pdf["close"].shift(1)
+    tr = pd.concat(
+        [pdf["high"] - pdf["low"], (pdf["high"] - prev).abs(), (pdf["low"] - prev).abs()], axis=1
+    ).max(axis=1)
+    want = tr.ewm(alpha=1 / 14, min_periods=14).mean()
+    assert (out["atr_14"] - want).abs().max() < 1e-9
+
+
+def test_multi_key_groups_are_independent(spark):
+    vals_a, vals_b = _series(1), _series(2)
+    rows = [(1, i, v) for i, v in enumerate(vals_a)] + [(2, i, v) for i, v in enumerate(vals_b)]
+    df = spark.createDataFrame(rows, "sym long, bar long, close double")
+    out = ewm.ema_features(df, "sym", ["bar"], "close", spans=(8,)).toPandas()
+    for key, vals in [(1, vals_a), (2, vals_b)]:
+        got = out[out.sym == key].sort_values("bar")["ema_8"].reset_index(drop=True)
+        want = pd.Series(vals).ewm(span=8).mean()
+        assert (got - want).abs().max() < 1e-9
