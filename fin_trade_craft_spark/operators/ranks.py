@@ -14,12 +14,18 @@ def pct_rank_avg_ties(part: list[Column | str], value: Column | str) -> Column:
     cross-sectional features use pandas semantics
     (`transform_balance_sheet.py:261-264`, SURVEY W14 note):
     avg_rank = rank + (ties−1)/2, pct = avg_rank / n.
+
+    Null-aware like pandas: null values get a null rank and are
+    excluded from the group size. (Spark's rank() would otherwise
+    seat nulls first and count them — we subtract the null block.)
     """
     v = F.col(value) if isinstance(value, str) else value
-    rk = F.rank().over(Window.partitionBy(*part).orderBy(v))
+    rk = F.rank().over(Window.partitionBy(*part).orderBy(v.asc_nulls_first()))
     ties = F.count(F.lit(1)).over(Window.partitionBy(*part, v))
-    n = F.count(F.lit(1)).over(Window.partitionBy(*part))
-    return (rk + (ties - F.lit(1)) / F.lit(2.0)) / n
+    n_all = F.count(F.lit(1)).over(Window.partitionBy(*part))
+    n_val = F.count(v).over(Window.partitionBy(*part))
+    n_null = n_all - n_val
+    return F.when(v.isNotNull(), (rk - n_null + (ties - F.lit(1)) / F.lit(2.0)) / n_val)
 
 
 def latest_per_key(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:

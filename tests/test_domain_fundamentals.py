@@ -1,0 +1,322 @@
+"""Differential tests: fundamentals transforms + quality scores vs
+an independent pandas re-implementation of the reference formulas
+(`transform_balance_sheet/income_statement/cash_flow.py`,
+`transform_fundamental_quality_scores.py`) on a quarterly panel
+fixture with nulls, zeros, and tie values injected.
+
+Documented divergence: pandas pct_change on a zero base yields ±inf
+where the engine yields NULL — those cells are masked (both are
+unusable downstream; flags agree because NaN/inf comparisons both
+yield flag 0 ... except -inf < 0 which cannot arise from a zero
+base with sign-consistent measures in the fixture)."""
+
+from __future__ import annotations
+
+import random
+import sys
+from datetime import date
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from fin_trade_craft_spark.domain import fundamentals as FD  # noqa: E402
+from fin_trade_craft_spark.domain.quality_scores import SCORE_COLS, compute_quality_scores  # noqa: E402
+
+SECTORS = ["Tech", "Energy", "Health"]
+MEASURES_BS = [
+    "total_assets", "total_current_assets", "cash_and_short_term_investments",
+    "cash_and_cash_equivalents", "current_net_receivables", "total_current_liabilities",
+    "total_liabilities", "current_debt", "long_term_debt", "total_shareholder_equity",
+    "retained_earnings", "treasury_stock", "goodwill", "intangible_assets",
+    "property_plant_equipment", "common_stock_shares_outstanding", "ebit", "total_revenue",
+]
+MEASURES_IS = [
+    "gross_profit", "total_revenue", "operating_income", "selling_general_and_administrative",
+    "research_and_development", "operating_expenses", "interest_expense", "income_before_tax",
+    "income_tax_expense", "net_income_from_continuing_operations",
+    "comprehensive_income_net_of_tax", "depreciation_and_amortization", "ebit", "ebitda",
+    "net_income",
+]
+MEASURES_CF = [
+    "operating_cashflow", "capital_expenditures", "cashflow_from_investment",
+    "cashflow_from_financing", "proceeds_from_issuance_of_long_term_debt",
+    "proceeds_from_issuance_of_common_stock", "dividend_payout",
+    "payments_for_repurchase_of_common_stock", "change_in_cash_and_cash_equivalents",
+    "net_income", "total_revenue",
+]
+
+
+def _panel(measures, seed, n_sym=8, n_q=10):
+    rng = random.Random(seed)
+    qs = pd.date_range("2021-03-31", periods=n_q, freq="QE")
+    rows = []
+    for sid in range(1, n_sym + 1):
+        sector = SECTORS[sid % len(SECTORS)]
+        industry = f"{sector}-{sid % 2}"
+        for q in qs:
+            row = {
+                "symbol_id": sid,
+                "symbol": f"SYM{sid:03d}",
+                "fiscal_date_ending": q.date(),
+                "sector": sector,
+                "industry": industry,
+            }
+            for m in measures:
+                r = rng.random()
+                if r < 0.08:
+                    v = None          # nulls exercise fillna paths
+                elif r < 0.14:
+                    v = 0             # zeros exercise safe_div
+                else:
+                    sign = -1 if (m in ("capital_expenditures", "net_income",
+                                        "cashflow_from_investment") and r < 0.45) else 1
+                    v = sign * rng.randint(1, 9_000_000) * 1000
+                row[m] = v
+            rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def _sdiv(n, d):
+    r = n / d
+    if isinstance(r, pd.Series):
+        r = r.replace([np.inf, -np.inf], np.nan)
+    return r
+
+
+def _pd_common(df, feats):
+    df = df.sort_values(["symbol_id", "fiscal_date_ending"]).reset_index(drop=True)
+    for name, (kind, args) in feats.items():
+        if kind == "qoq":
+            df[name] = df.groupby("symbol_id")[args].pct_change(1, fill_method=None)
+        elif kind == "yoy":
+            df[name] = df.groupby("symbol_id")[args].pct_change(4, fill_method=None)
+        elif kind == "vol":
+            df[name] = (
+                df.groupby("symbol_id")[args].rolling(4, min_periods=2).std().reset_index(level=0, drop=True)
+            )
+        elif kind == "srank":
+            df[name] = df.groupby(["fiscal_date_ending", "sector"])[args].rank(pct=True)
+        elif kind == "irank":
+            df[name] = df.groupby(["fiscal_date_ending", "industry"])[args].rank(pct=True)
+    return df
+
+
+def _pd_bs(df):
+    df = df.copy()
+    df["fbs_current_ratio"] = _sdiv(df.total_current_assets, df.total_current_liabilities)
+    df["fbs_quick_ratio"] = _sdiv(df.cash_and_short_term_investments + df.current_net_receivables, df.total_current_liabilities)
+    df["fbs_cash_ratio"] = _sdiv(df.cash_and_cash_equivalents, df.total_current_liabilities)
+    df["fbs_working_capital"] = df.total_current_assets - df.total_current_liabilities
+    df["fbs_debt_to_equity"] = _sdiv(df.total_liabilities, df.total_shareholder_equity)
+    df["fbs_current_debt_ratio"] = _sdiv(df.current_debt, df.total_assets)
+    df["fbs_long_term_debt_ratio"] = _sdiv(df.long_term_debt, df.total_assets)
+    df["fbs_debt_to_assets"] = _sdiv(df.total_liabilities, df.total_assets)
+    df["fbs_tangible_asset_ratio"] = _sdiv(df.total_assets - df.goodwill.fillna(0) - df.intangible_assets.fillna(0), df.total_assets)
+    df["fbs_intangibles_share"] = _sdiv(df.goodwill.fillna(0) + df.intangible_assets.fillna(0), df.total_assets)
+    df["fbs_ppe_intensity"] = _sdiv(df.property_plant_equipment, df.total_assets)
+    df["fbs_cash_to_assets"] = _sdiv(df.cash_and_short_term_investments, df.total_assets)
+    df["fbs_book_value_per_share"] = _sdiv(df.total_shareholder_equity, df.common_stock_shares_outstanding)
+    df["fbs_retained_earnings_ratio"] = _sdiv(df.retained_earnings, df.total_shareholder_equity)
+    df["fbs_treasury_stock_effect"] = _sdiv(df.treasury_stock.fillna(0), df.total_shareholder_equity)
+    df["fbs_balance_sheet_leverage"] = _sdiv(df.total_liabilities, df.total_assets)
+    df["fbs_financial_leverage"] = _sdiv(df.total_assets, df.total_shareholder_equity)
+    df["fbs_interest_coverage_proxy"] = _sdiv(df.ebit.fillna(0), df.current_debt.fillna(0) + df.long_term_debt.fillna(0))
+    df["fbs_asset_turnover"] = _sdiv(df.total_revenue.fillna(0), df.total_assets)
+    df = _pd_common(df, {
+        "fbs_current_ratio_qoq_pct": ("qoq", "fbs_current_ratio"),
+        "fbs_quick_ratio_qoq_pct": ("qoq", "fbs_quick_ratio"),
+        "fbs_working_capital_qoq_pct": ("qoq", "fbs_working_capital"),
+        "fbs_debt_to_equity_qoq_pct": ("qoq", "fbs_debt_to_equity"),
+        "fbs_current_ratio_yoy_pct": ("yoy", "fbs_current_ratio"),
+        "fbs_quick_ratio_yoy_pct": ("yoy", "fbs_quick_ratio"),
+        "fbs_current_ratio_volatility": ("vol", "fbs_current_ratio"),
+        "fbs_quick_ratio_volatility": ("vol", "fbs_quick_ratio"),
+        "fbs_current_ratio_sector_rank": ("srank", "fbs_current_ratio"),
+        "fbs_quick_ratio_sector_rank": ("srank", "fbs_quick_ratio"),
+        "fbs_current_ratio_industry_rank": ("irank", "fbs_current_ratio"),
+        "fbs_quick_ratio_industry_rank": ("irank", "fbs_quick_ratio"),
+    })
+    df["fbs_liquidity_shock_flag"] = (df.fbs_current_ratio_qoq_pct < -0.2).astype(int)
+    return df
+
+
+def _pd_is(df):
+    df = df.copy()
+    df["fis_gross_margin"] = _sdiv(df.gross_profit, df.total_revenue)
+    df["fis_operating_margin"] = _sdiv(df.operating_income, df.total_revenue)
+    df["fis_net_margin"] = _sdiv(df.net_income, df.total_revenue)
+    df["fis_ebit_margin"] = _sdiv(df.ebit, df.total_revenue)
+    df["fis_ebitda_margin"] = _sdiv(df.ebitda, df.total_revenue)
+    df["fis_sga_ratio"] = _sdiv(df.selling_general_and_administrative.fillna(0), df.total_revenue)
+    df["fis_rd_ratio"] = _sdiv(df.research_and_development.fillna(0), df.total_revenue)
+    df["fis_opex_ratio"] = _sdiv(df.operating_expenses.fillna(0), df.total_revenue)
+    df["fis_interest_coverage"] = _sdiv(df.ebit, df.interest_expense.fillna(0).abs())
+    df["fis_interest_burden"] = _sdiv(df.income_before_tax, df.ebit)
+    df["fis_financial_leverage_effect"] = _sdiv(df.net_income, df.income_before_tax)
+    df["fis_effective_tax_rate"] = _sdiv(df.income_tax_expense.fillna(0), df.income_before_tax)
+    df["fis_tax_burden"] = _sdiv(df.net_income, df.income_before_tax)
+    df["fis_continuing_ops_ratio"] = _sdiv(df.net_income_from_continuing_operations.fillna(df.net_income), df.net_income)
+    df["fis_comprehensive_income_ratio"] = _sdiv(df.comprehensive_income_net_of_tax.fillna(df.net_income), df.net_income)
+    df["fis_ebitda_to_revenue"] = _sdiv(df.ebitda, df.total_revenue)
+    df["fis_depreciation_ratio"] = _sdiv(df.depreciation_and_amortization.fillna(0), df.total_revenue)
+    df = _pd_common(df, {
+        "fis_revenue_qoq_pct": ("qoq", "total_revenue"),
+        "fis_net_income_qoq_pct": ("qoq", "net_income"),
+        "fis_ebitda_qoq_pct": ("qoq", "ebitda"),
+        "fis_revenue_yoy_pct": ("yoy", "total_revenue"),
+        "fis_net_income_yoy_pct": ("yoy", "net_income"),
+        "fis_ebitda_yoy_pct": ("yoy", "ebitda"),
+        "fis_revenue_volatility": ("vol", "total_revenue"),
+        "fis_net_income_volatility": ("vol", "net_income"),
+        "fis_margin_volatility": ("vol", "fis_net_margin"),
+        "fis_net_margin_sector_rank": ("srank", "fis_net_margin"),
+        "fis_operating_margin_sector_rank": ("srank", "fis_operating_margin"),
+        "fis_net_margin_industry_rank": ("irank", "fis_net_margin"),
+        "fis_operating_margin_industry_rank": ("irank", "fis_operating_margin"),
+    })
+    df["fis_negative_net_income_flag"] = (df.net_income < 0).astype(int)
+    df["fis_revenue_decline_flag"] = (df.fis_revenue_qoq_pct < 0).astype(int)
+    return df
+
+
+def _pd_cf(df):
+    df = df.copy()
+    df["fcf_free_cash_flow"] = df.operating_cashflow.fillna(0) - df.capital_expenditures.fillna(0).abs()
+    df["fcf_ocf_to_capex_ratio"] = _sdiv(df.operating_cashflow, df.capital_expenditures.abs())
+    df["fcf_cash_conversion_ratio"] = _sdiv(df.operating_cashflow, df.net_income.fillna(0))
+    df["fcf_capex_intensity"] = _sdiv(df.capital_expenditures.abs(), df.operating_cashflow)
+    df["fcf_operating_cf_margin"] = _sdiv(df.operating_cashflow, df.total_revenue.fillna(0))
+    df["fcf_investment_intensity"] = _sdiv(df.cashflow_from_investment.abs(), df.operating_cashflow)
+    df["fcf_capex_to_investment_ratio"] = _sdiv(df.capital_expenditures.abs(), df.cashflow_from_investment.abs())
+    tf = df.proceeds_from_issuance_of_long_term_debt.fillna(0) + df.proceeds_from_issuance_of_common_stock.fillna(0)
+    df["fcf_debt_financing_ratio"] = _sdiv(df.proceeds_from_issuance_of_long_term_debt.fillna(0), tf)
+    df["fcf_equity_financing_ratio"] = _sdiv(df.proceeds_from_issuance_of_common_stock.fillna(0), tf)
+    df["fcf_dividend_payout_ratio"] = _sdiv(df.dividend_payout.fillna(0).abs(), df.operating_cashflow)
+    df["fcf_share_buyback_ratio"] = _sdiv(df.payments_for_repurchase_of_common_stock.fillna(0).abs(), df.operating_cashflow)
+    df["fcf_net_financing_activity"] = df.cashflow_from_financing.fillna(0)
+    df = _pd_common(df, {
+        "fcf_operating_cf_qoq_pct": ("qoq", "operating_cashflow"),
+        "fcf_free_cash_flow_qoq_pct": ("qoq", "fcf_free_cash_flow"),
+        "fcf_operating_cf_yoy_pct": ("yoy", "operating_cashflow"),
+        "fcf_free_cash_flow_yoy_pct": ("yoy", "fcf_free_cash_flow"),
+        "fcf_capex_qoq_pct": ("qoq", "capital_expenditures"),
+        "fcf_cash_change_volatility": ("vol", "change_in_cash_and_cash_equivalents"),
+        "fcf_operating_cf_volatility": ("vol", "operating_cashflow"),
+        "fcf_operating_cf_sector_rank": ("srank", "operating_cashflow"),
+        "fcf_free_cash_flow_sector_rank": ("srank", "fcf_free_cash_flow"),
+        "fcf_operating_cf_industry_rank": ("irank", "operating_cashflow"),
+        "fcf_free_cash_flow_industry_rank": ("irank", "fcf_free_cash_flow"),
+    })
+    df["fcf_negative_free_cash_flow_flag"] = (df.fcf_free_cash_flow < 0).astype(int)
+    df["fcf_cash_burn_flag"] = ((df.fcf_free_cash_flow < 0) & (df.change_in_cash_and_cash_equivalents < 0)).astype(int)
+    return df
+
+
+def _compare(got: pd.DataFrame, want: pd.DataFrame, prefix: str):
+    keys = ["symbol_id", "fiscal_date_ending"]
+    got = got.sort_values(keys).reset_index(drop=True)
+    want = want.sort_values(keys).reset_index(drop=True)
+    cols = [c for c in want.columns if c.startswith(prefix)]
+    assert cols
+    for c in cols:
+        a = pd.to_numeric(got[c], errors="coerce").astype(float)
+        b = pd.to_numeric(want[c], errors="coerce").astype(float)
+        inf_mask = np.isinf(b)        # documented divergence: inf→NULL
+        both_nan = a.isna() & b.isna()
+        close = (a - b).abs() <= 1e-8 + 1e-9 * b.abs()
+        ok = both_nan | close | (inf_mask & a.isna())
+        assert ok.all(), f"{c}: {(~ok).sum()} mismatches, e.g. {got.loc[~ok, ['symbol_id','fiscal_date_ending']].head(3).values} got={a[~ok].head(3).tolist()} want={b[~ok].head(3).tolist()}"
+
+
+@pytest.mark.parametrize(
+    "measures,seed,spark_fn,pd_fn,prefix",
+    [
+        (MEASURES_BS, 5, FD.balance_sheet_features, _pd_bs, "fbs_"),
+        (MEASURES_IS, 6, FD.income_statement_features, _pd_is, "fis_"),
+        (MEASURES_CF, 7, FD.cash_flow_features, _pd_cf, "fcf_"),
+    ],
+    ids=["balance_sheet", "income_statement", "cash_flow"],
+)
+def test_statement_features_match_pandas(spark, measures, seed, spark_fn, pd_fn, prefix):
+    pdf = _panel(measures, seed)
+    got = spark_fn(spark.createDataFrame(pdf)).toPandas()
+    want = pd_fn(pdf)
+    _compare(got, want, prefix)
+
+
+def test_quality_scores_match_pandas(spark):
+    """End-to-end: all three statements joined → quality scores,
+    vs the pandas reimplementation of `_compute_all_scores`."""
+    bs = _panel(MEASURES_BS, 5)
+    is_ = _panel(MEASURES_IS, 6)
+    cf = _panel(MEASURES_CF, 7)
+    keys = ["symbol_id", "symbol", "fiscal_date_ending", "sector", "industry"]
+
+    f_bs = FD.balance_sheet_features(spark.createDataFrame(bs)).toPandas()
+    f_is = FD.income_statement_features(spark.createDataFrame(is_)).toPandas()
+    f_cf = FD.cash_flow_features(spark.createDataFrame(cf)).toPandas()
+    joined = (
+        f_bs[keys + [c for c in f_bs.columns if c.startswith("fbs_")]]
+        .merge(f_is[keys + [c for c in f_is.columns if c.startswith("fis_")]], on=keys)
+        .merge(f_cf[keys + [c for c in f_cf.columns if c.startswith("fcf_")]], on=keys)
+    )
+    got = compute_quality_scores(spark.createDataFrame(joined)).toPandas()
+
+    # pandas reimplementation of _normalize_to_score + composites
+    d = joined.copy()
+
+    def nrm(v, lb=None, ub=None, reverse=False):
+        v = pd.to_numeric(v, errors="coerce")
+        if v.isna().all():
+            return pd.Series([50.0] * len(v))
+        lb = v.quantile(0.10) if lb is None else lb
+        ub = v.quantile(0.90) if ub is None else ub
+        cl = v.clip(lb, ub)
+        if ub - lb == 0:
+            return pd.Series([50.0] * len(v))
+        n = (cl - lb) / (ub - lb)
+        if reverse:
+            n = 1 - n
+        return n * 100
+
+    d["bs_liquidity_score"] = pd.concat([nrm(d.fbs_current_ratio, 0.5, 2.5), nrm(d.fbs_quick_ratio, 0.3, 1.5)], axis=1).mean(axis=1)
+    d["bs_leverage_score"] = pd.concat([nrm(d.fbs_debt_to_equity, 0, 3.0, True), nrm(d.fbs_debt_to_assets, 0, 0.8, True)], axis=1).mean(axis=1)
+    d["bs_asset_quality_score"] = pd.concat([nrm(d.fbs_tangible_asset_ratio, 0.3, 0.95)], axis=1).mean(axis=1)
+    d["balance_sheet_quality_score"] = d.bs_liquidity_score * 0.3 + d.bs_leverage_score * 0.4 + d.bs_asset_quality_score * 0.3
+    d.loc[d.fbs_liquidity_shock_flag == 1, "balance_sheet_quality_score"] *= 0.8
+    fcf = pd.to_numeric(d.fcf_free_cash_flow, errors="coerce")
+    d["cf_generation_score"] = pd.concat([nrm(fcf, fcf.quantile(0.20), fcf.quantile(0.80)), nrm(d.fcf_operating_cf_margin, 0.05, 0.25)], axis=1).mean(axis=1)
+    d["cf_efficiency_score"] = pd.concat([nrm(d.fcf_ocf_to_capex_ratio, 0.5, 3.0), nrm(d.fcf_cash_conversion_ratio, 0.5, 1.5)], axis=1).mean(axis=1)
+    d["cf_sustainability_score"] = pd.concat([nrm(d.fcf_free_cash_flow_yoy_pct, -0.2, 0.3)], axis=1).mean(axis=1)
+    d["cash_flow_quality_score"] = d.cf_generation_score * 0.4 + d.cf_efficiency_score * 0.3 + d.cf_sustainability_score * 0.3
+    d.loc[d.fcf_negative_free_cash_flow_flag == 1, "cash_flow_quality_score"] *= 0.7
+    d.loc[d.fcf_cash_burn_flag == 1, "cash_flow_quality_score"] *= 0.5
+    d["is_profitability_score"] = pd.concat([nrm(d.fis_net_margin, 0.05, 0.25)], axis=1).mean(axis=1)
+    d["is_margin_score"] = pd.concat([nrm(d.fis_operating_margin, 0.05, 0.30), nrm(d.fis_gross_margin, 0.20, 0.60)], axis=1).mean(axis=1)
+    d["is_growth_score"] = pd.concat([nrm(d.fis_revenue_yoy_pct, -0.05, 0.20), nrm(d.fis_net_income_yoy_pct, -0.20, 0.30)], axis=1).mean(axis=1)
+    d["income_statement_quality_score"] = d.is_profitability_score * 0.4 + d.is_margin_score * 0.3 + d.is_growth_score * 0.3
+    d.loc[d.fis_negative_net_income_flag == 1, "income_statement_quality_score"] *= 0.6
+    d.loc[d.fis_revenue_decline_flag == 1, "income_statement_quality_score"] *= 0.85
+    d["overall_quality_score"] = (
+        d.balance_sheet_quality_score.fillna(50) * 0.33
+        + d.cash_flow_quality_score.fillna(50) * 0.33
+        + d.income_statement_quality_score.fillna(50) * 0.34
+    )
+    for c in SCORE_COLS:
+        d[c] = d[c].clip(0, 100)
+
+    keys2 = ["symbol_id", "fiscal_date_ending"]
+    got = got.sort_values(keys2).reset_index(drop=True)
+    d = d.sort_values(keys2).reset_index(drop=True)
+    for c in SCORE_COLS:
+        a, b = got[c].astype(float), d[c].astype(float)
+        ok = (a.isna() & b.isna()) | ((a - b).abs() < 1e-6)
+        assert ok.all(), f"{c}: {(~ok).sum()} mismatches got={a[~ok].head(3).tolist()} want={b[~ok].head(3).tolist()}"
+    # grade flags
+    assert (got["is_high_quality"] == (d.overall_quality_score >= 70)).all()
+    want_ig = (d.balance_sheet_quality_score >= 50) & (d.cash_flow_quality_score >= 50) & (d.income_statement_quality_score >= 50)
+    assert (got["is_investment_grade"] == want_ig.fillna(False)).all()
