@@ -74,7 +74,9 @@ def rolling_zscore(col: Column, w: WindowSpec, n: int, scale: int = 2, eps: floa
     return (col - rolling_mean(col, w, n, scale)) / (rolling_std(col, w, n, scale) + F.lit(eps))
 
 
-def rolling_slope(col: Column, x: Column, w: WindowSpec, n: int, scale: int = 2) -> Column:
+def rolling_slope(
+    col: Column, x: Column, w: WindowSpec, n: int, scale: int = 2, min_periods: int | None = None
+) -> Column:
     """Closed-form OLS slope over the trailing n rows (W13; replaces
     rolling.apply(np.polyfit), transform_economic_indicators.py:
     262-276). ``x`` is an integer position column the caller must
@@ -88,7 +90,7 @@ def rolling_slope(col: Column, x: Column, w: WindowSpec, n: int, scale: int = 2)
     sxx = F.sum(xd * xd).over(_frame(w, n)).cast("double")
     c = F.count(col).over(_frame(w, n)).cast("double")
     slope = (c * sxy - sx * sy) / (c * sxx - sx * sx)
-    return _guard(slope, col, w, n, None)
+    return _guard(slope, col, w, n, min_periods)
 
 
 def rolling_max(col: Column, w: WindowSpec, n: int, min_periods: int | None = None) -> Column:
