@@ -41,13 +41,16 @@ def bench_query_names() -> list[str]:
         "user_session_stats",
         "sma_crossover_signals",
         "rsi_zone_signals",
+        "hourly_event_rollup",
         "asof_enrichment",
         "ema_features",
+        "fin_signals_pipeline",
         # LLM-data-pipeline family
         "doc_quality_scores",
         "dedup_ngram_jaccard",
         "minhash_near_dupes",
         "knn_bruteforce",
+        "multimodal_metadata",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]
@@ -65,9 +68,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warm the JVM + parquet footers once so per-query numbers
-    # measure the plan, not first-touch JIT.
+    # Warm the JVM + parquet footers + the Python/Arrow worker pool
+    # once so per-query numbers measure the plan, not first-touch
+    # JIT or pandas-worker startup.
     spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
+    warm = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    warm.groupBy("k").applyInPandas(lambda p: p, "k int, v double").count()
 
     timings: dict[str, float] = {}
     for name in bench_query_names():

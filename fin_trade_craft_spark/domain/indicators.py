@@ -104,12 +104,17 @@ def compute_indicators(ohlcv: DataFrame) -> DataFrame:
         sma = minp(close, n, F.avg(close).over(frame(n)))
         cols += [sma.alias(f"ohlcv_sma_{n}")]
     # --- momentum: ROC (pandas_ta roc = 100·(close/lag −1), `:251-253`)
+    # zero-base guard: NULL, the engine's missing encoding (pandas
+    # would give ±inf; ANSI Spark would throw)
     for n in (10, 20):
-        cols += [(F.lit(100.0) * (close / F.lag(close, n).over(w) - 1)).alias(f"ohlcv_roc_{n}")]
-    # Williams %R 14 (`:255-259`)
+        base = F.lag(close, n).over(w)
+        cols += [
+            F.when(base != 0, F.lit(100.0) * (close / base - 1)).alias(f"ohlcv_roc_{n}")
+        ]
+    # Williams %R 14 (`:255-259`); flat-window (hh==ll) → NULL
     hh = minp(close, 14, F.max("high").over(frame(14)))
     ll = minp(close, 14, F.min("low").over(frame(14)))
-    cols += [(F.lit(-100.0) * (hh - close) / (hh - ll)).alias("ohlcv_willr_14")]
+    cols += [F.when(hh != ll, F.lit(-100.0) * (hh - close) / (hh - ll)).alias("ohlcv_willr_14")]
     # --- volatility: Bollinger 20,2 population-std (`:296-312`)
     bb_mid = minp(close, 20, F.avg(close).over(frame(20)))
     bb_std = minp(close, 20, F.stddev_pop(close).over(frame(20)))
@@ -121,7 +126,8 @@ def compute_indicators(ohlcv: DataFrame) -> DataFrame:
     obv = F.sum((obv_sign * volume).cast("double")).over(w.rowsBetween(Window.unboundedPreceding, 0))
     mfm = safe_div((close - F.col("low")) - (F.col("high") - close), F.col("high") - F.col("low"))
     mfv = mfm * volume
-    cmf = minp(close, 20, F.sum(mfv).over(frame(20)) / F.sum(volume.cast("double")).over(frame(20)))
+    vol20 = F.sum(volume.cast("double")).over(frame(20))
+    cmf = minp(close, 20, F.when(vol20 != 0, F.sum(mfv).over(frame(20)) / vol20))
     ad = F.sum(F.coalesce(mfv, F.lit(0.0))).over(w.rowsBetween(Window.unboundedPreceding, 0))
     vsma20 = minp(volume, 20, F.avg(volume).over(frame(20)))
     vsma50 = minp(volume, 50, F.avg(volume).over(frame(50)))

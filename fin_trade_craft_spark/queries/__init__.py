@@ -29,6 +29,7 @@ _MODULES: list[str] = [
     "similarity",
     "pandas_islands",
     "fin_domain",
+    "multimodal",
 ]
 
 

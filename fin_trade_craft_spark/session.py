@@ -23,6 +23,10 @@ _BASE_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # engine semantic: zero divisors yield NULL (pandas-NaN/Postgres
+    # analog), not Spark 4's default ANSI exception; hot paths are
+    # additionally guarded explicitly
+    "spark.sql.ansi.enabled": "false",
     # broadcast threshold: dims (region/nation/customer/part) stay
     # broadcast-able well past sf1; explicit broadcast() hints are
     # still used where we *know* the side is dimensional.

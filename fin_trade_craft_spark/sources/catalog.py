@@ -43,8 +43,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     # The driver hands us ITS session — pin the runtime confs our
     # semantics depend on (UTC keeps collected timestamps identical
-    # to the oracle's naive parquet values).
+    # to the oracle's naive parquet values; non-ANSI division gives
+    # the engine's documented NULL-on-zero-divisor semantics instead
+    # of Spark 4's default ANSI exception).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")

@@ -1,0 +1,70 @@
+"""Structured Streaming variants of the batch aggregations
+(SURVEY §2.9 stretch goal).
+
+The reference is batch-only; its "incremental mode" is anti-join
+discovery + a ledger (plans/watermarks.py). These streaming jobs
+are the same *logical* aggregations as queries/windows.py
+(hourly_event_rollup, signal emission) expressed over
+``readStream``, with a real event-time watermark for late data —
+the 7-day ``days_back`` late-arrival window of
+``transform_trading_signals.py:913-946`` maps to
+``withWatermark("ts", "7 days")`` at daily grain; tests use minutes
+for speed.
+
+``Trigger.AvailableNow`` turns any of these into an incremental
+batch job with exactly-once file-source progress tracking — the
+Spark-native replacement for the reference's staleness polling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema: StructType, ts_is_nanos: bool = True
+) -> DataFrame:
+    """File-source stream over events-shaped parquet. The nanos→µs
+    conversion mirrors sources.catalog.load_table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.readStream.schema(schema).parquet(path)
+    if ts_is_nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of queries.windows.hourly_event_rollup:
+    tumbling 1h window per event_type with late-data watermark.
+    (approx_count_distinct replaces the exact distinct — exact
+    per-user dedup in a stream needs state keyed on user.)"""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n", "n_users_approx", "total_value")
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, out_table: str = "rollup") -> list:
+    """Drain everything currently available (incremental batch) into
+    a memory sink; returns collected rows. Complete mode so bounded
+    test data emits every window (append mode only releases windows
+    the advancing watermark has sealed — correct for a live stream,
+    empty for a one-shot drain)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return stream_df.sparkSession.sql(f"SELECT * FROM {out_table}").collect()

@@ -1,0 +1,87 @@
+"""Tests for TableIO idioms (S6-S12) and the watermark ledger
+framework (staleness selection, circuit breaker, anti-join
+discovery)."""
+
+from __future__ import annotations
+
+import sys
+from datetime import datetime, timedelta, timezone
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fin_trade_craft_spark.plans.watermarks import WatermarkLedger, discover_unprocessed  # noqa: E402
+from fin_trade_craft_spark.sources.io import TableIO  # noqa: E402
+
+
+@pytest.fixture()
+def io(spark, tmp_path):
+    return TableIO(spark, str(tmp_path / "warehouse"))
+
+
+def test_append_and_overwrite(spark, io):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    io.overwrite(df, "raw/t1")
+    io.append(spark.createDataFrame([(3, "c")], "k int, v string"), "raw/t1")
+    assert io.read("raw/t1").count() == 3
+    io.overwrite(df, "raw/t1")
+    assert io.read("raw/t1").count() == 2
+
+
+def test_upsert_keeps_nonconflicting_and_replaces_conflicting(spark, io):
+    io.overwrite(spark.createDataFrame([(1, "old"), (2, "old")], "k int, v string"), "t/u")
+    io.upsert(spark.createDataFrame([(2, "new"), (3, "new")], "k int, v string"), "t/u", ["k"])
+    got = {r.k: r.v for r in io.read("t/u").collect()}
+    assert got == {1: "old", 2: "new", 3: "new"}
+
+
+def test_replace_where_touches_only_matching_partitions(spark, io):
+    df = spark.createDataFrame([(1, 10, "x"), (1, 11, "x"), (2, 20, "x")], "sym int, d int, v string")
+    io.overwrite(df, "t/p", partition_by=["sym"])
+    repl = spark.createDataFrame([(1, 99, "y")], "sym int, d int, v string")
+    io.replace_where(repl, "t/p", partition_by=["sym"])
+    got = sorted((r.sym, r.d, r.v) for r in io.read("t/p").collect())
+    # sym=1 fully replaced, sym=2 untouched
+    assert got == [(1, 99, "y"), (2, 20, "x")]
+
+
+def test_ledger_staleness_and_breaker(spark, io):
+    led = WatermarkLedger(io)
+    syms = spark.createDataFrame([(i,) for i in range(1, 6)], "symbol_id long")
+    led.ensure_rows(syms, "prices")
+    now = datetime(2024, 6, 1, tzinfo=timezone.utc)
+
+    # never-run symbols are all selected, ordered symbol_id
+    work = led.select_work("prices", 48, now=now).collect()
+    assert [r.symbol_id for r in work] == [1, 2, 3, 4, 5]
+
+    # commit success for 1-3 with date ranges
+    ranges = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), datetime(2024, 5, 30))], "symbol_id long, first_date timestamp, last_date timestamp"
+    )
+    led.commit_success("prices", ranges, now=now)
+    work = led.select_work("prices", 48, now=now).collect()
+    assert 1 not in [r.symbol_id for r in work]
+    # after staleness window passes, symbol 1 is selected again (stalest-last since others are never-run)
+    later = now + timedelta(hours=72)
+    work = [r.symbol_id for r in led.select_work("prices", 48, now=later).collect()]
+    assert work[-1] == 1 and set(work) == {1, 2, 3, 4, 5}
+
+    # circuit breaker: 3 failures -> ineligible
+    for _ in range(3):
+        led.commit_failure("prices", [2])
+    work = [r.symbol_id for r in led.select_work("prices", 48, now=later).collect()]
+    assert 2 not in work
+    row = led.read().filter("symbol_id = 2").collect()[0]
+    assert row.consecutive_failures == 3 and row.eligible == "no"
+
+
+def test_discover_unprocessed_anti_join(spark):
+    raw = spark.createDataFrame([(1, 10), (1, 11), (2, 10)], "sym int, d int")
+    done = spark.createDataFrame([(1, 10)], "sym int, d int")
+    got = sorted((r.sym, r.d) for r in discover_unprocessed(raw, done, ["sym", "d"]).collect())
+    assert got == [(1, 11), (2, 10)]
