@@ -171,14 +171,66 @@ FROM (
 """
 
 
+def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: the top-20 most
+    similar vector pairs (exact all-pairs at fixture scale — the
+    verifier role; the LSH/IVF candidate generation is the 100 TB
+    path). Exact scaled-integer dot products; deterministic
+    tiebreak."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    cos = S.cosine(S.dot_exact("e1", "e2"), S.norm2_exact("e1"), S.norm2_exact("e2"))
+    scored = pairs.select("d1", "d2", cos.alias("cos_sim"))
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("d1"), F.asc("d2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "d1", "d2", "cos_sim")
+    )
+
+
+ORACLE_EMBEDDING_NEAR_DUPES = """
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2
+  FROM ex GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         CAST(SUM(CAST(floor((a.v * b.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d1, d2, dot / (SQRT(na.n2) * SQRT(nb.n2)) AS cos_sim
+  FROM dots JOIN norms na ON d1 = na.vec_id JOIN norms nb ON d2 = nb.vec_id
+)
+SELECT rank, d1, d2, cos_sim FROM (
+  SELECT d1, d2, cos_sim,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, d1 ASC, d2 ASC) AS rank
+  FROM scored
+) WHERE rank <= 20
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "label_centroids": label_centroids,
     "ivf_assignments": ivf_assignments,
+    "embedding_near_dupes": embedding_near_dupes,
 }
 
 ORACLES = {
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "label_centroids": ORACLE_LABEL_CENTROIDS,
     "ivf_assignments": ORACLE_IVF_ASSIGNMENTS,
+    "embedding_near_dupes": ORACLE_EMBEDDING_NEAR_DUPES,
 }

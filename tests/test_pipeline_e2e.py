@@ -1,0 +1,120 @@
+"""End-to-end pipeline integration: seed a raw.* warehouse from
+fixtures (FIXTURES.md F1-F10 shapes), run the full transform DAG in
+dependency order, and check the outputs + consistency report — the
+user-facing workflow of the reference
+(`transforms/run_daily_transform.py`)."""
+
+from __future__ import annotations
+
+import sys
+from datetime import date, timedelta
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fin_trade_craft_spark.plans.pipeline import (  # noqa: E402
+    build_default_pipeline,
+    consistency_check,
+)
+from fin_trade_craft_spark.sources.io import TableIO  # noqa: E402
+
+import test_domain_fundamentals as TF  # noqa: E402
+from test_domain_signals import _fixture_pdf  # noqa: E402
+
+
+def _seed_raw(spark, io: TableIO):
+    # fundamentals (8 symbols × 10 quarters, with sector/industry)
+    for name, measures, seed in [
+        ("balance_sheet", TF.MEASURES_BS, 5),
+        ("cash_flow", TF.MEASURES_CF, 7),
+        ("income_statement", TF.MEASURES_IS, 6),
+    ]:
+        pdf = TF._panel(measures, seed).drop(columns=["sector", "industry"])
+        io.overwrite(spark.createDataFrame(pdf), f"raw/{name}")
+    overview = [(sid, TF.SECTORS[sid % 3], f"{TF.SECTORS[sid % 3]}-{sid % 2}") for sid in range(1, 9)]
+    io.overwrite(
+        spark.createDataFrame(overview, "symbol_id long, sector string, industry string"),
+        "raw/company_overview",
+    )
+    # market OHLCV (3 symbols × 300 days)
+    io.overwrite(spark.createDataFrame(_fixture_pdf()), "raw/time_series_daily_adjusted")
+    # insider
+    rows = [
+        (1, "SYM001", date(2024, 1, 5), "CEO", "A", 100.0, 10.0),
+        (1, "SYM001", date(2024, 1, 5), "Director", "D", 50.0, 11.0),
+        (2, "SYM002", date(2024, 1, 6), "10% Owner", "A", 200.0, 5.0),
+    ]
+    io.overwrite(
+        spark.createDataFrame(
+            rows,
+            "symbol_id long, symbol string, transaction_date date, insider_title string,"
+            " transaction_type string, shares double, price_per_share double",
+        ),
+        "raw/insider_transactions",
+    )
+    # macro series (with dup load_dates to exercise dedup)
+    macro = []
+    for ind in ("GDP", "CPI"):
+        for i in range(60):
+            macro.append((ind, date(2024, 1, 1) + timedelta(days=i), 100.0 + i, date(2024, 3, 1)))
+    macro.append(("GDP", date(2024, 1, 1), -1.0, date(2024, 2, 1)))  # stale dup
+    io.overwrite(
+        spark.createDataFrame(macro, "indicator string, date date, value double, load_date date"),
+        "raw/economic_indicators",
+    )
+    io.overwrite(
+        spark.createDataFrame(
+            [(c, d, v, ld) for (c, d, v, ld) in [("WTI", date(2024, 1, 1) + timedelta(days=i), 70.0 + i, date(2024, 3, 1)) for i in range(60)]],
+            "commodity string, date date, value double, load_date date",
+        ),
+        "raw/fred_commodities",
+    )
+    # transcripts
+    io.overwrite(
+        spark.createDataFrame(
+            [
+                (1, "SYM001", "2024Q1", "CEO", 0.8),
+                (1, "SYM001", "2024Q1", "Analyst", 0.4),
+                (2, "SYM002", "2024Q1", "Operator", 0.5),  # external-only → excluded
+            ],
+            "symbol_id long, symbol string, quarter string, title string, sentiment double",
+        ),
+        "raw/earnings_call_transcript",
+    )
+
+
+def test_full_pipeline(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path / "wh"))
+    _seed_raw(spark, io)
+    pipe = build_default_pipeline(io)
+    results = pipe.run(include_market=True)
+    failed = [r for r in results if not r.ok]
+    assert not failed, failed
+    names = {r.name: r.rows for r in results}
+    assert names["balance_sheet"] == 80 and names["fundamental_quality_scores"] == 80
+    assert names["insider_transactions_agg"] == 2  # two (symbol, date) grains
+    assert names["time_series_daily_adjusted"] == 900  # 3 sym × 300 d
+    assert names["trading_signals"] > 100
+    assert names["earnings_sentiment_agg"] == 1  # external-only quarter dropped
+    assert names["economic_indicators"] == 120  # dedup dropped the stale dup
+
+    # outputs are real warehouse tables with processed_at stamped
+    ts = io.read("transforms/trading_signals")
+    assert "processed_at" in ts.columns
+    strategies = {r.trade_strategy for r in ts.select("trade_strategy").distinct().collect()}
+    assert len(strategies) >= 8
+
+    # consistency report (rebuild --check-only analog)
+    rep = {r.table_name: r for r in consistency_check(io).collect()}
+    assert rep["raw/time_series_daily_adjusted"].n_rows == 900
+    assert rep["transforms/time_series_daily_adjusted"].n_symbols == 3
+    assert rep["transforms/trading_signals"].n_rows == names["trading_signals"]
+
+    # market excluded by default (reference `:204-218`)
+    pipe2 = build_default_pipeline(io)
+    r2 = pipe2.run(include_market=False)
+    assert not any(r.group == "market" for r in r2)
