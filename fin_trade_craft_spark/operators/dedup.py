@@ -45,7 +45,11 @@ def exploded_shingles(shingle_sets: DataFrame, id_col: str = "doc_id") -> DataFr
 def exact_jaccard_pairs(shingle_sets: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.5) -> DataFrame:
     """All pairs sharing ≥1 shingle, with exact Jaccard ≥ threshold.
     Quadratic in colliding docs — use after LSH candidate pruning at
-    scale; exact at fixture scale."""
+    scale; exact at fixture scale.
+
+    (A pre-join size-ratio prune was tried and reverted: carrying
+    per-doc sizes through the exploded self-join costs more than the
+    pruned pairs save on same-length corpora.)"""
     ex = exploded_shingles(shingle_sets, id_col)
     sizes = shingle_sets.select(id_col, F.size("shingles").alias("n_sh"))
     a = ex.select(F.col(id_col).alias("d1"), "shingle")
@@ -57,8 +61,8 @@ def exact_jaccard_pairs(shingle_sets: DataFrame, id_col: str = "doc_id", min_jac
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
-        inter.join(sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1")), "d1")
-        .join(sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2")), "d2")
+        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))), "d1")
+        .join(F.broadcast(sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))), "d2")
         .withColumn("jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"))
     )
     return out.filter(F.col("jaccard") >= min_jaccard)

