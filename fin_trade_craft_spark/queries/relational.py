@@ -485,6 +485,110 @@ ORDER BY c_mktsegment
 """
 
 
+def shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic (F9): order→ship delay distribution
+    per priority — datediff + conditional buckets + exact avg."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min(delay).alias("min_delay_days"),
+            F.max(delay).alias("max_delay_days"),
+            (F.sum(delay).cast("double") / F.count(delay)).alias("avg_delay_days"),
+            F.count(F.when(delay > 90, 1)).alias("n_late"),
+            (F.lit(100.0) * F.count(F.when(delay > 90, 1)) / F.count(F.lit(1))).alias("pct_late"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SHIPPING_DELAY_STATS = """
+SELECT o_orderpriority,
+  COUNT(*) AS n_items,
+  MIN(date_diff('day', o_orderdate, l_shipdate)) AS min_delay_days,
+  MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_delay_days,
+  CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE)
+    / COUNT(date_diff('day', o_orderdate, l_shipdate)) AS avg_delay_days,
+  COUNT(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 1 END) AS n_late,
+  CAST(100.0 AS DOUBLE) * COUNT(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 1 END)
+    / COUNT(*) AS pct_late
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def customer_value_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score normalization (F14, the quality-score idiom on test
+    data): clip acctbal to fixed bounds → scale 0-100, revenue-rank
+    component, weighted composite, penalty flag — the reference's
+    _normalize_to_score shape (transform_fundamental_quality_scores
+    .py:250-345) with deterministic bounds."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("total_spend"))
+    j = c.join(spend, c.c_custkey == spend.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+    )
+    lb, ub = F.lit(0.0), F.lit(8000.0)
+    clipped = F.when(F.col("c_acctbal").isNotNull(), F.least(F.greatest(F.col("c_acctbal"), lb), ub))
+    bal_score = (clipped - lb) / (ub - lb) * 100.0
+    from ..operators.ranks import pct_rank_avg_ties
+
+    spend_score = pct_rank_avg_ties([F.col("c_mktsegment")], F.col("total_spend")) * 100.0
+    out = j.select(
+        "c_custkey",
+        "c_mktsegment",
+        bal_score.alias("balance_score"),
+        spend_score.alias("spend_score"),
+    )
+    composite = F.col("balance_score") * 0.4 + F.col("spend_score") * 0.6
+    composite = F.when(F.col("balance_score") < 10.0, composite * 0.8).otherwise(composite)
+    return out.select(
+        "*",
+        composite.alias("composite_score"),
+        F.coalesce(composite >= 70.0, F.lit(False)).alias("is_high_value"),
+    )
+
+
+ORACLE_CUSTOMER_VALUE_SCORES = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, COALESCE(total_spend, CAST(0.0 AS DOUBLE)) AS total_spend
+  FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+), s AS (
+  SELECT c_custkey, c_mktsegment,
+    CASE WHEN c_acctbal IS NOT NULL
+         THEN (LEAST(GREATEST(c_acctbal, CAST(0.0 AS DOUBLE)), CAST(8000.0 AS DOUBLE))
+               - CAST(0.0 AS DOUBLE)) / (CAST(8000.0 AS DOUBLE) - CAST(0.0 AS DOUBLE)) * CAST(100.0 AS DOUBLE)
+    END AS balance_score,
+    (RANK() OVER (PARTITION BY c_mktsegment ORDER BY total_spend)
+     + (COUNT(*) OVER (PARTITION BY c_mktsegment, total_spend) - 1) / CAST(2.0 AS DOUBLE))
+    / COUNT(*) OVER (PARTITION BY c_mktsegment) * CAST(100.0 AS DOUBLE) AS spend_score
+  FROM j
+)
+SELECT c_custkey, c_mktsegment, balance_score, spend_score,
+  CASE WHEN balance_score < CAST(10.0 AS DOUBLE)
+       THEN (balance_score * CAST(0.4 AS DOUBLE) + spend_score * CAST(0.6 AS DOUBLE)) * CAST(0.8 AS DOUBLE)
+       ELSE balance_score * CAST(0.4 AS DOUBLE) + spend_score * CAST(0.6 AS DOUBLE)
+  END AS composite_score,
+  COALESCE(CASE WHEN balance_score < CAST(10.0 AS DOUBLE)
+       THEN (balance_score * CAST(0.4 AS DOUBLE) + spend_score * CAST(0.6 AS DOUBLE)) * CAST(0.8 AS DOUBLE)
+       ELSE balance_score * CAST(0.4 AS DOUBLE) + spend_score * CAST(0.6 AS DOUBLE)
+  END >= CAST(70.0 AS DOUBLE), FALSE) AS is_high_value
+FROM s
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "conditional_pivot_agg": conditional_pivot_agg,
@@ -501,6 +605,8 @@ QUERIES = {
     "latest_order_per_customer": latest_order_per_customer,
     "top_orders_per_segment": top_orders_per_segment,
     "segment_percentile_bounds": segment_percentile_bounds,
+    "shipping_delay_stats": shipping_delay_stats,
+    "customer_value_scores": customer_value_scores,
 }
 
 ORACLES = {
@@ -519,4 +625,6 @@ ORACLES = {
     "latest_order_per_customer": ORACLE_LATEST_ORDER_PER_CUSTOMER,
     "top_orders_per_segment": ORACLE_TOP_ORDERS_PER_SEGMENT,
     "segment_percentile_bounds": ORACLE_SEGMENT_PERCENTILE_BOUNDS,
+    "shipping_delay_stats": ORACLE_SHIPPING_DELAY_STATS,
+    "customer_value_scores": ORACLE_CUSTOMER_VALUE_SCORES,
 }
