@@ -1,0 +1,67 @@
+"""Streaming stateful zone signals: the golden 15-bar reference
+series split across TWO micro-batches must produce exactly the
+batch result (BUY@7, SELL@14) — proving zone state survives the
+batch boundary (the boundary at bar 10 sits INSIDE the overbought
+dwell, so losing state would suppress the SELL)."""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from fin_trade_craft_spark.streaming.stateful_signals import zone_signals_stateful  # noqa: E402
+
+GOLDEN = [35, 31, 30, 28, 22, 28, 29, 31, 40, 68, 72, 73, 74, 70, 65]
+
+
+def _run_batch(spark, src_dir, ckpt, out_dir):
+    stream = spark.readStream.schema("symbol_id long, bar long, rsi double").parquet(str(src_dir))
+    q = (
+        zone_signals_stateful(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(str(out_dir)).collect()
+
+
+def test_state_survives_microbatch_boundary(spark, tmp_path):
+    src = tmp_path / "bars"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "signals_out"
+
+    def write_file(name, bars):
+        pdf = pd.DataFrame(
+            [(1, i, float(v)) for i, v in bars], columns=["symbol_id", "bar", "rsi"]
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(src))
+
+    # batch 1: bars 0..9 — enters oversold, fires BUY@7, enters
+    # overbought at bar... (68 at bar 9 is not >= 70 yet)
+    write_file("b1", list(enumerate(GOLDEN[:10])))
+    out1 = _run_batch(spark, src, ckpt, out)
+    assert [(r.bar, r.buy_signal, r.sell_signal) for r in sorted(out1, key=lambda r: r.bar)] == [
+        (7, True, False)
+    ]
+    assert abs(out1[0].signal_strength - 31.0) < 1e-9
+
+    # batch 2: bars 10..14 — dwell (72,73,74,70) then cross below at
+    # 65. prev_rsi and the overbought flag from batch 1/2 interplay
+    # must carry for the SELL to fire.
+    write_file("b2", list(enumerate(GOLDEN))[10:])
+    all_out = _run_batch(spark, src, ckpt, out)
+    out2 = [r for r in all_out if r.bar >= 10]
+    assert [(r.bar, r.buy_signal, r.sell_signal) for r in sorted(out2, key=lambda r: r.bar)] == [
+        (14, False, True)
+    ]
+    assert abs(out2[0].signal_strength - 35.0) < 1e-9
