@@ -5,10 +5,11 @@ time_series_daily_adjusted`` wide table: OHLCV + ~54 ``ohlcv_*``
 features + 20 ``target_*`` columns.
 
 Execution shape (100 TB stance): ONE shuffle on ``symbol_id``
-serves everything — the EWM pandas island runs as
-``groupBy(symbol_id).applyInPandas`` and every subsequent window
-reuses that clustering; all non-recurrent features are JVM window
-expressions inside whole-stage codegen. The reference instead loops
+serves everything — the EWM pandas island runs partition-batched
+(``operators.ewm.grouped_map``: repartition on symbol_id +
+``mapInPandas``, per-group loop in pandas) and every subsequent
+window reuses that clustering; all non-recurrent features are JVM
+window expressions inside whole-stage codegen. The reference instead loops
 symbols in Python under multiprocessing (`:755-791`) — here that
 parallelism is task scheduling.
 
@@ -79,7 +80,9 @@ def _ewm_island(df: DataFrame, order: str) -> DataFrame:
             pdf[f"ohlcv_atr_{n}"] = tr.ewm(alpha=1.0 / n, min_periods=n).mean()
         return pdf[[f.name for f in schema.fields]]
 
-    return df.groupBy("symbol_id").applyInPandas(fn, schema)
+    from ..operators.ewm import grouped_map
+
+    return grouped_map(df, "symbol_id", fn, schema)
 
 
 def compute_indicators(ohlcv: DataFrame) -> DataFrame:

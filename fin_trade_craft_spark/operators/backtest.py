@@ -6,7 +6,7 @@ The reference's simulator (`backtesting/backtest_strategies.py:
 machine: open on buy if flat and past the cooldown, close on sell,
 force-close at end of period. State never crosses symbols
 (positions/cooldowns are dicts keyed by symbol, `:186-187`), so
-group-parallel ``applyInPandas`` is semantics-preserving — each
+group-parallel grouped-pandas execution is semantics-preserving — each
 group is one pandas loop, groups scale out across executors.
 
 Economics defaults mirror the reference: $100k capital, 2% position
@@ -120,7 +120,9 @@ def simulate_trades(
             )
         return pd.DataFrame(out, columns=[f.name for f in TRADE_SCHEMA.fields])
 
-    return series.groupBy("strategy", "symbol").applyInPandas(fn, TRADE_SCHEMA)
+    from .ewm import grouped_map
+
+    return grouped_map(series, ["strategy", "symbol"], fn, TRADE_SCHEMA)
 
 
 def backtest_metrics(trades: DataFrame) -> DataFrame:

@@ -47,23 +47,33 @@ def exact_jaccard_pairs(shingle_sets: DataFrame, id_col: str = "doc_id", min_jac
     Quadratic in colliding docs — use after LSH candidate pruning at
     scale; exact at fixture scale.
 
-    (A pre-join size-ratio prune was tried and reverted: carrying
-    per-doc sizes through the exploded self-join costs more than the
-    pruned pairs save on same-length corpora.)"""
-    ex = exploded_shingles(shingle_sets, id_col)
-    sizes = shingle_sets.select(id_col, F.size("shingles").alias("n_sh"))
-    a = ex.select(F.col(id_col).alias("d1"), "shingle")
-    b = ex.select(F.col(id_col).alias("d2"), "shingle")
+    Shape matters more than the math here: set sizes ride along on
+    the exploded frame (one pass over the tokenize→shingle chain
+    instead of four — two join branches + two size lookups), and the
+    self-join keys on ``xxhash64(shingle)`` so the shuffle carries
+    8-byte longs, not variable-length n-gram strings. A 64-bit
+    collision would merge two shingles' doc lists (p ≈ n²/2⁶⁵ —
+    immaterial below ~billions of distinct shingles, and the
+    DuckDB-oracle differential would surface one at test scale)."""
+    base = shingle_sets.select(
+        id_col,
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    ).select(id_col, "n_sh", F.xxhash64("shingle").alias("sh"))
+    a = base.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"), "sh")
+    b = base.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"), "sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+        )
     )
-    out = (
-        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"))), "d1")
-        .join(F.broadcast(sizes.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"))), "d2")
-        .withColumn("jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"))
+    out = inter.withColumn(
+        "jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double")
     )
     return out.filter(F.col("jaccard") >= min_jaccard)
 

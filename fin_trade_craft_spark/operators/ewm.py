@@ -7,14 +7,16 @@ defaults ``adjust=True`` (weighted prefix average, not the classic
 seeded recursion), and the reference's features are *defined* by
 pandas' output (`transform_time_series_daily_adjusted.py:189-202`
 calls ``close.ewm(span=span).mean()``). Rather than re-derive the
-recurrence and chase ulps, the island runs pandas itself inside
-``applyInPandas`` — parity by construction, Arrow-batched, one task
-per group key, embarrassingly parallel across keys.
+recurrence and chase ulps, the island runs pandas itself — parity
+by construction, Arrow-batched, embarrassingly parallel across
+keys — via :func:`grouped_map` (partition-batched, not
+per-group-batched; see its docstring for why).
 
 Scale notes: state never crosses group keys, so 21k symbols → 21k
-independent pandas frames; the schema passed to applyInPandas is
-narrow (key, order, value, features) to keep Arrow transfer small;
-everything before/after the island stays in whole-stage codegen.
+independent pandas frames spread over however many partitions the
+session runs; the island schemas are narrow (key, order, value,
+features) to keep Arrow transfer small; everything before/after
+stays in whole-stage codegen.
 
 No DuckDB oracle exists for these by design (the driver records a
 rows-only check): an exact SQL formulation needs either unstable
@@ -35,6 +37,38 @@ def _out_schema(df: DataFrame, keep: list[str], feats: list[str]) -> StructType:
     fields = [df.schema[c] for c in keep]
     fields += [StructField(f, DoubleType()) for f in feats]
     return StructType(fields)
+
+
+def grouped_map(df, keys, fn, schema, num_partitions: int | None = None) -> DataFrame:
+    """Per-group pandas transform without per-group Arrow overhead.
+
+    ``groupBy(key).applyInPandas`` pays one Arrow flush + Python
+    call per GROUP — ruinous for many small groups (1500 symbol
+    groups of ~70 rows: 4.6s vs 0.7s at sf0.1). This runs the same
+    per-group ``fn`` but ships data per PARTITION: hash-repartition
+    on the keys (each group lands wholly in one partition), stream
+    the partition through ``mapInPandas``, and do the group loop in
+    pandas. Memory bound = one partition as a pandas frame per
+    worker, governed by ``num_partitions`` (default: the session's
+    parallelism) — the same knob that sizes every other stage.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+
+    def mapper(batches):
+        import pandas as pd
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if pdf.empty:
+            return
+        by = keys[0] if len(keys) == 1 else keys
+        outs = [fn(g) for _, g in pdf.groupby(by, sort=False)]
+        yield pd.concat(outs, ignore_index=True)
+
+    return df.repartition(n, *keys).mapInPandas(mapper, schema)
 
 
 def ema_features(
@@ -60,7 +94,7 @@ def ema_features(
             out[f"{value}_ema_{n}_ratio"] = pdf[value] / ema
         return out
 
-    return df.groupBy(key).applyInPandas(fn, schema)
+    return grouped_map(df, key, fn, schema)
 
 
 def macd_features(
@@ -89,7 +123,7 @@ def macd_features(
         out["macd_hist"] = macd - sig
         return out
 
-    return df.groupBy(key).applyInPandas(fn, schema)
+    return grouped_map(df, key, fn, schema)
 
 
 def rsi_wilder(
@@ -119,7 +153,7 @@ def rsi_wilder(
         out[f"rsi_{length}"] = 100.0 - 100.0 / (1.0 + rs)
         return out
 
-    return df.groupBy(key).applyInPandas(fn, schema)
+    return grouped_map(df, key, fn, schema)
 
 
 def atr_features(
@@ -158,4 +192,4 @@ def atr_features(
             out[f"atr_{n}_pct"] = 100.0 * atr / pdf[close]
         return out
 
-    return df.groupBy(key).applyInPandas(fn, schema)
+    return grouped_map(df, key, fn, schema)

@@ -29,6 +29,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents spread across the session's cores. The fixture is a
+    single parquet file (one row-group → one input split), which
+    would pin the CPU-heavy tokenize→shingle→md5 chain to ONE task;
+    at production scale the corpus arrives in many splits and this
+    repartition is a no-op-cost hash exchange of raw docs before
+    heavy per-doc compute — the same shape either way."""
+    spark_defpar = spark.sparkContext.defaultParallelism
+    return load_table(spark, sf_dir, "documents").repartition(spark_defpar, "doc_id")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: canonical = min doc_id per content hash."""
     d = _docs(spark, sf_dir).select("doc_id", T.content_hash(F.col("text")).alias("h"))
@@ -50,7 +61,7 @@ FROM h JOIN g USING (content_md5)
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.5)."""
-    sets = D.with_shingle_sets(_docs(spark, sf_dir))
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir))
     return D.exact_jaccard_pairs(sets, min_jaccard=0.5).select("d1", "d2", "inter", "n1", "n2", "jaccard")
 
 
@@ -76,7 +87,7 @@ def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from band-bucket collisions, and verification intersects
     only the candidates' shingle arrays (array_intersect) instead
     of a corpus-wide shingle self-join."""
-    sets = D.with_shingle_sets(_docs(spark, sf_dir))
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir))
     sigs = D.minhash_signatures(sets, num_perm=8)
     cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
     j = (
@@ -124,7 +135,7 @@ WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
 
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures + 4-bit bucket histogram join."""
-    sigs = D.simhash_bits(_docs(spark, sf_dir))
+    sigs = D.simhash_bits(_docs_wide(spark, sf_dir))
     bucket = F.substring("simhash", 1, 4)
     counts = sigs.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n_in_bucket"))
     return (

@@ -185,10 +185,13 @@ def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, F.col("d1") < F.col("d2"))
     cos = S.cosine(S.dot_exact("e1", "e2"), S.norm2_exact("e1"), S.norm2_exact("e2"))
     scored = pairs.select("d1", "d2", cos.alias("cos_sim"))
+    # Distributed top-k (TakeOrderedAndProject — per-partition heaps,
+    # no single-partition shuffle of the O(n^2) pair set); the rank
+    # window then runs over only the 20 survivors.
+    top = scored.orderBy(F.desc("cos_sim"), F.asc("d1"), F.asc("d2")).limit(20)
     w = Window.orderBy(F.desc("cos_sim"), F.asc("d1"), F.asc("d2"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "d1", "d2", "cos_sim")
     )
 
