@@ -49,8 +49,12 @@ def bench_query_names() -> list[str]:
         "doc_quality_scores",
         "dedup_ngram_jaccard",
         "minhash_near_dupes",
+        "simhash_hamming_pairs",
+        "srp_lsh_near_dupes",
         "knn_bruteforce",
         "multimodal_metadata",
+        # skew scale-path
+        "salted_skew_join",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

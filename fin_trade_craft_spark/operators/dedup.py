@@ -55,11 +55,18 @@ def exact_jaccard_pairs(shingle_sets: DataFrame, id_col: str = "doc_id", min_jac
     collision would merge two shingles' doc lists (p ≈ n²/2⁶⁵ —
     immaterial below ~billions of distinct shingles, and the
     DuckDB-oracle differential would surface one at test scale)."""
-    base = shingle_sets.select(
-        id_col,
-        F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
-    ).select(id_col, "n_sh", F.xxhash64("shingle").alias("sh"))
+    base = (
+        shingle_sets.select(
+            id_col,
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("shingle"),
+        )
+        .select(id_col, "n_sh", F.xxhash64("shingle").alias("sh"))
+        # Materialize: both self-join branches read this frame; the
+        # tokenize→shingle→explode chain is the expensive part and
+        # would otherwise run twice.
+        .localCheckpoint(eager=True)
+    )
     a = base.select(F.col(id_col).alias("d1"), F.col("n_sh").alias("n1"), "sh")
     b = base.select(F.col(id_col).alias("d2"), F.col("n_sh").alias("n2"), "sh")
     inter = (
@@ -112,16 +119,75 @@ def lsh_candidate_pairs(
 
 def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 16) -> DataFrame:
     """SimHash-style signature: bit j votes +1/−1 per token
-    depending on the j-th nibble of md5(token); bit set iff the sum
-    is positive. Deterministic; identical SQL exists in any engine
-    with md5 + substr."""
+    depending on the j-th nibble of md5(token) (bits 33-64 read a
+    second, salted md5 — one md5 yields 32 nibbles); bit set iff the
+    sum is positive. Deterministic; identical SQL exists in any
+    engine with md5 + substr."""
+    if n_bits > 64:
+        raise ValueError("simhash_bits supports at most 64 bits (two md5s)")
+    # Hash each token ONCE per md5 source, then read nibbles out of
+    # the cached hex strings. A naive per-bit formulation re-runs
+    # md5(t) inside every bit's aggregate lambda (Catalyst does not
+    # CSE across lambda bodies): 64 bits × tokens md5 calls — 32×
+    # the work for identical output (measured 15.8s → 2.9s at
+    # sf0.1 for the 64-bit Hamming query).
     d = docs.select(id_col, T.tokens(F.col(text_col)).alias("toks"))
+    hash_cols = [F.expr("transform(toks, t -> md5(t))").alias("h1")]
+    if n_bits > 32:
+        hash_cols.append(F.expr("transform(toks, t -> md5(concat('b:', t)))").alias("h2"))
+    d = d.select(id_col, *hash_cols)
     bit_exprs = []
     for j in range(1, n_bits + 1):
+        src = "h1" if j <= 32 else "h2"
+        pos = j if j <= 32 else j - 32
         vote = (
-            f"aggregate(toks, 0, (acc, t) -> acc + "
-            f"(CASE WHEN substr(md5(t), {j}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))"
+            f"aggregate({src}, 0, (acc, h) -> acc + "
+            f"(CASE WHEN substr(h, {pos}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))"
         )
         bit_exprs.append(f"(CASE WHEN ({vote}) > 0 THEN '1' ELSE '0' END)")
     sig = F.expr("concat(" + ", ".join(bit_exprs) + ")")
     return d.select(id_col, sig.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", n_bits: int = 64, n_bands: int = 4, max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ ``max_hamming`` over
+    SimHash signatures, found WITHOUT an all-pairs scan: band the
+    signature into ``n_bands`` substrings — any pair within distance
+    < n_bands must agree exactly on ≥1 band (pigeonhole), so the
+    candidate join is an equi-join on band value. Exact Hamming is
+    then computed only on candidates. max_hamming must be <
+    n_bands · (bits differing can't hit every band); with 64 bits /
+    4 bands the guarantee holds for distance ≤ 3 and is a
+    high-recall heuristic up to 6 (a miss needs the ≥4 flipped bits
+    to spread across all 4 bands)."""
+    band_w = n_bits // n_bands
+    # Materialize: the signature plan (n_bits aggregates over every
+    # token) feeds both sides of the band self-join — don't run it
+    # twice. At cluster scale this is a temp-table write instead.
+    sigs = sigs.localCheckpoint(eager=True)
+    bands = F.array(
+        *[
+            F.concat_ws("|", F.lit(str(b)), F.substring("simhash", b * band_w + 1, band_w))
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(id_col, "simhash", F.explode(bands).alias("band"))
+    a = banded.select(F.col(id_col).alias("d1"), F.col("simhash").alias("s1"), "band")
+    b = banded.select(F.col(id_col).alias("d2"), F.col("simhash").alias("s2"), "band")
+    cands = (
+        a.join(b, "band")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "s1", "s2")
+        .distinct()
+    )
+    ham = F.expr(
+        f"aggregate(sequence(1, {n_bits}), 0,"
+        " (acc, i) -> acc + IF(substr(s1, i, 1) <> substr(s2, i, 1), 1, 0))"
+    ).cast("bigint")
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

@@ -86,8 +86,10 @@ def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verify ≥ 0.5 — the scale path: candidate pairs
     come from band-bucket collisions, and verification intersects
     only the candidates' shingle arrays (array_intersect) instead
-    of a corpus-wide shingle self-join."""
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir))
+    of a corpus-wide shingle self-join. The shingle-set frame is
+    materialized once — it feeds the signature build AND both
+    verification join branches."""
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=True)
     sigs = D.minhash_signatures(sets, num_perm=8)
     cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
     j = (
@@ -170,11 +172,54 @@ SELECT doc_id, simhash, bucket, n_in_bucket FROM b JOIN c USING (bucket)
 """
 
 
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (Hamming ≤ 6) via pigeonhole
+    band join — the Hamming-radius dedup tier: no all-pairs scan,
+    candidates come from an equi-join on 16-bit signature bands."""
+    sigs = D.simhash_bits(_docs_wide(spark, sf_dir), n_bits=64)
+    return D.simhash_hamming_pairs(sigs, n_bits=64, n_bands=4, max_hamming=6)
+
+
+def _simhash64_sql_bits() -> str:
+    bits = []
+    for j in range(1, 65):
+        src = "md5(t)" if j <= 32 else "md5('b:' || t)"
+        pos = j if j <= 32 else j - 32
+        vote = (
+            f"list_sum(list_transform(toks, t -> CASE WHEN substr({src}, {pos}, 1)"
+            f" IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))"
+        )
+        bits.append(f"(CASE WHEN ({vote}) > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+ORACLE_SIMHASH_HAMMING_PAIRS = f"""
+WITH toks_t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), sigs AS (
+  SELECT doc_id, {{bits}} AS simhash FROM toks_t
+), banded AS (
+  SELECT doc_id, simhash, b || '|' || substr(simhash, b * 16 + 1, 16) AS band
+  FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS b)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT d1, d2,
+  CAST(list_sum(list_transform(range(1, 65),
+       i -> CASE WHEN substr(s1, i, 1) <> substr(s2, i, 1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+FROM cands
+WHERE list_sum(list_transform(range(1, 65),
+      i -> CASE WHEN substr(s1, i, 1) <> substr(s2, i, 1) THEN 1 ELSE 0 END)) <= 6
+""".format(bits=_simhash64_sql_bits())
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "minhash_near_dupes": minhash_near_dupes,
     "simhash_buckets": simhash_buckets,
+    "simhash_hamming_pairs": simhash_hamming_pairs,
 }
 
 ORACLES = {
@@ -182,4 +227,5 @@ ORACLES = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "minhash_near_dupes": ORACLE_MINHASH_NEAR_DUPES,
     "simhash_buckets": ORACLE_SIMHASH_BUCKETS,
+    "simhash_hamming_pairs": ORACLE_SIMHASH_HAMMING_PAIRS,
 }

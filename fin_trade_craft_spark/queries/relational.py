@@ -589,6 +589,45 @@ FROM s
 """
 
 
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact⋈dim join through the explicit salting operator
+    (operators/skew.py): events has 5 distinct event_type keys —
+    unsalted, 5 reducers carry the entire fact shuffle. The salted
+    plan joins on (event_type, salt) over 16× more reducers and
+    must produce bit-identical results to the plain join (the
+    oracle IS the plain join)."""
+    from ..functions.exact import dsum
+    from ..operators.skew import salted_join
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(
+        (dsum("value") / F.count(F.lit(1))).alias("type_avg"),
+        F.count(F.lit(1)).alias("type_n"),
+    )
+    out = salted_join(ev, dim, ["event_type"], n_salt=16)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        "type_avg",
+        "type_n",
+        (F.col("value") - F.col("type_avg")).alias("value_dev"),
+    )
+
+
+ORACLE_SALTED_SKEW_JOIN = """
+WITH dim AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS type_avg,
+         COUNT(*) AS type_n
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value, type_avg, type_n, value - type_avg AS value_dev
+FROM events e JOIN dim USING (event_type)
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "conditional_pivot_agg": conditional_pivot_agg,
@@ -607,6 +646,7 @@ QUERIES = {
     "segment_percentile_bounds": segment_percentile_bounds,
     "shipping_delay_stats": shipping_delay_stats,
     "customer_value_scores": customer_value_scores,
+    "salted_skew_join": salted_skew_join,
 }
 
 ORACLES = {
@@ -627,4 +667,5 @@ ORACLES = {
     "segment_percentile_bounds": ORACLE_SEGMENT_PERCENTILE_BOUNDS,
     "shipping_delay_stats": ORACLE_SHIPPING_DELAY_STATS,
     "customer_value_scores": ORACLE_CUSTOMER_VALUE_SCORES,
+    "salted_skew_join": ORACLE_SALTED_SKEW_JOIN,
 }

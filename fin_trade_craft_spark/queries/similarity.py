@@ -224,11 +224,120 @@ SELECT rank, d1, d2, cos_sim FROM (
 """
 
 
+N_SRP_BITS = 32
+_HI_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def srp_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine LSH via sign-random-projection (SRP): 32 Rademacher
+    hyperplanes (component ±1 decided by a nibble of md5('j:i') —
+    deterministic, engine-portable, nothing to broadcast), banded
+    4×8 bits; candidate pairs share ≥1 band; candidates verified
+    with the exact scaled-integer cosine ≥ 0.35.
+
+    This is the 100 TB candidate-generation path for
+    ``embedding_near_dupes``: the all-pairs O(n²) verifier shrinks
+    to an equi-join on band values (~1.5%% of pairs at fixture
+    scale), and only survivors pay the exact-cosine dot product.
+    Projections use integer accumulation (scaled values × ±1), so
+    signatures are bit-identical at any parallelism."""
+    import hashlib
+
+    emb = _emb(spark, sf_dir)
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+    scaled = F.floor(F.col("v").cast("double") * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+    # The hyperplane entries depend only on (j, i) — bits × dims
+    # distinct values. Computing md5('j:i') per ROW re-hashes the
+    # same 2048 strings millions of times; instead evaluate the
+    # same md5 here (hashlib ≡ SQL md5) and inline the ±1 matrix
+    # as literal arrays the executors index into.
+    dims = len(emb.select("embedding").head()[0])
+    aggs = []
+    for j in range(N_SRP_BITS):
+        signs = [
+            1 if hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0] in _HI_NIBBLES else -1
+            for i in range(dims)
+        ]
+        r = F.element_at(F.array(*[F.lit(s) for s in signs]), F.col("i") + 1).cast("bigint")
+        aggs.append(F.sum(scaled * r).alias(f"s{j}"))
+    sums = ex.groupBy("vec_id").agg(*aggs)
+    sig = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(N_SRP_BITS)]
+    )
+    # Materialize: sigs feeds both sides of the candidate self-join;
+    # without this the 32-aggregate signature plan runs twice.
+    sigs = sums.select("vec_id", sig.alias("sig")).localCheckpoint(eager=True)
+    bands = F.array(
+        *[
+            F.concat_ws("|", F.lit(str(b)), F.substring("sig", b * 8 + 1, 8))
+            for b in range(4)
+        ]
+    )
+    banded = sigs.select("vec_id", F.explode(bands).alias("band"))
+    cands = (
+        banded.select(F.col("vec_id").alias("d1"), "band")
+        .join(banded.select(F.col("vec_id").alias("d2"), "band"), "band")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
+    pairs = cands.join(a, "d1").join(b, "d2")
+    cos = S.cosine(S.dot_exact("e1", "e2"), S.norm2_exact("e1"), S.norm2_exact("e2"))
+    return (
+        pairs.select("d1", "d2", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+ORACLE_SRP_LSH_NEAR_DUPES = """
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+),
+sums AS (
+  SELECT vec_id, j,
+         SUM(CAST(floor(v * 1e12 + 0.5) AS BIGINT) *
+             (CASE WHEN substr(md5(j || ':' || i), 1, 1) IN ('8','9','a','b','c','d','e','f')
+                   THEN 1 ELSE -1 END)) AS s
+  FROM ex, LATERAL (SELECT unnest(range(0, 32)) AS j)
+  GROUP BY vec_id, j
+),
+sigs AS (
+  SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig
+  FROM sums GROUP BY vec_id
+),
+banded AS (
+  SELECT vec_id, b || '|' || substr(sig, b * 8 + 1, 8) AS band
+  FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS b)
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.vec_id < b.vec_id
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2
+  FROM ex GROUP BY vec_id
+),
+dots AS (
+  SELECT c.d1, c.d2,
+         CAST(SUM(CAST(floor((a.v * b.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM cands c JOIN ex a ON a.vec_id = c.d1 JOIN ex b ON b.vec_id = c.d2 AND a.i = b.i
+  GROUP BY 1, 2
+)
+SELECT d1, d2, dot / (SQRT(na.n2) * SQRT(nb.n2)) AS cos_sim
+FROM dots JOIN norms na ON d1 = na.vec_id JOIN norms nb ON d2 = nb.vec_id
+WHERE dot / (SQRT(na.n2) * SQRT(nb.n2)) >= 0.35
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "label_centroids": label_centroids,
     "ivf_assignments": ivf_assignments,
     "embedding_near_dupes": embedding_near_dupes,
+    "srp_lsh_near_dupes": srp_lsh_near_dupes,
 }
 
 ORACLES = {
@@ -236,4 +345,5 @@ ORACLES = {
     "label_centroids": ORACLE_LABEL_CENTROIDS,
     "ivf_assignments": ORACLE_IVF_ASSIGNMENTS,
     "embedding_near_dupes": ORACLE_EMBEDDING_NEAR_DUPES,
+    "srp_lsh_near_dupes": ORACLE_SRP_LSH_NEAR_DUPES,
 }
