@@ -52,6 +52,59 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def sliding_rollup_stream(
+    events: DataFrame, size: str = "1 hour", slide: str = "15 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Sliding-window rollup: each event contributes to size/slide
+    overlapping windows (hour-of-activity smoothing). Same watermark
+    semantics as the tumbling variant; the window assignment is
+    Spark's `window(ts, size, slide)` in both batch and streaming,
+    so the batch twin is the literal same expression over a static
+    read (differentially tested)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_stats_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming gap-sessionization: ``session_window(ts, gap)``
+    merges events per user into dynamic sessions that close after
+    ``gap`` of inactivity — the streaming twin of the batch
+    lag-based sessionizer (queries/windows.user_session_stats),
+    which it must agree with on session boundaries and stats
+    (differential test): session start = first event, session end =
+    last event + gap, so batch duration = (end − gap) − start."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, out_table: str = "rollup") -> list:
     """Drain everything currently available (incremental batch) into
     a memory sink; returns collected rows. Complete mode so bounded

@@ -45,3 +45,78 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     want = {(r.hour, r.event_type): (r.n, r.total_value) for r in batch}
     assert got == want
     assert len(got) > 100  # sf0.001: ~30 days x 24h x 5 types, sparse
+
+
+def test_sliding_stream_matches_batch_window_expr(spark, tmp_path):
+    from fin_trade_craft_spark.streaming.stream_agg import sliding_rollup_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    (src_dir / "events.parquet").symlink_to(f"{SF_SMOKE}/events.parquet")
+    stream = read_events_stream(spark, str(src_dir), schema)
+    rows = run_available_now(
+        sliding_rollup_stream(stream), str(tmp_path / "ckpt"), out_table="sliding"
+    )
+    got = {(r.win_start, r.win_end, r.event_type): (r.n, r.total_value) for r in rows}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .collect()
+    )
+    want = {(r.win_start, r.win_end, r.event_type): (r.n, r.total_value) for r in batch}
+    assert got == want
+    # every event lands in exactly size/slide = 4 windows
+    n_events = ev.count()
+    assert sum(v[0] for v in got.values()) == 4 * n_events
+
+
+def test_session_stream_matches_batch_lag_sessionizer(spark, tmp_path):
+    """session_window (streaming) vs the INDEPENDENT lag-based batch
+    sessionizer: same 30-min gap rule, so session starts, event
+    counts, durations, and value sums must align exactly."""
+    from fin_trade_craft_spark.queries.windows import user_session_stats
+    from fin_trade_craft_spark.streaming.stream_agg import session_stats_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    (src_dir / "events.parquet").symlink_to(f"{SF_SMOKE}/events.parquet")
+    stream = read_events_stream(spark, str(src_dir), schema)
+    rows = run_available_now(
+        session_stats_stream(stream), str(tmp_path / "ckpt"), out_table="sessions"
+    )
+    # stream session end = last event + gap; batch duration = max-min
+    def _us(td):  # exact integer microseconds (total_seconds() is float)
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+    got = {
+        (r.user_id, r.session_start): (
+            r.n_events,
+            _us(r.session_end - r.session_start) - 1_800_000_000,
+            r.total_value,
+        )
+        for r in rows
+    }
+
+    batch = user_session_stats(spark, SF_SMOKE).collect()
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.duration_us, r.total_value)
+        for r in batch
+    }
+    assert got == want
+    assert len(got) > 50
