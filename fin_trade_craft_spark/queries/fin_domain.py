@@ -19,30 +19,27 @@ from ..sources.catalog import load_table
 
 def ohlcv_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tick→bar resampling: per (user, day) open/high/low/close/
-    volume — first/last via window, extremes via agg (the
-    time-series ingestion step of the fin pipeline)."""
+    volume (the time-series ingestion step of the fin pipeline).
+
+    open/close are ``min_by``/``max_by`` on the (ts, event_id) tick
+    order — a plain hash aggregate with map-side partial combine:
+    ONE shuffle of pre-aggregated bars. The previous formulation
+    ranked ticks with two row_number windows first, which shuffled
+    and sorted every raw tick before aggregating; at 100 TB the
+    difference is shuffling bars vs shuffling ticks."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy("ts", "event_id")
-    ticks = ev.select(
-        "user_id",
-        F.date_trunc("day", "ts").alias("date"),
-        "ts",
-        "event_id",
-        "value",
-        F.row_number().over(w).alias("rn_a"),
-        F.row_number().over(
-            Window.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy(
-                F.desc("ts"), F.desc("event_id")
-            )
-        ).alias("rn_d"),
-    )
-    return ticks.groupBy("user_id", "date").agg(
-        F.min(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
-        F.count(F.lit(1)).alias("volume"),
-        dsum("value").alias("traded_value"),
+    order = F.struct("ts", "event_id")
+    return (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("date"), "ts", "event_id", "value")
+        .groupBy("user_id", "date")
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            dsum("value").alias("traded_value"),
+        )
     )
 
 
