@@ -1,0 +1,92 @@
+"""Physical-plan regressions: the optimizer properties SCALING.md
+claims must stay true — filter pushdown and column pruning reaching
+the parquet scans, broadcast dimension joins, bounded shuffle
+counts, and whole-stage codegen in the relational core. A change
+that silently adds a shuffle or un-pushes a filter fails here, not
+in a 100 TB incident."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from conftest import SF_SMOKE
+
+
+def _formatted(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def _broadcast_joins(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    from fin_trade_craft_spark.queries.relational import pricing_summary
+
+    plan = _formatted(pricing_summary(spark, SF_SMOKE))
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate pushed into parquet
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert m, plan
+    # 7 needed columns, not the 16-column lineitem schema
+    assert m.group(1).count(":") == 7
+    assert "l_comment" not in m.group(1)
+
+
+def test_isin_pushdown(spark):
+    from fin_trade_craft_spark.queries.relational import key_list_pushdown
+
+    plan = _formatted(key_list_pushdown(spark, SF_SMOKE))
+    assert re.search(r"In\(o_custkey, \[", plan)  # key list pushed to the scan
+    assert _exchanges(plan) <= 1
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    from fin_trade_craft_spark.queries.relational import regional_revenue
+
+    plan = _formatted(regional_revenue(spark, SF_SMOKE))
+    # orders/customer/nation/region all broadcast: no fact-fact shuffle join
+    assert _broadcast_joins(plan) >= 4
+    assert "SortMergeJoin" not in plan
+    # shuffles: one for the aggregate, one for the final orderBy
+    assert _exchanges(plan) <= 2
+
+
+def test_rolling_features_shuffle_once(spark):
+    from fin_trade_craft_spark.queries.windows import rolling_user_features
+
+    plan = _formatted(rolling_user_features(spark, SF_SMOKE))
+    # every window reuses the single hash exchange on the entity key
+    assert _exchanges(plan) == 1
+
+
+def test_aggregates_are_partial_then_final(spark):
+    from fin_trade_craft_spark.queries.relational import pricing_summary
+
+    plan = _formatted(pricing_summary(spark, SF_SMOKE))
+    # map-side combine before the exchange: two HashAggregate nodes
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
+    assert _exchanges(plan) <= 2  # agg + presentation orderBy
+
+
+def test_whole_stage_codegen_in_relational_core(spark):
+    from fin_trade_craft_spark.queries.relational import pricing_summary
+
+    df = pricing_summary(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="codegen")
+    plan = buf.getvalue()
+    assert "WholeStageCodegen" in plan and "Found" in plan
