@@ -30,6 +30,7 @@ _MODULES: list[str] = [
     "pandas_islands",
     "fin_domain",
     "multimodal",
+    "sketches",
 ]
 
 
