@@ -47,6 +47,8 @@ def bench_query_names() -> list[str]:
         "fin_signals_pipeline",
         # LLM-data-pipeline family
         "doc_quality_scores",
+        "doc_chunks",
+        "json_props_stats",
         "dedup_ngram_jaccard",
         "minhash_near_dupes",
         "simhash_hamming_pairs",

@@ -171,11 +171,102 @@ WHERE len(toks) >= 3
 """
 
 
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style document chunking: overlapping
+    CHUNK_SIZE-token windows every CHUNK_STRIDE tokens (tail kept),
+    with a stable (doc_id, chunk_idx) identity and an md5 per chunk
+    for downstream chunk-level dedup. Pure JVM expressions —
+    sequence → explode → slice; one row per chunk, tokenization
+    once per document. Scale shape: chunking is embarrassingly
+    parallel (narrow after the scan), and output rows carry only
+    the chunk — never the whole document."""
+    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    d = d.filter(F.expr("size(toks) >= 1"))
+    # window starts every STRIDE tokens; a start past the last full
+    # window is kept only if it is the document's first (short doc)
+    starts = F.expr(
+        f"filter(sequence(1, size(toks), {CHUNK_STRIDE}),"
+        f" s -> s = 1 OR s <= size(toks) - {CHUNK_SIZE} + {CHUNK_STRIDE})"
+    )
+    ex = d.select("doc_id", "toks", F.posexplode(starts).alias("idx", "start"))
+    chunk_toks = F.expr(f"slice(toks, start, {CHUNK_SIZE})")
+    chunk_text = F.array_join(chunk_toks, " ")
+    return ex.select(
+        "doc_id",
+        F.col("idx").alias("chunk_idx"),
+        "start",
+        F.size(chunk_toks).alias("n_tokens"),
+        F.md5(chunk_text).alias("chunk_md5"),
+        chunk_text.alias("chunk_text"),
+    )
+
+
+_TOKS = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+
+ORACLE_DOC_CHUNKS = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), starts AS (
+  SELECT doc_id, toks,
+         list_filter(range(1, len(toks) + 1, {CHUNK_STRIDE}),
+                     s -> s = 1 OR s <= len(toks) - {CHUNK_SIZE} + {CHUNK_STRIDE}) AS ss
+  FROM d WHERE len(toks) >= 1
+), ex AS (
+  SELECT doc_id, toks, generate_subscripts(ss, 1) - 1 AS chunk_idx, unnest(ss) AS start
+  FROM starts
+)
+SELECT doc_id, chunk_idx, start,
+       len(list_slice(toks, start, start + {CHUNK_SIZE} - 1)) AS n_tokens,
+       md5(array_to_string(list_slice(toks, start, start + {CHUNK_SIZE} - 1), ' ')) AS chunk_md5,
+       array_to_string(list_slice(toks, start, start + {CHUNK_SIZE} - 1), ' ') AS chunk_text
+FROM ex
+"""
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a typed field from
+    the JSON ``props`` column of events (get_json_object — no
+    Python, schema-on-read) and aggregate it per event_type."""
+    from ..functions.exact import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS_STATS = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "lang_id_heuristic": lang_id_heuristic,
     "token_stats": token_stats,
     "doc_fingerprints": doc_fingerprints,
+    "doc_chunks": doc_chunks,
+    "json_props_stats": json_props_stats,
 }
 
 ORACLES = {
@@ -183,4 +274,6 @@ ORACLES = {
     "lang_id_heuristic": ORACLE_LANG_ID_HEURISTIC,
     "token_stats": ORACLE_TOKEN_STATS,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
+    "json_props_stats": ORACLE_JSON_PROPS_STATS,
 }
