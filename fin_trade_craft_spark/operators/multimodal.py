@@ -97,6 +97,85 @@ RESIZE_SCHEMA = StructType(
 )
 
 
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("total_energy", LongType()),
+        StructField("peak_energy", LongType()),
+        StructField("peak_frame", LongType()),
+    ]
+)
+
+
+def audio_frame_energy(df: DataFrame, frame_bytes: int = 256) -> DataFrame:
+    """Audio feature-extraction plumbing: frame the payload into
+    fixed byte windows and compute per-frame energy (sum of sample
+    bytes — the stand-in for RMS over decoded PCM; a real deploy
+    swaps the numpy line for soundfile/librosa decode behind the
+    same signature). Ties on peak energy resolve to the FIRST frame
+    (numpy argmax ≡ SQL row_number ordered by energy desc, idx asc),
+    which is what makes the value oracle exact."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = (len(a) + frame_bytes - 1) // frame_bytes
+                energies = [
+                    int(a[i * frame_bytes : (i + 1) * frame_bytes].sum(dtype=np.int64))
+                    for i in range(n)
+                ]
+                if energies:
+                    peak = int(np.argmax(energies))
+                    rows.append((did, n, sum(energies), energies[peak], peak))
+                else:
+                    rows.append((did, 0, 0, 0, -1))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_ENERGY_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(fn, AUDIO_ENERGY_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_video_frames(df: DataFrame, frame_bytes: int = 512, every_n: int = 4) -> DataFrame:
+    """Video frame-sampling plumbing: treat the payload as a stream
+    of fixed-size frames and emit every ``every_n``-th one — the
+    1-row-in / N-rows-out expansion shape of keyframe extraction
+    (a real deploy swaps the byte slice for an ffmpeg/pyav seek
+    behind the same signature). Emits the frame's md5 rather than
+    the bytes so downstream frame-level dedup joins on 16-byte keys,
+    not payloads."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                n = (len(raw) + frame_bytes - 1) // frame_bytes
+                for j in range(0, n, every_n):
+                    fr = raw[j * frame_bytes : (j + 1) * frame_bytes]
+                    rows.append((did, j, len(fr), hashlib.md5(fr).hexdigest()))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
+
+    return df.mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
+
+
 def resize_images(df: DataFrame, max_bytes: int = 1024) -> DataFrame:
     """Resize stub: without a codec the 'resize' truncates payload
     bytes (deterministic); with PIL it would re-encode. Demonstrates

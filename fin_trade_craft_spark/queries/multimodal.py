@@ -34,5 +34,72 @@ FROM documents
 """
 
 
-QUERIES = {"multimodal_metadata": multimodal_metadata}
-ORACLES = {"multimodal_metadata": ORACLE_MULTIMODAL_METADATA}
+def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed energy profile over binary payloads (audio
+    feature-extract plumbing; ASCII text bytes stand in for PCM)."""
+    from ..operators.multimodal import audio_frame_energy as op
+
+    docs = load_table(spark, sf_dir, "documents")
+    return op(docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")), frame_bytes=256)
+
+
+ORACLE_AUDIO_FRAME_ENERGY = """
+WITH d AS (
+  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS blen FROM documents
+), fr AS (
+  SELECT doc_id, j,
+         list_sum(list_transform(range(j * 256 + 1, least((j + 1) * 256, blen) + 1),
+                  i -> ord(substr(text, CAST(i AS INT), 1)))) AS energy
+  FROM d, LATERAL (SELECT unnest(range(0, CAST(ceil(blen / 256.0) AS BIGINT))) AS j)
+  WHERE blen > 0
+), ranked AS (
+  SELECT doc_id, j, energy,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY energy DESC, j ASC) AS rn
+  FROM fr
+)
+SELECT d.doc_id,
+       CAST(ceil(blen / 256.0) AS BIGINT) AS n_frames,
+       COALESCE(s.total_energy, 0) AS total_energy,
+       COALESCE(p.energy, 0) AS peak_energy,
+       COALESCE(p.j, -1) AS peak_frame
+FROM d
+LEFT JOIN (SELECT doc_id, SUM(energy) AS total_energy FROM fr GROUP BY doc_id) s USING (doc_id)
+LEFT JOIN (SELECT doc_id, j, energy FROM ranked WHERE rn = 1) p USING (doc_id)
+"""
+
+
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling over binary payloads (video keyframe
+    plumbing; 512-byte frames, md5 identity per frame)."""
+    from ..operators.multimodal import sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_video_frames(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload")),
+        frame_bytes=512,
+        every_n=4,
+    )
+
+
+ORACLE_VIDEO_FRAME_SAMPLE = """
+WITH d AS (
+  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS blen FROM documents
+)
+SELECT doc_id, j AS frame_idx,
+       least((j + 1) * 512, blen) - j * 512 AS frame_len,
+       md5(substr(text, CAST(j * 512 + 1 AS INT), 512)) AS frame_md5
+FROM d, LATERAL (SELECT unnest(range(0, CAST(ceil(blen / 512.0) AS BIGINT), 4)) AS j)
+WHERE blen > 0
+"""
+
+
+QUERIES = {
+    "multimodal_metadata": multimodal_metadata,
+    "audio_frame_energy": audio_frame_energy,
+    "video_frame_sample": video_frame_sample,
+}
+ORACLES = {
+    "multimodal_metadata": ORACLE_MULTIMODAL_METADATA,
+    "audio_frame_energy": ORACLE_AUDIO_FRAME_ENERGY,
+    "video_frame_sample": ORACLE_VIDEO_FRAME_SAMPLE,
+}

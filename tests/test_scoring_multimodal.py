@@ -106,3 +106,35 @@ def test_multimodal_binary_plumbing(spark):
     resized = {r.doc_id: r for r in resize_images(docs, max_bytes=100).collect()}
     assert len(bytes(resized[2].resized)) == 100
     assert bytes(resized[1].resized) == b"hello world"
+
+
+def test_audio_frame_energy_edges(spark):
+    from fin_trade_craft_spark.operators.multimodal import audio_frame_energy
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(10)) * 60), (2, b""), (3, b"\x05" * 256)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in audio_frame_energy(df, frame_bytes=256).collect()}
+    # doc 1: 600 bytes -> 3 frames; total = 60 * sum(0..9) = 2700
+    assert got[1].n_frames == 3 and got[1].total_energy == 2700
+    # doc 2: empty payload -> sentinel row, not a crash
+    assert (got[2].n_frames, got[2].total_energy, got[2].peak_frame) == (0, 0, -1)
+    # doc 3: one exact frame, energy 5*256; peak is frame 0
+    assert (got[3].n_frames, got[3].peak_energy, got[3].peak_frame) == (1, 1280, 0)
+
+
+def test_video_frame_sample_expansion(spark):
+    import hashlib
+
+    from fin_trade_craft_spark.operators.multimodal import sample_video_frames
+
+    payload = bytes(range(256)) * 18  # 4608 bytes -> 9 frames of 512
+    df = spark.createDataFrame([(7, payload)], "doc_id long, payload binary")
+    rows = sorted(
+        sample_video_frames(df, frame_bytes=512, every_n=4).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 4, 8]  # every 4th of 9
+    assert all(r.frame_len == 512 for r in rows)
+    assert rows[0].frame_md5 == hashlib.md5(payload[:512]).hexdigest()
