@@ -231,8 +231,6 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: extract a typed field from
     the JSON ``props`` column of events (get_json_object — no
     Python, schema-on-read) and aggregate it per event_type."""
-    from ..functions.exact import dsum
-
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
