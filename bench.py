@@ -81,12 +81,20 @@ def main() -> None:
     warm = spark.createDataFrame([(1, 1.0)], "k int, v double")
     warm.groupBy("k").applyInPandas(lambda p: p, "k int, v double").count()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in bench_query_names():
         t0 = time.time()
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Release the previous query's materialized state promptly:
+        # localCheckpoint RDDs are unpersisted via py4j finalizers,
+        # which only run when Python GC does — without this, leaked
+        # executor storage from earlier queries inflates later ones.
+        del df
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(

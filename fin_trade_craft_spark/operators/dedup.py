@@ -125,28 +125,33 @@ def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     engine with md5 + substr."""
     if n_bits > 64:
         raise ValueError("simhash_bits supports at most 64 bits (two md5s)")
-    # Hash each token ONCE per md5 source, then read nibbles out of
-    # the cached hex strings. A naive per-bit formulation re-runs
-    # md5(t) inside every bit's aggregate lambda (Catalyst does not
-    # CSE across lambda bodies): 64 bits × tokens md5 calls — 32×
-    # the work for identical output (measured 15.8s → 2.9s at
-    # sf0.1 for the 64-bit Hamming query).
-    d = docs.select(id_col, T.tokens(F.col(text_col)).alias("toks"))
-    hash_cols = [F.expr("transform(toks, t -> md5(t))").alias("h1")]
+    # Shape notes, both load-bearing:
+    # 1. each token is md5'd ONCE per source (a per-bit formulation
+    #    re-hashes inside every bit's lambda — Catalyst does not CSE
+    #    across lambda bodies: a 32× hidden cost);
+    # 2. the vote sums are plain conditional aggregates over exploded
+    #    tokens, NOT per-bit `aggregate()` array lambdas — higher-
+    #    order functions run interpreted (no whole-stage codegen),
+    #    and 64 interpreted array scans per doc were both slow and
+    #    wildly variable (4-16s at sf0.1; this shape: stable ~2s).
+    #    The groupBy gets map-side partial aggregation for free.
+    ex = docs.select(id_col, F.explode(T.tokens(F.col(text_col))).alias("t"))
+    hash_cols = [F.md5("t").alias("h1")]
     if n_bits > 32:
-        hash_cols.append(F.expr("transform(toks, t -> md5(concat('b:', t)))").alias("h2"))
-    d = d.select(id_col, *hash_cols)
-    bit_exprs = []
+        hash_cols.append(F.md5(F.concat(F.lit("b:"), F.col("t"))).alias("h2"))
+    ex = ex.select(id_col, *hash_cols)
+    hi = ("8", "9", "a", "b", "c", "d", "e", "f")
+    aggs = []
     for j in range(1, n_bits + 1):
         src = "h1" if j <= 32 else "h2"
         pos = j if j <= 32 else j - 32
-        vote = (
-            f"aggregate({src}, 0, (acc, h) -> acc + "
-            f"(CASE WHEN substr(h, {pos}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))"
-        )
-        bit_exprs.append(f"(CASE WHEN ({vote}) > 0 THEN '1' ELSE '0' END)")
-    sig = F.expr("concat(" + ", ".join(bit_exprs) + ")")
-    return d.select(id_col, sig.alias("simhash"))
+        vote = F.when(F.substring(src, pos, 1).isin(*hi), 1).otherwise(-1)
+        aggs.append(F.sum(vote).alias(f"v{j}"))
+    sums = ex.groupBy(id_col).agg(*aggs)
+    sig = F.concat(
+        *[F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(1, n_bits + 1)]
+    )
+    return sums.select(id_col, sig.alias("simhash"))
 
 
 def simhash_hamming_pairs(

@@ -215,17 +215,31 @@ ORDER BY event_type
 def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact equi join + grouped agg + deterministic top-k
     (SURVEY J1, O4; backtest_strategies.py:101-121 join shape).
-    orders⋈lineitem shuffles on the join key; AQE handles skew."""
+
+    Shape: revenue is pre-aggregated per order BEFORE the join, so
+    (a) the join input shrinks from lineitems to orders, (b) the
+    orders side broadcasts, and (c) n_orders becomes a plain count
+    instead of a COUNT DISTINCT expansion over joined lineitems —
+    exact-decimal sums are associative, so the two-level sum is
+    bit-identical to the flat one (oracle keeps the flat form)."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     c = _t(spark, sf_dir, "customer")
     rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
     )
+    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("order_rev"))
     per_cust = (
-        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        per_order.join(
+            F.broadcast(o.select("o_orderkey", "o_custkey")),
+            per_order.l_orderkey == F.col("o_orderkey"),
+            "inner",
+        )
         .groupBy("o_custkey")
-        .agg(F.sum(rev).cast("double").alias("revenue"), F.countDistinct("o_orderkey").alias("n_orders"))
+        .agg(
+            F.sum("order_rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
     )
     return (
         per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey, "inner")
