@@ -101,3 +101,42 @@ class TableIO:
     def with_symbol_bucket(self, df: DataFrame, key: str = "symbol_id", n_buckets: int = 64) -> DataFrame:
         """Deterministic bucket column for partition layout."""
         return df.withColumn("symbol_bucket", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+
+    def add_columns(self, table: str, exprs: dict[str, F.Column]) -> None:
+        """S10 (ALTER TABLE ADD COLUMN + incremental fill) as a
+        full-column recompute — SURVEY §7's preferred stance: the
+        reference widens the table with NULLs then back-fills rows
+        piecemeal (`transform_balance_sheet.py:74-97`), which leaves
+        mixed NULL/filled states; recomputing the whole column from
+        an expression is idempotent and one pass. New columns may
+        reference existing ones."""
+        df = self.read(table)
+        for name, expr in exprs.items():
+            df = df.withColumn(name, expr)
+        tmp = self.path(table) + "__tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path(table))
+
+    def compact(self, table: str, target_partitions: int, partition_by: list[str] | None = None) -> int:
+        """Small-file compaction: rewrite the table at a target file
+        count. Incremental appends (S6) and streaming sinks
+        accumulate files far smaller than a scan-efficient split
+        (~128 MB); metadata and open-cost then dominate reads. At
+        cluster scale this is OPTIMIZE / rewriteDataFiles; on plain
+        parquet it's a coalesce-and-rewrite. Returns the file count
+        before compaction."""
+        import pathlib
+
+        before = len(list(pathlib.Path(self.path(table)).rglob("*.parquet")))
+        df = self.read(table).coalesce(target_partitions)
+        tmp = self.path(table) + "__tmp"
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        w2 = final.write.mode("overwrite")
+        if partition_by:
+            w2 = w2.partitionBy(*partition_by)
+        w2.parquet(self.path(table))
+        return before

@@ -85,3 +85,40 @@ def test_discover_unprocessed_anti_join(spark):
     done = spark.createDataFrame([(1, 10)], "sym int, d int")
     got = sorted((r.sym, r.d) for r in discover_unprocessed(raw, done, ["sym", "d"]).collect())
     assert got == [(1, 11), (2, 10)]
+
+
+def test_add_columns_full_recompute(spark, tmp_path):
+    """S10: widening = whole-column recompute, idempotent, may
+    reference existing columns."""
+    from pyspark.sql import functions as F
+
+    from fin_trade_craft_spark.sources.io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    io.overwrite(spark.createDataFrame([(1, 10.0), (2, 30.0)], "k int, v double"), "t")
+    io.add_columns("t", {"v2": F.col("v") * 2, "flag": F.col("v") > 20})
+    got = sorted(map(tuple, io.read("t").collect()))
+    assert got == [(1, 10.0, 20.0, False), (2, 30.0, 60.0, True)]
+    # idempotent: rerunning produces the same result, not duplicates
+    io.add_columns("t", {"v2": F.col("v") * 2, "flag": F.col("v") > 20})
+    assert sorted(map(tuple, io.read("t").collect())) == got
+
+
+def test_compact_small_files(spark, tmp_path):
+    from fin_trade_craft_spark.sources.io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    base = spark.range(0, 1000).selectExpr("id AS k", "id * 2.5 AS v")
+    # simulate incremental appends: many tiny files
+    for i in range(5):
+        io.append(base.filter(f"k % 5 = {i}").repartition(8), "t")
+    import pathlib
+
+    n_before = len(list(pathlib.Path(io.path("t")).rglob("*.parquet")))
+    assert n_before >= 20
+    reported = io.compact("t", target_partitions=2)
+    assert reported == n_before
+    n_after = len(list(pathlib.Path(io.path("t")).rglob("*.parquet")))
+    assert n_after <= 2
+    assert io.read("t").count() == 1000
+    assert io.read("t").agg({"v": "sum"}).first()[0] == sum(i * 2.5 for i in range(1000))
