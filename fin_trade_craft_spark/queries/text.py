@@ -258,6 +258,64 @@ GROUP BY event_type
 """
 
 
+def doc_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data preparation flow, end to end in
+    one declarative plan: language filter → token-count quality gate
+    → exact-dedup (canonical doc per content hash survives) →
+    overlapping chunking with per-chunk md5. Each stage exists as a
+    standalone oracle-checked query; this proves they compose
+    without materialization boundaries — Catalyst sees one tree, so
+    the quality filter prunes documents before the dedup shuffle and
+    chunking only runs on survivors."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "text", T.tokens(F.col("text")).alias("toks")
+    )
+    gated = d.filter((F.col("lang") == "en") & (F.expr("size(toks) >= 30")))
+    hashed = gated.withColumn("h", T.content_hash(F.col("text")))
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    survivors = hashed.join(canon, ["h", "doc_id"], "left_semi")
+    starts = F.expr(
+        f"filter(sequence(1, size(toks), {CHUNK_STRIDE}),"
+        f" s -> s = 1 OR s <= size(toks) - {CHUNK_SIZE} + {CHUNK_STRIDE})"
+    )
+    ex = survivors.select("doc_id", "toks", F.posexplode(starts).alias("idx", "start"))
+    chunk_toks = F.expr(f"slice(toks, start, {CHUNK_SIZE})")
+    chunk_text = F.array_join(chunk_toks, " ")
+    return ex.select(
+        "doc_id",
+        F.col("idx").alias("chunk_idx"),
+        F.size(chunk_toks).alias("n_tokens"),
+        F.md5(chunk_text).alias("chunk_md5"),
+    )
+
+
+ORACLE_DOC_PREP_PIPELINE = f"""
+WITH d AS (
+  SELECT doc_id, lang, text, {_TOKS} AS toks,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+  FROM documents
+), gated AS (
+  SELECT * FROM d WHERE lang = 'en' AND len(toks) >= 30
+), canon AS (
+  SELECT h, MIN(doc_id) AS doc_id FROM gated GROUP BY h
+), survivors AS (
+  SELECT g.* FROM gated g JOIN canon c ON g.h = c.h AND g.doc_id = c.doc_id
+), starts AS (
+  SELECT doc_id, toks,
+         list_filter(range(1, len(toks) + 1, {CHUNK_STRIDE}),
+                     s -> s = 1 OR s <= len(toks) - {CHUNK_SIZE} + {CHUNK_STRIDE}) AS ss
+  FROM survivors
+), ex AS (
+  SELECT doc_id, toks, generate_subscripts(ss, 1) - 1 AS chunk_idx, unnest(ss) AS start
+  FROM starts
+)
+SELECT doc_id, chunk_idx,
+       len(list_slice(toks, start, start + {CHUNK_SIZE} - 1)) AS n_tokens,
+       md5(array_to_string(list_slice(toks, start, start + {CHUNK_SIZE} - 1), ' ')) AS chunk_md5
+FROM ex
+"""
+
+
 QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "lang_id_heuristic": lang_id_heuristic,
@@ -265,6 +323,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "doc_chunks": doc_chunks,
     "json_props_stats": json_props_stats,
+    "doc_prep_pipeline": doc_prep_pipeline,
 }
 
 ORACLES = {
@@ -274,4 +333,5 @@ ORACLES = {
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "json_props_stats": ORACLE_JSON_PROPS_STATS,
+    "doc_prep_pipeline": ORACLE_DOC_PREP_PIPELINE,
 }
