@@ -642,6 +642,79 @@ FROM events e JOIN dim USING (event_type)
 """
 
 
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape (TPC-H Q17): lineitems whose
+    quantity is below 20%% of their part's average quantity, summed.
+    The correlated subquery de-correlates to a per-part aggregate +
+    equi-join — one extra scan + one broadcast-able agg, never a
+    per-row subquery execution."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (davg("l_quantity") * F.lit(0.2)).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(per_part), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = """
+WITH t AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) * 0.2 AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN t USING (l_partkey)
+WHERE l_quantity < qty_threshold
+"""
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation (region → nation → total):
+    grouping sets compute every level in ONE scan + one shuffle —
+    map-side partials fan into all grouping combinations, vs N
+    scans for N levels done naively. grouping_id disambiguates the
+    NULL-as-subtotal rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    facts = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "o_totalprice")
+    )
+    return (
+        facts.rollup("r_name", "n_name")
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("r_name", "n_name", "revenue", "n_orders", "gid")
+    )
+
+
+ORACLE_REVENUE_ROLLUP = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders,
+       GROUPING(r_name) * 2 + GROUPING(n_name) AS gid
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "conditional_pivot_agg": conditional_pivot_agg,
@@ -661,6 +734,8 @@ QUERIES = {
     "shipping_delay_stats": shipping_delay_stats,
     "customer_value_scores": customer_value_scores,
     "salted_skew_join": salted_skew_join,
+    "small_quantity_revenue": small_quantity_revenue,
+    "revenue_rollup": revenue_rollup,
 }
 
 ORACLES = {
@@ -682,4 +757,6 @@ ORACLES = {
     "shipping_delay_stats": ORACLE_SHIPPING_DELAY_STATS,
     "customer_value_scores": ORACLE_CUSTOMER_VALUE_SCORES,
     "salted_skew_join": ORACLE_SALTED_SKEW_JOIN,
+    "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
+    "revenue_rollup": ORACLE_REVENUE_ROLLUP,
 }
