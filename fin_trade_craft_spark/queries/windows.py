@@ -499,6 +499,73 @@ GROUP BY 1, 2
 """
 
 
+def trailing_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame: per user, the trailing-7-day
+    value sum/count at each event — a TIME-based frame (every event
+    whose ts is within 7 days), not a row-count frame, so irregular
+    event gaps are handled correctly where ``rowsBetween`` would
+    not be. Spark expresses it as rangeBetween over the epoch-second
+    ordering column; sums are exact-decimal so the frame total is
+    order-independent."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    secs = F.unix_micros(F.col("ts")) / F.lit(1_000_000)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs.cast("double"))
+        .rangeBetween(-7 * 86_400, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("value_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+ORACLE_TRAILING_7D_USER_VALUE = """
+SELECT user_id, event_id, ts, value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_7d,
+       COUNT(*) OVER w AS n_7d
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+)
+"""
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per (user, day), one count column per event_type —
+    the declarative form of the reference's 30-column manual
+    SUM(CASE WHEN type…) pivot (A1). Explicit value list keeps the
+    output schema static (required for any write target; inferred
+    pivot values would mean a full extra pass)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+ORACLE_EVENTS_PIVOT_DAILY = """
+SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "rolling_user_features": rolling_user_features,
     "lag_lead_returns": lag_lead_returns,
@@ -513,6 +580,8 @@ QUERIES = {
     "latest_events_per_user": latest_events_per_user,
     "user_session_stats": user_session_stats,
     "hourly_event_rollup": hourly_event_rollup,
+    "trailing_7d_user_value": trailing_7d_user_value,
+    "events_pivot_daily": events_pivot_daily,
 }
 
 ORACLES = {
@@ -529,4 +598,6 @@ ORACLES = {
     "latest_events_per_user": ORACLE_LATEST_EVENTS_PER_USER,
     "user_session_stats": ORACLE_USER_SESSION_STATS,
     "hourly_event_rollup": ORACLE_HOURLY_EVENT_ROLLUP,
+    "trailing_7d_user_value": ORACLE_TRAILING_7D_USER_VALUE,
+    "events_pivot_daily": ORACLE_EVENTS_PIVOT_DAILY,
 }
