@@ -105,6 +105,36 @@ def session_stats_stream(
     )
 
 
+def upsert_stream(
+    stream_df: DataFrame,
+    io,
+    table: str,
+    keys: list[str],
+    checkpoint: str,
+) -> None:
+    """Streaming upsert sink: drain the stream with
+    ``Trigger.AvailableNow`` and MERGE each micro-batch into a
+    warehouse table via ``foreachBatch`` + ``TableIO.upsert`` —
+    the streaming form of the reference's INSERT…ON CONFLICT (S7).
+    Restart-safe: the checkpoint tracks consumed source files, and
+    the key-based upsert makes a replayed batch idempotent (the
+    exactly-once story for file sources). Update mode so stateful
+    aggregations emit refreshed rows per batch rather than waiting
+    for watermark closure."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        io.upsert(batch_df, table, keys)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
 def run_available_now(stream_df: DataFrame, checkpoint: str, out_table: str = "rollup") -> list:
     """Drain everything currently available (incremental batch) into
     a memory sink; returns collected rows. Complete mode so bounded

@@ -120,3 +120,81 @@ def test_session_stream_matches_batch_lag_sessionizer(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 50
+
+
+def test_stream_static_dim_join(spark, tmp_path):
+    """Stream-static join: streaming events enriched with a static
+    dimension — the dim is re-read per micro-batch, no state."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    (src_dir / "events.parquet").symlink_to(f"{SF_SMOKE}/events.parquet")
+    stream = read_events_stream(spark, str(src_dir), schema)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 3.0), ("error", -1.0)],
+        "event_type string, weight double",
+    )
+    joined = stream.join(dim, "event_type").withColumn(
+        "weighted", F.col("value") * F.col("weight")
+    )
+    rows = run_available_now(
+        joined.groupBy("event_type").count(), str(tmp_path / "ck"), out_table="ss_join"
+    )
+    got = {r.event_type: r["count"] for r in rows}
+    want = {
+        r.event_type: r["count"]
+        for r in load_table(spark, SF_SMOKE, "events").groupBy("event_type").count().collect()
+    }
+    assert got == want
+
+
+def test_stream_upsert_into_warehouse(spark, tmp_path):
+    """foreachBatch streaming upsert (S7 in streaming form): two
+    incremental drains; the second updates overlapping keys and the
+    warehouse table converges to the full-batch answer."""
+    from fin_trade_craft_spark.sources.io import TableIO
+    from fin_trade_craft_spark.streaming.stream_agg import upsert_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    io = TableIO(spark, str(tmp_path / "wh"))
+    ev = load_table(spark, SF_SMOKE, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+
+    def agg_stream():
+        s = (
+            spark.readStream.schema(spark.read.parquet(str(src_dir / "part1")).schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src_dir))
+        )
+        return s.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+
+    # drain 1: half the data
+    half1.select("user_id", "event_type", "value").write.parquet(str(src_dir / "part1"))
+    upsert_stream(agg_stream(), io, "agg/users", ["user_id"], str(tmp_path / "ck"))
+    n_after_1 = io.read("agg/users").count()
+    assert n_after_1 > 0
+
+    # drain 2: rest of the data arrives; same checkpoint continues
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_type", "value"
+    ).write.parquet(str(src_dir / "part2"))
+    upsert_stream(agg_stream(), io, "agg/users", ["user_id"], str(tmp_path / "ck"))
+
+    got = {r.user_id: (r.n, r.total) for r in io.read("agg/users").collect()}
+    want = {
+        r.user_id: (r.n, r.total)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
