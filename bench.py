@@ -49,7 +49,11 @@ def bench_query_names() -> list[str]:
         "doc_quality_scores",
         "doc_chunks",
         "json_props_stats",
-        "dedup_ngram_jaccard",
+        # candidate-bounded exact-Jaccard tier: the full-corpus
+        # quadratic variant (dedup_ngram_jaccard) stays an oracle
+        # correctness query at sf0.01 but is NOT benched — its
+        # shingle self-join dies at 100×
+        "dedup_jaccard_verified",
         "minhash_near_dupes",
         "simhash_hamming_pairs",
         "srp_lsh_near_dupes",
@@ -80,6 +84,15 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir.rstrip('/')}/region.parquet").count()
     warm = spark.createDataFrame([(1, 1.0)], "k int, v double")
     warm.groupBy("k").applyInPandas(lambda p: p, "k int, v double").count()
+    # One discarded end-to-end query (scan → codegen'd hash agg →
+    # noop sink) at smoke scale: first-query wall otherwise absorbs
+    # whole-stage-codegen compilation and writer init (~3s of pure
+    # warmup showing up against pricing_summary).
+    warm_names = bench_query_names()
+    if warm_names:
+        smoke = "/root/testdata/sf0.001"
+        warm_dir = smoke if os.path.isdir(smoke) else sf_dir
+        queries[warm_names[0]](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     import gc
 

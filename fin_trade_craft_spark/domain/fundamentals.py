@@ -3,8 +3,10 @@
 ``transform_income_statement.py`` (fis_*, `:222-307`) and
 ``transform_cash_flow.py`` (fcf_*, `:222-302`).
 
-Shared shape per statement: safe-divide ratios (pandas maps ±inf →
-NaN; here NULL), QoQ/YoY pct_change with ``fill_method=None``
+Shared shape per statement: epsilon safe-divide ratios
+(``num/(denom+1e-6)``, exactly the reference's ``_safe_div`` — zero
+denominators give huge finite ratios that downstream quality scoring
+clips), QoQ/YoY pct_change with ``fill_method=None``
 (value/lag − 1, nulls propagate; a zero base is NULL here vs ±inf
 in pandas — documented divergence, both unusable downstream),
 rolling(4, min_periods=2) sample std, pandas-style cross-sectional
@@ -34,9 +36,12 @@ def _w():
 
 
 def safe_div(num: Column, den: Column) -> Column:
-    """pandas _safe_div: result with ±inf→NaN ⇒ NULL on zero/null
-    denominator."""
-    return F.when(den != 0, num / den)
+    """Reference ``_safe_div`` (`transform_balance_sheet.py:41-43`,
+    same in income_statement/cash_flow): ``num / (denom + 1e-6)`` —
+    a zero denominator yields a large finite ratio (later clipped to
+    an extreme score by quality scoring), never inf/NaN. NULL inputs
+    propagate to NULL, matching pandas NaN propagation."""
+    return num / (den + F.lit(1e-6))
 
 
 def z(col: str) -> Column:

@@ -189,9 +189,9 @@ def compute_quality_scores(features: DataFrame) -> DataFrame:
             F.lit(False),
         ).alias("is_investment_grade"),
         (
-            (F.col("fbs_liquidity_shock_flag") == 1)
-            | (F.col("fcf_cash_burn_flag") == 1)
-            | (F.col("fis_negative_net_income_flag") == 1)
+            F.coalesce(F.col("fbs_liquidity_shock_flag") == 1, F.lit(False))
+            | F.coalesce(F.col("fcf_cash_burn_flag") == 1, F.lit(False))
+            | F.coalesce(F.col("fis_negative_net_income_flag") == 1, F.lit(False))
         ).alias("has_red_flags"),
     )
     return df.drop(*[c for c in df.columns if c.startswith("__")])

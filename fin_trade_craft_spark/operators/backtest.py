@@ -86,7 +86,12 @@ def simulate_trades(
                 ):
                     continue
                 if row.close and row.close > 0:
-                    entry = (row.date, row.close, position_value / row.close)
+                    # reference floors to whole shares and skips the
+                    # trade entirely when the price exceeds the
+                    # position value (backtest_strategies.py:207-210)
+                    sh = int(position_value / row.close)
+                    if sh > 0:
+                        entry = (row.date, row.close, sh)
             elif entry is not None and row.sell_signal:
                 trades.append((entry, (row.date, row.close), "sell_signal"))
                 last_exit_date = row.date
@@ -101,8 +106,9 @@ def simulate_trades(
         for (ed, ep, sh), (xd, xp, *_), reason in [
             (t[0], t[1], t[2]) for t in trades
         ]:
-            commission = (ep * sh + xp * sh) * commission_pct
-            pnl = (xp - ep) * sh - commission
+            entry_value = ep * sh
+            commission = (entry_value + xp * sh) * commission_pct
+            pnl = xp * sh - entry_value - commission
             out.append(
                 {
                     "strategy": strategy,
@@ -113,7 +119,9 @@ def simulate_trades(
                     "exit_price": float(xp),
                     "shares": float(sh),
                     "pnl": float(pnl),
-                    "pnl_pct": float((xp - ep) / ep * 100.0),
+                    # net of commission, relative to entry value
+                    # (backtest_strategies.py:231-234)
+                    "pnl_pct": float(pnl / entry_value * 100.0),
                     "commission": float(commission),
                     "exit_reason": reason,
                 }

@@ -42,10 +42,21 @@ def exploded_shingles(shingle_sets: DataFrame, id_col: str = "doc_id") -> DataFr
     return shingle_sets.select(id_col, F.explode("shingles").alias("shingle"))
 
 
-def exact_jaccard_pairs(shingle_sets: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.5) -> DataFrame:
-    """All pairs sharing ≥1 shingle, with exact Jaccard ≥ threshold.
-    Quadratic in colliding docs — use after LSH candidate pruning at
-    scale; exact at fixture scale.
+def exact_jaccard_pairs(
+    shingle_sets: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold.
+
+    With ``candidates`` (a (d1, d2) frame, e.g. from
+    :func:`lsh_candidate_pairs`), the intersection is computed ONLY
+    on candidate pairs via two equi-joins + ``array_intersect`` —
+    linear in candidates, the 100 TB shape. Without it, all pairs
+    sharing ≥1 shingle are scored via a shingle self-join —
+    quadratic in colliding docs; exact-verification/fixture tier
+    only.
 
     Shape matters more than the math here: set sizes ride along on
     the exploded frame (one pass over the tokenize→shingle chain
@@ -55,6 +66,26 @@ def exact_jaccard_pairs(shingle_sets: DataFrame, id_col: str = "doc_id", min_jac
     collision would merge two shingles' doc lists (p ≈ n²/2⁶⁵ —
     immaterial below ~billions of distinct shingles, and the
     DuckDB-oracle differential would surface one at test scale)."""
+    if candidates is not None:
+        s1 = shingle_sets.select(F.col(id_col).alias("d1"), F.col("shingles").alias("__s1"))
+        s2 = shingle_sets.select(F.col(id_col).alias("d2"), F.col("shingles").alias("__s2"))
+        j = (
+            candidates.select("d1", "d2")
+            .join(s1, "d1")
+            .join(s2, "d2")
+            .select(
+                "d1",
+                "d2",
+                F.size(F.array_intersect("__s1", "__s2")).alias("inter"),
+                F.size("__s1").alias("n1"),
+                F.size("__s2").alias("n2"),
+            )
+        )
+        out = j.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
+        )
+        return out.filter(F.col("jaccard") >= min_jaccard)
     base = (
         shingle_sets.select(
             id_col,

@@ -22,7 +22,6 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES: list[str] = [
     "relational",
     "windows",
-    "timeseries",
     "asof",
     "text",
     "dedup",
@@ -31,6 +30,7 @@ _MODULES: list[str] = [
     "fin_domain",
     "multimodal",
     "sketches",
+    "reporting",
 ]
 
 
@@ -41,8 +41,14 @@ def _load_modules():
     for m in _MODULES:
         try:
             mods.append(importlib.import_module(f"{__name__}.{m}"))
-        except ImportError:
-            # module not built yet in this round
+        except ModuleNotFoundError as e:
+            # only tolerate the listed submodule itself being absent
+            # (not built yet this round); a transitive import failure
+            # inside an existing module must fail loudly — swallowing
+            # it would silently drop a whole query family from the
+            # driver's correctness verification
+            if e.name != f"{__name__}.{m}":
+                raise
             continue
     return mods
 

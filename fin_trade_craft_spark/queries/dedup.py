@@ -92,16 +92,26 @@ def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=True)
     sigs = D.minhash_signatures(sets, num_perm=8)
     cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
-    j = (
-        cands.join(sets.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("s1")), "d1")
-        .join(sets.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("s2")), "d2")
-        .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.size("s1") + F.size("s2") - F.col("inter")).cast("double"),
-        )
+    return D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
+        "d1", "d2", "jaccard"
     )
-    return j.filter(F.col("jaccard") >= 0.5).select("d1", "d2", "jaccard")
+
+
+def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate-bounded exact-Jaccard tier — identical output
+    columns to ``dedup_ngram_jaccard`` but the pair space comes from
+    LSH band collisions instead of a full-corpus shingle self-join:
+    linear in candidates, the shape that survives 100 TB. (The
+    full-corpus variant stays registered as the fixture-scale
+    recall oracle; THIS one is the bench headline.)"""
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=True)
+    sigs = D.minhash_signatures(sets, num_perm=8)
+    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
+    return D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
+        "d1", "d2", "inter", "n1", "n2", "jaccard"
+    )
+
+
 
 
 _MH_COLS = ",\n".join(
@@ -129,6 +139,34 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT d1, d2, inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) AS jaccard
+FROM cands JOIN inter USING (d1, d2)
+JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
+"""
+
+# same candidate space as minhash_near_dupes, but with the full
+# (inter, n1, n2) verification columns of dedup_ngram_jaccard
+ORACLE_DEDUP_JACCARD_VERIFIED = f"""
+{_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id,
+{_MH_COLS}
+  FROM sh_sets
+),
+banded AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_sets),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh_sets),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, inter, s1.n_sh AS n1, s2.n_sh AS n2,
+       inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) AS jaccard
 FROM cands JOIN inter USING (d1, d2)
 JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
 WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
@@ -217,6 +255,7 @@ WHERE list_sum(list_transform(range(1, 65),
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_jaccard_verified": dedup_jaccard_verified,
     "minhash_near_dupes": minhash_near_dupes,
     "simhash_buckets": simhash_buckets,
     "simhash_hamming_pairs": simhash_hamming_pairs,
@@ -225,6 +264,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
+    "dedup_jaccard_verified": ORACLE_DEDUP_JACCARD_VERIFIED,
     "minhash_near_dupes": ORACLE_MINHASH_NEAR_DUPES,
     "simhash_buckets": ORACLE_SIMHASH_BUCKETS,
     "simhash_hamming_pairs": ORACLE_SIMHASH_HAMMING_PAIRS,

@@ -84,10 +84,18 @@ def fin_signals_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Partition-count sizing: the pipeline fans out into ~40 window
     # stages over the persisted feature frame, and the persisted
     # partitioning bypasses AQE coalescing — at fixture scale (150
-    # symbols, ~4k bars) 32 partitions means 4× task overhead for
-    # no parallelism gain (measured 45s → 13s). At production scale
-    # the symbol_bucket layout (SCALING.md) governs this instead.
-    bars = bars.repartition(8, "symbol_id")
+    # symbols, ~4k bars) full-parallelism partitioning means 4×
+    # task overhead for no gain (measured 45s → 13s). Derived from
+    # session parallelism (override via conf) rather than a literal;
+    # at production scale the symbol_bucket layout (SCALING.md)
+    # governs this instead.
+    n_parts = int(
+        spark.conf.get(
+            "spark.fin_trade_craft.signals.partitions",
+            str(max(1, spark.sparkContext.defaultParallelism // 4)),
+        )
+    )
+    bars = bars.repartition(n_parts, "symbol_id")
     return all_signals(compute_indicators(bars))
 
 

@@ -1,0 +1,207 @@
+"""User-visible report queries: the daily screener table (the data
+side of the reference's chart/screener stage) and the programmatic
+database-summary view.
+
+- ``daily_screener`` re-expresses the end of the reference's daily
+  pipeline (`trading_bot/daily_signal_scorer.py:258-282`): filter to
+  success_probability ≥ 0.80 and quality ≥ 50, composite score =
+  0.6·prob + 0.2·strength/100 + 0.2·quality/100, sort desc, top 25.
+  On the driver's test tables the three inputs are deterministic
+  percent-rank scores over per-customer order statistics (the
+  reference's model probability needs the trained model — its funnel
+  lives in domain/scoring.py); the FORMULA, filter, ordering and
+  limit are the reference's.
+- ``database_summary`` mirrors `transforms/database_summary_view.py:
+  111-200`: one summary row per warehouse table (record count,
+  distinct entities, date range) stacked with UNION ALL — here
+  ``unionByName(allowMissingColumns=True)`` so tables lacking an
+  entity/date column surface NULLs (A8).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+from ..sources.catalog import load_table
+
+
+def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-scored top-25 screener table.
+
+    Scale notes: the three global percent-rank windows are
+    single-partition — correct for the reference semantics (a global
+    cross-sectional rank) and cheap here because they run over the
+    pre-aggregated per-customer frame (one row per customer), not
+    raw orders. At 100 TB the per-customer agg shuffles once on
+    o_custkey with map-side combine; the final top-25 is a
+    TakeOrdered (no full sort materialization)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+
+    per = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("total_spend"),
+        F.count(F.lit(1)).alias("volume"),
+        F.max("o_orderdate").alias("signal_date"),
+        F.max_by("o_totalprice", F.struct("o_orderdate", "o_orderkey")).alias("close"),
+    )
+    per = per.withColumn("avg_order_value", F.col("total_spend") / F.col("volume"))
+    scored = per.select(
+        "*",
+        F.percent_rank().over(Window.orderBy("total_spend")).alias("success_probability"),
+        (F.percent_rank().over(Window.orderBy("volume")) * 100).alias("signal_strength"),
+        (F.percent_rank().over(Window.orderBy("avg_order_value")) * 100).alias(
+            "overall_quality_score"
+        ),
+    )
+    composite = (
+        F.col("success_probability") * 0.6
+        + F.col("signal_strength") / 100 * 0.2
+        + F.col("overall_quality_score") / 100 * 0.2
+    )
+    return (
+        scored.filter(
+            (F.col("success_probability") >= 0.80) & (F.col("overall_quality_score") >= 50)
+        )
+        .join(F.broadcast(cust), scored["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("c_name").alias("symbol"),
+            "signal_date",
+            F.col("c_mktsegment").alias("trade_strategy"),
+            "close",
+            "success_probability",
+            "signal_strength",
+            "overall_quality_score",
+            composite.alias("composite_score"),
+            F.col("n_name").alias("sector"),
+            "volume",
+        )
+        .orderBy(F.col("composite_score").desc(), F.col("symbol"))
+        .limit(25)
+    )
+
+
+ORACLE_DAILY_SCREENER = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+         COUNT(*) AS volume,
+         MAX(o_orderdate) AS signal_date
+  FROM orders GROUP BY o_custkey
+), last AS (
+  SELECT o_custkey, o_totalprice AS close FROM (
+    SELECT o_custkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+), scored AS (
+  SELECT per.o_custkey, total_spend, volume, signal_date, close,
+         total_spend / volume AS avg_order_value,
+         PERCENT_RANK() OVER (ORDER BY total_spend) AS success_probability,
+         PERCENT_RANK() OVER (ORDER BY volume) * 100 AS signal_strength,
+         PERCENT_RANK() OVER (ORDER BY total_spend / volume) * 100 AS overall_quality_score
+  FROM per JOIN last USING (o_custkey)
+)
+SELECT c_name AS symbol, signal_date, c_mktsegment AS trade_strategy, close,
+       success_probability, signal_strength, overall_quality_score,
+       success_probability * 0.6 + signal_strength / 100 * 0.2
+         + overall_quality_score / 100 * 0.2 AS composite_score,
+       n_name AS sector, volume
+FROM scored
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE success_probability >= 0.80 AND overall_quality_score >= 50
+ORDER BY composite_score DESC, symbol
+LIMIT 25
+"""
+
+
+# (table, entity column, date expression) — None where the table
+# lacks the concept, mirroring the reference's per-table config list
+_SUMMARY_TABLES: list[tuple[str, str | None, str | None]] = [
+    ("region", None, None),
+    ("nation", None, None),
+    ("customer", "c_custkey", None),
+    ("supplier", "s_suppkey", None),
+    ("part", "p_partkey", None),
+    ("orders", "o_custkey", "o_orderdate"),
+    ("lineitem", "l_orderkey", "l_shipdate"),
+    ("events", "user_id", "ts"),
+    ("documents", "doc_id", None),
+    ("embeddings", "vec_id", None),
+]
+
+
+def table_summary(df: DataFrame, name: str, entity_col: str | None, date_col: str | None) -> DataFrame:
+    """One summary row for one table — only the columns the table
+    supports; the union layer fills the rest with NULLs."""
+    aggs = [F.count(F.lit(1)).alias("record_count")]
+    if entity_col:
+        aggs.append(F.countDistinct(entity_col).alias("unique_entities"))
+    if date_col:
+        d = F.to_date(F.col(date_col))
+        aggs += [
+            F.min(d).alias("earliest_date"),
+            F.max(d).alias("latest_date"),
+            F.countDistinct(d).alias("unique_dates"),
+        ]
+    return df.agg(*aggs).select(F.lit(name).alias("table_name"), "*")
+
+
+def database_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stacked all-tables summary report (S13). Each per-table
+    aggregate is a single-row map-side-combined scan; the union is
+    metadata-only. At 100 TB each branch reads only its agg input
+    columns (column pruning) — no full-width scans."""
+    parts = [
+        table_summary(load_table(spark, sf_dir, t), t, e, d) for t, e, d in _SUMMARY_TABLES
+    ]
+    out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    return out.orderBy("table_name")
+
+
+def warehouse_summary(io, tables: list[tuple[str, str | None, str | None]]) -> DataFrame:
+    """The same stacked report over a ``TableIO`` warehouse —
+    `database_summary_view.py`'s programmatic breadth: pass every
+    (table, entity_col, date_col) the warehouse holds and get one
+    ordered summary frame."""
+    parts = [table_summary(io.read(t), t, e, d) for t, e, d in tables]
+    out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+    return out.orderBy("table_name")
+
+
+def _summary_oracle() -> str:
+    selects = []
+    for t, e, d in _SUMMARY_TABLES:
+        uniq = f"COUNT(DISTINCT {e})" if e else "CAST(NULL AS BIGINT)"
+        if d:
+            dx = f"CAST(CAST({d} AS TIMESTAMP) AS DATE)" if d == "ts" else d
+            early, late, nd = f"MIN({dx})", f"MAX({dx})", f"COUNT(DISTINCT {dx})"
+        else:
+            early, late, nd = "CAST(NULL AS DATE)", "CAST(NULL AS DATE)", "CAST(NULL AS BIGINT)"
+        selects.append(
+            f"SELECT '{t}' AS table_name, COUNT(*) AS record_count,"
+            f" {uniq} AS unique_entities, {early} AS earliest_date,"
+            f" {late} AS latest_date, {nd} AS unique_dates FROM {t}"
+        )
+    return " UNION ALL ".join(selects) + " ORDER BY table_name"
+
+
+ORACLE_DATABASE_SUMMARY = _summary_oracle()
+
+
+QUERIES = {
+    "daily_screener": daily_screener,
+    "database_summary": database_summary,
+}
+
+ORACLES = {
+    "daily_screener": ORACLE_DAILY_SCREENER,
+    "database_summary": ORACLE_DATABASE_SUMMARY,
+}

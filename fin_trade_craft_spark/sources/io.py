@@ -10,14 +10,24 @@ replace (S8), CTAS (S9), ALTER ADD COLUMN (S10), UPDATE-by-key
 - replace_where   → dynamic partition overwrite of the matching
                     partition keys (the delete+insert idiom)
 - upsert          → anti-join old rows on the natural key + union +
-                    rewrite (Delta MERGE semantics on plain parquet)
+                    rewrite (Delta MERGE semantics on plain parquet).
+                    With ``partition_by``, the rewrite is PARTITION-
+                    SCOPED: only partitions present in the incoming
+                    batch are scanned, merged and replaced — the
+                    reference's delete-then-insert scoping
+                    (`transform_time_series_daily_adjusted.py:504-538`)
+                    — so a 1-partition upsert on a 100 TB table moves
+                    1 partition, not 100 TB.
 - update_by_key   → upsert restricted to existing rows
 
 Plain parquet was chosen because Delta isn't in this environment;
 the interface is Delta-shaped so a MERGE-backed implementation can
-swap in. At cluster scale, ``replace_where`` with a partitioned
-layout touches only affected partitions; upsert rewrites the table
-(documented cost — Delta/Iceberg is the real answer there).
+swap in. Rewrites stage through a temp directory (the merged plan
+reads the table being overwritten) and are therefore NOT atomic: a
+crash between the final overwrite starting and finishing can leave
+a partial table (the temp copy, cleaned in ``finally`` on success,
+is the recovery point). Delta/Iceberg commit protocols are the real
+answer at cluster scale.
 
 Layout guidance (SURVEY §4.2.5): facts partitioned by a bucket of
 the entity key (``symbol_bucket = hash(symbol_id) % N``), sorted
@@ -74,29 +84,82 @@ class TableIO:
         finally:
             self.spark.conf.set(conf, old)
 
+    def _tmp_path(self, table: str) -> str:
+        import uuid
+
+        # unique suffix: never clobbers a real table, and concurrent
+        # rewrites of different tables can't collide
+        return f"{self.path(table)}__rewrite_tmp_{uuid.uuid4().hex[:8]}"
+
+    def _rm(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+    def _stage_and_swap(self, df: DataFrame, table: str, partition_by: list[str] | None) -> None:
+        """Write ``df`` (whose plan reads ``table``) via a temp dir,
+        then overwrite the final path from the temp copy. The temp
+        dir is always removed; the final overwrite is non-atomic
+        (see module docstring)."""
+        tmp = self._tmp_path(table)
+        try:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(tmp)
+            final = self.spark.read.parquet(tmp)
+            w2 = final.write.mode("overwrite")
+            if partition_by:
+                w2 = w2.partitionBy(*partition_by)
+            w2.parquet(self.path(table))
+        finally:
+            self._rm(tmp)
+
     def upsert(self, df: DataFrame, table: str, keys: list[str], partition_by: list[str] | None = None) -> None:
         """S7: new rows win on the natural key (ON CONFLICT DO
-        UPDATE). Anti-join keeps non-colliding old rows; plain
-        parquet requires a full rewrite (Delta MERGE would be
-        in-place)."""
+        UPDATE). Anti-join keeps non-colliding old rows.
+
+        Unpartitioned tables require a full rewrite (Delta MERGE
+        would be in-place). When ``partition_by`` is given, the
+        merge is scoped to the partitions present in ``df``: a
+        static predicate on the partition columns prunes the old-row
+        scan to those partitions, and dynamic partition overwrite
+        replaces only them — untouched partition files are never
+        read or rewritten. Requires partition values to be stable
+        per key (a key cannot move between partitions), which holds
+        for the reference's layouts (partition = f(entity key))."""
         if not self.exists(table):
             self.overwrite(df, table, partition_by)
+            return
+        if partition_by:
+            import functools
+            import operator
+
+            parts = [tuple(r) for r in df.select(*partition_by).distinct().collect()]
+            pred = functools.reduce(
+                operator.or_,
+                [
+                    functools.reduce(
+                        operator.and_,
+                        [F.col(k).eqNullSafe(F.lit(v)) for k, v in zip(partition_by, row)],
+                    )
+                    for row in parts
+                ],
+            )
+            old_in_scope = self.read(table).filter(pred)
+            kept = old_in_scope.join(df.select(*keys).distinct(), keys, "left_anti")
+            merged = kept.unionByName(df, allowMissingColumns=True)
+            tmp = self._tmp_path(table)
+            try:
+                merged.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+                self.replace_where(self.spark.read.parquet(tmp), table, partition_by)
+            finally:
+                self._rm(tmp)
             return
         old = self.read(table)
         kept = old.join(df.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(df, allowMissingColumns=True)
-        # write to a temp location first: the merged plan reads the
-        # table being overwritten
-        tmp = self.path(table) + "__tmp"
-        w = merged.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        w2 = final.write.mode("overwrite")
-        if partition_by:
-            w2 = w2.partitionBy(*partition_by)
-        w2.parquet(self.path(table))
+        self._stage_and_swap(merged, table, partition_by)
 
     def with_symbol_bucket(self, df: DataFrame, key: str = "symbol_id", n_buckets: int = 64) -> DataFrame:
         """Deterministic bucket column for partition layout."""
@@ -113,9 +176,7 @@ class TableIO:
         df = self.read(table)
         for name, expr in exprs.items():
             df = df.withColumn(name, expr)
-        tmp = self.path(table) + "__tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path(table))
+        self._stage_and_swap(df, table, None)
 
     def compact(self, table: str, target_partitions: int, partition_by: list[str] | None = None) -> int:
         """Small-file compaction: rewrite the table at a target file
@@ -129,14 +190,5 @@ class TableIO:
 
         before = len(list(pathlib.Path(self.path(table)).rglob("*.parquet")))
         df = self.read(table).coalesce(target_partitions)
-        tmp = self.path(table) + "__tmp"
-        w = df.write.mode("overwrite")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        w2 = final.write.mode("overwrite")
-        if partition_by:
-            w2 = w2.partitionBy(*partition_by)
-        w2.parquet(self.path(table))
+        self._stage_and_swap(df, table, partition_by)
         return before

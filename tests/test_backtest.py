@@ -75,6 +75,28 @@ def test_sell_without_position_ignored(spark):
     assert trades[0].entry_price == 101.0 and trades[0].exit_price == 102.0
 
 
+def test_int_shares_zero_share_skip_and_net_pnl_pct(spark):
+    """Reference floors shares to int and skips the trade when the
+    price exceeds the position value (backtest_strategies.py:207-210);
+    pnl_pct is net of commission relative to entry value (:231-234)."""
+    events = [
+        (0, 3000, 1, 0),   # 2% of 100k = $2000 < $3000 -> 0 shares, NO trade opens
+        (1, 3100, 0, 1),   # nothing to close
+        (2, 130, 1, 0),    # 2000/130 = 15.38 -> 15 shares (floored)
+        (3, 150, 0, 1),    # close
+    ]
+    sigs, prices = _frames(spark, events)
+    trades = simulate_trades(sigs, prices, cooldown_days=0).collect()
+    assert len(trades) == 1
+    t = trades[0]
+    assert t.shares == 15.0 and t.entry_price == 130.0
+    entry_value = 130.0 * 15
+    comm = (130.0 * 15 + 150.0 * 15) * 0.001
+    pnl = 150.0 * 15 - entry_value - comm
+    assert abs(t.pnl - pnl) < 1e-9
+    assert abs(t.pnl_pct - pnl / entry_value * 100.0) < 1e-9
+
+
 def test_metrics_rollup(spark):
     events = [
         (0, 100, 1, 0), (1, 110, 0, 1),   # win

@@ -81,10 +81,9 @@ def _panel(measures, seed, n_sym=8, n_q=10):
 
 
 def _sdiv(n, d):
-    r = n / d
-    if isinstance(r, pd.Series):
-        r = r.replace([np.inf, -np.inf], np.nan)
-    return r
+    # the reference's _safe_div (transform_balance_sheet.py:41-43):
+    # zero denominators yield large finite ratios, never inf/NaN
+    return n / (d + 1e-6)
 
 
 def _pd_common(df, feats):
@@ -95,8 +94,16 @@ def _pd_common(df, feats):
         elif kind == "yoy":
             df[name] = df.groupby("symbol_id")[args].pct_change(4, fill_method=None)
         elif kind == "vol":
+            # exact per-window sample std: pandas' online rolling
+            # accumulator catastrophically cancels once a ~1e15
+            # epsilon-division ratio passes through the window,
+            # reporting 0.0 for later all-small windows; Spark's
+            # per-frame stddev_samp (and the math) do not
             df[name] = (
-                df.groupby("symbol_id")[args].rolling(4, min_periods=2).std().reset_index(level=0, drop=True)
+                df.groupby("symbol_id")[args]
+                .rolling(4, min_periods=2)
+                .apply(lambda s: s.std(ddof=1), raw=False)
+                .reset_index(level=0, drop=True)
             )
         elif kind == "srank":
             df[name] = df.groupby(["fiscal_date_ending", "sector"])[args].rank(pct=True)
@@ -225,7 +232,10 @@ def _compare(got: pd.DataFrame, want: pd.DataFrame, prefix: str):
     for c in cols:
         a = pd.to_numeric(got[c], errors="coerce").astype(float)
         b = pd.to_numeric(want[c], errors="coerce").astype(float)
-        inf_mask = np.isinf(b)        # documented divergence: inf→NULL
+        # inf arises only from pct_change on a zero base now (the
+        # ratios themselves are epsilon-guarded) — documented
+        # divergence: pandas ±inf vs engine NULL
+        inf_mask = np.isinf(b)
         both_nan = a.isna() & b.isna()
         close = (a - b).abs() <= 1e-8 + 1e-9 * b.abs()
         ok = both_nan | close | (inf_mask & a.isna())

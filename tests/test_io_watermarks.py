@@ -39,6 +39,43 @@ def test_upsert_keeps_nonconflicting_and_replaces_conflicting(spark, io):
     assert got == {1: "old", 2: "new", 3: "new"}
 
 
+def test_partition_scoped_upsert_leaves_other_partitions_untouched(spark, io, tmp_path):
+    """With partition_by, upsert must merge/rewrite ONLY the
+    partitions present in the incoming batch: untouched partition
+    files stay byte-identical (never read, never rewritten), and no
+    temp directory is left behind."""
+    base = spark.createDataFrame(
+        [(1, 10, "old"), (1, 11, "old"), (2, 20, "old"), (3, 30, "old")],
+        "sym int, d int, v string",
+    )
+    io.overwrite(base, "t/pu", partition_by=["sym"])
+    tdir = Path(io.path("t/pu"))
+    untouched = {
+        p: (p.stat().st_mtime_ns, p.read_bytes())
+        for p in tdir.rglob("*.parquet")
+        if "sym=1" not in str(p)
+    }
+    assert untouched
+
+    batch = spark.createDataFrame([(1, 11, "new"), (1, 12, "new")], "sym int, d int, v string")
+    io.upsert(batch, "t/pu", keys=["sym", "d"], partition_by=["sym"])
+
+    got = sorted((r.sym, r.d, r.v) for r in io.read("t/pu").collect())
+    assert got == [(1, 10, "old"), (1, 11, "new"), (1, 12, "new"), (2, 20, "old"), (3, 30, "old")]
+    for p, (mtime, blob) in untouched.items():
+        assert p.exists() and p.stat().st_mtime_ns == mtime and p.read_bytes() == blob
+    assert not list(tdir.parent.glob("*__rewrite_tmp_*")) and not list(
+        tdir.parent.glob("*__tmp")
+    )
+
+
+def test_unpartitioned_upsert_cleans_tmp(spark, io):
+    io.overwrite(spark.createDataFrame([(1, "old")], "k int, v string"), "t/u2")
+    io.upsert(spark.createDataFrame([(1, "new"), (2, "new")], "k int, v string"), "t/u2", ["k"])
+    assert {r.k: r.v for r in io.read("t/u2").collect()} == {1: "new", 2: "new"}
+    assert not list(Path(io.path("t/u2")).parent.glob("*__rewrite_tmp_*"))
+
+
 def test_replace_where_touches_only_matching_partitions(spark, io):
     df = spark.createDataFrame([(1, 10, "x"), (1, 11, "x"), (2, 20, "x")], "sym int, d int, v string")
     io.overwrite(df, "t/p", partition_by=["sym"])
@@ -47,6 +84,45 @@ def test_replace_where_touches_only_matching_partitions(spark, io):
     got = sorted((r.sym, r.d, r.v) for r in io.read("t/p").collect())
     # sym=1 fully replaced, sym=2 untouched
     assert got == [(1, 99, "y"), (2, 20, "x")]
+
+
+def test_warehouse_summary_report(spark, io):
+    """S13 breadth: the stacked per-table summary over a TableIO
+    warehouse — rows/distinct entities/date ranges, NULLs where a
+    table lacks the concept (A8 unionByName allowMissingColumns)."""
+    from datetime import date
+
+    from fin_trade_craft_spark.queries.reporting import warehouse_summary
+
+    io.overwrite(spark.createDataFrame([(1, date(2024, 1, 1)), (1, date(2024, 1, 2)), (2, date(2024, 1, 2))], "sym long, d date"), "raw/prices")
+    io.overwrite(spark.createDataFrame([(1,), (2,), (3,)], "sym long"), "raw/overview")
+    io.overwrite(spark.createDataFrame([(date(2024, 2, 1), 1.0)], "d date, v double"), "raw/macro")
+    io.overwrite(spark.createDataFrame([("x",)], "v string"), "raw/misc")
+    io.overwrite(spark.createDataFrame([(9, date(2023, 5, 5))], "sym long, d date"), "raw/insider")
+
+    rows = {
+        r.table_name: r
+        for r in warehouse_summary(
+            io,
+            [
+                ("raw/prices", "sym", "d"),
+                ("raw/overview", "sym", None),
+                ("raw/macro", None, "d"),
+                ("raw/misc", None, None),
+                ("raw/insider", "sym", "d"),
+            ],
+        ).collect()
+    }
+    assert len(rows) == 5
+    p = rows["raw/prices"]
+    assert (p.record_count, p.unique_entities, p.unique_dates) == (3, 2, 2)
+    assert (p.earliest_date, p.latest_date) == (date(2024, 1, 1), date(2024, 1, 2))
+    o = rows["raw/overview"]
+    assert (o.record_count, o.unique_entities) == (3, 3)
+    assert o.earliest_date is None and o.unique_dates is None
+    m = rows["raw/macro"]
+    assert m.unique_entities is None and m.unique_dates == 1
+    assert rows["raw/misc"].unique_entities is None and rows["raw/misc"].earliest_date is None
 
 
 def test_ledger_staleness_and_breaker(spark, io):

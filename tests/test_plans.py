@@ -81,6 +81,41 @@ def test_aggregates_are_partial_then_final(spark):
     assert _exchanges(plan) <= 2  # agg + presentation orderBy
 
 
+def test_asof_join_compiles_to_equi_join(spark):
+    """The as-of join's key equality rides inside the composite
+    join condition (operators/asof.py); Catalyst must extract it
+    into a hash/sort-merge equi join. If a refactor degrades this
+    to a nested-loop/cartesian plan, the operator silently becomes
+    O(n·m) at scale — pin it here."""
+    from fin_trade_craft_spark.queries.asof import asof_enrichment
+
+    plan = _formatted(asof_enrichment(spark, SF_SMOKE))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_scoring_fundamentals_join_is_equi(spark):
+    """join_fundamentals_to_trades passes its key equality via the
+    ``validity`` argument with on=[] (domain/scoring.py) — the
+    extraction is load-bearing; pin the physical join strategy."""
+    from datetime import date
+
+    from fin_trade_craft_spark.domain.scoring import join_fundamentals_to_trades
+
+    trades = spark.createDataFrame(
+        [(1, 10, date(2024, 6, 1)), (2, 11, date(2024, 6, 2))],
+        "trade_id long, symbol_id long, entry_date date",
+    )
+    scores = spark.createDataFrame(
+        [(10, date(2024, 3, 31), 55.0), (11, date(2024, 3, 31), 60.0)],
+        "symbol_id long, fiscal_date_ending date, overall_quality_score double",
+    )
+    plan = _formatted(join_fundamentals_to_trades(trades, scores))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_in_relational_core(spark):
     from fin_trade_craft_spark.queries.relational import pricing_summary
 
