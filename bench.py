@@ -47,6 +47,7 @@ def bench_query_names() -> list[str]:
         "fin_signals_pipeline",
         # LLM-data-pipeline family
         "doc_quality_scores",
+        "doc_repetition_filter",
         "doc_chunks",
         "json_props_stats",
         # candidate-bounded exact-Jaccard tier: the full-corpus
@@ -58,6 +59,7 @@ def bench_query_names() -> list[str]:
         "simhash_hamming_pairs",
         "srp_lsh_near_dupes",
         "knn_bruteforce",
+        "ivf_search",
         "multimodal_metadata",
         # skew scale-path
         "salted_skew_join",

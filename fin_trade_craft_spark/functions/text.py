@@ -60,6 +60,16 @@ def shingles(toks_col_name: str, k: int = 3) -> Column:
     )
 
 
+def ngrams(toks_col_name: str, k: int) -> Column:
+    """All k-gram word shingles WITH multiplicity (repetition
+    metrics need occurrence counts; ``shingles`` dedups for set
+    semantics)."""
+    return F.expr(
+        f"transform(sequence(1, size({toks_col_name}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({toks_col_name}, i, {k})))"
+    )
+
+
 def content_hash(col: Column) -> Column:
     """MD5 content fingerprint (F4; postgres_stock_db_schema.sql:389)."""
     return F.md5(normalize_ws(col))

@@ -316,8 +316,82 @@ FROM ex
 """
 
 
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition metrics — the
+    repetition-pruning stage of a training-data pipeline: duplicate
+    trigram fraction (1 − distinct/total) and the occurrence share
+    of the single most frequent bigram, flagged at the usual
+    thresholds.
+
+    Shape: per-doc set metrics ride the token array (no shuffle);
+    the top-bigram share is an exploded two-level hash aggregate —
+    (doc_id, gram) counts get map-side partial aggregation, then a
+    per-doc max/sum — which at 100 TB shuffles counted grams, not
+    documents. No interpreted higher-order aggregate lambdas (the
+    SimHash lesson: those run outside codegen)."""
+    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    d = d.filter(F.expr("size(toks) >= 3"))
+    base = d.select(
+        "doc_id",
+        F.expr("size(toks)").alias("n_tokens"),
+        (F.expr("size(toks)") - 2).alias("tri_total"),
+        F.expr("size(array_distinct(transform(sequence(1, size(toks) - 2),"
+               " i -> concat_ws(' ', slice(toks, i, 3)))))").alias("tri_distinct"),
+    )
+    ex = d.select("doc_id", F.explode(T.ngrams("toks", 2)).alias("g"))
+    cnt = ex.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    top = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total_bg")
+    )
+    j = base.join(top, "doc_id")
+    dup_tri = (
+        (F.col("tri_total") - F.col("tri_distinct")).cast("double")
+        / F.col("tri_total").cast("double")
+    )
+    top_share = F.col("top_c").cast("double") / F.col("total_bg").cast("double")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        dup_tri.alias("dup_trigram_frac"),
+        top_share.alias("top_bigram_share"),
+        ((dup_tri > 0.2) | (top_share > 0.18)).alias("is_repetitive"),
+    )
+
+
+ORACLE_DOC_REPETITION_FILTER = f"""
+WITH toks_t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), t AS (
+  SELECT doc_id, toks FROM toks_t WHERE len(toks) >= 3
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(toks) - 2 AS tri_total,
+         len(list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS tri_distinct
+  FROM t
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+  FROM t
+), cnt AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS total_bg
+  FROM cnt GROUP BY doc_id
+)
+SELECT base.doc_id, n_tokens,
+       CAST(tri_total - tri_distinct AS DOUBLE) / CAST(tri_total AS DOUBLE) AS dup_trigram_frac,
+       CAST(top_c AS DOUBLE) / CAST(total_bg AS DOUBLE) AS top_bigram_share,
+       (CAST(tri_total - tri_distinct AS DOUBLE) / CAST(tri_total AS DOUBLE) > 0.2)
+         OR (CAST(top_c AS DOUBLE) / CAST(total_bg AS DOUBLE) > 0.18) AS is_repetitive
+FROM base JOIN top ON base.doc_id = top.doc_id
+"""
+
+
 QUERIES = {
     "doc_quality_scores": doc_quality_scores,
+    "doc_repetition_filter": doc_repetition_filter,
     "lang_id_heuristic": lang_id_heuristic,
     "token_stats": token_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -328,6 +402,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_quality_scores": ORACLE_DOC_QUALITY_SCORES,
+    "doc_repetition_filter": ORACLE_DOC_REPETITION_FILTER,
     "lang_id_heuristic": ORACLE_LANG_ID_HEURISTIC,
     "token_stats": ORACLE_TOKEN_STATS,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,

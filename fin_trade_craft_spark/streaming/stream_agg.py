@@ -105,6 +105,39 @@ def session_stats_stream(
     )
 
 
+def dedup_stream(docs: DataFrame, watermark: str = "1 hour", ts_col: str = "ts") -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    ``queries.dedup.dedup_exact``: first-seen document per content
+    hash survives; later copies are dropped even when they arrive in
+    a LATER micro-batch (keyed state holds seen hashes).
+    ``dropDuplicatesWithinWatermark`` bounds that state: a hash can
+    be evicted once every on-time duplicate of it must have arrived,
+    so state size tracks the watermark window, not corpus history —
+    the property that keeps this runnable forever at ingest scale.
+    Emission is append-mode immediate (no watermark-closure wait)."""
+    from ..functions.text import content_hash
+
+    hashed = docs.withColumn("content_md5", content_hash(F.col("text")))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_md5"]
+    )
+
+
+def run_available_now_append(stream_df: DataFrame, checkpoint: str, out_table: str) -> list:
+    """Drain in APPEND mode (for row-emitting operators like
+    streaming dedup, where complete mode is unsupported)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return stream_df.sparkSession.sql(f"SELECT * FROM {out_table}").collect()
+
+
 def upsert_stream(
     stream_df: DataFrame,
     io,

@@ -198,3 +198,44 @@ def test_compact_small_files(spark, tmp_path):
     assert n_after <= 2
     assert io.read("t").count() == 1000
     assert io.read("t").agg({"v": "sum"}).first()[0] == sum(i * 2.5 for i in range(1000))
+
+
+def test_options_schema_registry_roundtrip(spark, io):
+    """S11 registry for the reference's schema-only options tables
+    (postgres_stock_db_schema.sql:272-352): typed StructType, natural
+    keys driving upsert, and validation rejecting drifted frames."""
+    from datetime import date
+    from decimal import Decimal
+
+    from fin_trade_craft_spark.sources import schemas as SC
+
+    table = "raw/historical_options"
+    sch = SC.SCHEMAS[table]
+    assert [f.name for f in sch.fields][:8] == [
+        "symbol_id", "symbol", "contract_name", "option_type",
+        "strike", "expiration", "last_trade_date", "last_price",
+    ]
+    row = {f.name: None for f in sch.fields}
+    row.update(
+        symbol_id=1, symbol="AAA", contract_name="AAA240621C100",
+        option_type="call", strike=Decimal("100.0000"),
+        expiration=date(2024, 6, 21), last_trade_date=date(2024, 6, 1),
+        last_price=Decimal("5.2500"), volume=10,
+    )
+    df = spark.createDataFrame([tuple(row[f.name] for f in sch.fields)], sch)
+    SC.validate(df, table)
+    io.overwrite(df, table)
+
+    # upsert on the natural key replaces, not duplicates
+    row2 = dict(row, last_price=Decimal("6.0000"), volume=25)
+    df2 = spark.createDataFrame([tuple(row2[f.name] for f in sch.fields)], sch)
+    io.upsert(df2, table, SC.NATURAL_KEYS[table])
+    got = io.read(table).collect()
+    assert len(got) == 1 and got[0].last_price == Decimal("6.0000") and got[0].volume == 25
+
+    # drifted frame (missing greeks, wrong strike type) is rejected
+    import pytest as _pytest
+
+    bad = df.drop("delta").withColumn("strike", df.strike.cast("double"))
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        SC.validate(bad, table)

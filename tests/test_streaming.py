@@ -198,3 +198,64 @@ def test_stream_upsert_into_warehouse(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup_state_spans_batches(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): the
+    first-seen doc per content hash survives; a duplicate arriving
+    in a LATER micro-batch is dropped (keyed state crosses the
+    micro-batch boundary), and the emitted hash set equals the batch
+    dedup answer."""
+    from datetime import datetime
+
+    from fin_trade_craft_spark.streaming.stream_agg import (
+        dedup_stream,
+        run_available_now_append,
+    )
+
+    t = datetime(2024, 5, 1, 10, 0, 0)
+    schema = "doc_id long, text string, ts timestamp"
+    batch1 = spark.createDataFrame(
+        [(1, "alpha beta gamma", t), (2, "alpha  beta gamma ", t), (3, "unique one", t)],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [(4, "alpha beta gamma", t), (5, "unique two", t), (6, "unique one", t)],
+        schema,
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+
+    def _stage(df, name):
+        out = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(out))
+        part = next(out.glob("part-*.parquet"))
+        part.rename(src / f"{name}.parquet")
+
+    _stage(batch1, "f1")
+    _stage(batch2, "f2")
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)  # force one file per micro-batch
+        .parquet(str(src))
+    )
+    rows = run_available_now_append(
+        dedup_stream(stream, watermark="1 hour"), str(tmp_path / "ckpt"), "deduped"
+    )
+
+    # 3 distinct contents -> 3 emitted rows, one per hash
+    hashes = [r.content_md5 for r in rows]
+    assert len(rows) == 3 and len(set(hashes)) == 3
+    # matches the batch dedup answer on the same data
+    batch_hashes = {
+        r.h
+        for r in batch1.unionByName(batch2)
+        .select(F.md5(F.regexp_replace(F.trim("text"), r"\s+", " ")).alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert set(hashes) == batch_hashes
+    # the cross-batch duplicates (docs 4 and 6) were dropped by
+    # state carried over from micro-batch 1
+    assert not {4, 6} & {r.doc_id for r in rows}
