@@ -37,8 +37,10 @@ def bench_query_names() -> list[str]:
         "top_orders_per_segment",
         "segment_percentile_bounds",
         # window / time-series family
+        "nation_trade_volume",
         "rolling_user_features",
         "user_session_stats",
+        "calendar_gap_fill",
         "sma_crossover_signals",
         "rsi_zone_signals",
         "hourly_event_rollup",

@@ -715,8 +715,114 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bi-nation shipping volume by year.
+
+    Scale shape: the nation filter is pushed INTO the supplier and
+    customer dims before any fact join (classic Q7 rewrite), so the
+    lineitem side is reduced by the broadcast semi-ish join to the
+    ~2/25 qualifying suppliers BEFORE the fact-fact shuffle join
+    with orders — at 100 TB the big shuffle moves only qualifying
+    rows."""
+    n1, n2 = "NATION_18", "NATION_19"
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(n1, n2))
+    ns = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    nc = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    j = (
+        li.join(F.broadcast(ns), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nc), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_NATION_TRADE_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+       OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped max-of-aggregate: the supplier(s) whose
+    quarterly revenue equals the global maximum — an agg joined back
+    against its own scalar max (the view + subquery idiom). The max
+    is one broadcast scalar row; equality on exactly-accumulated
+    decimal-derived doubles is engine-portable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(disc_price).cast("double").alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mr"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mr"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "nation_trade_volume": nation_trade_volume,
+    "top_supplier_revenue": top_supplier_revenue,
     "conditional_pivot_agg": conditional_pivot_agg,
     "order_priority_stats": order_priority_stats,
     "union_all_report": union_all_report,
@@ -740,6 +846,8 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
+    "nation_trade_volume": ORACLE_NATION_TRADE_VOLUME,
+    "top_supplier_revenue": ORACLE_TOP_SUPPLIER_REVENUE,
     "conditional_pivot_agg": ORACLE_CONDITIONAL_PIVOT,
     "order_priority_stats": ORACLE_ORDER_PRIORITY_STATS,
     "union_all_report": ORACLE_UNION_ALL_REPORT,

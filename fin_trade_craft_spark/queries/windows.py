@@ -538,6 +538,68 @@ WINDOW w AS (
 """
 
 
+def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-calendar gap fill with LOCF (last observation carried
+    forward) — the time-series alignment step every market pipeline
+    needs (sparse quotes → dense trading calendar): build each
+    user's full day spine (``sequence`` + explode — per-row array,
+    no cross join), left-join the daily aggregate, and forward-fill
+    via ``last(ignorenulls)`` over the per-user frame.
+
+    Scale shape: one shuffle on user_id for the daily agg, the
+    spine explodes from the tiny per-user range frame, and the fill
+    window reuses the user partitioning. No driver-side calendar,
+    no cross join against a date dimension."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("date")
+    ).agg(dsum("value").alias("day_value"))
+    rng = daily.groupBy("user_id").agg(F.min("date").alias("d0"), F.max("date").alias("d1"))
+    spine = rng.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("date")
+    )
+    j = spine.join(daily, ["user_id", "date"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "date",
+        F.col("day_value").alias("raw_value"),
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("day_value").isNull().alias("was_filled"),
+    )
+
+
+ORACLE_CALENDAR_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS date,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT user_id, MIN(date) AS d0, MAX(date) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                              CAST(d1 AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS DATE) AS date
+  FROM rng
+), j AS (
+  SELECT s.user_id, s.date, d.day_value
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.date = d.date
+)
+SELECT user_id, date, day_value AS raw_value,
+       LAST_VALUE(day_value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       day_value IS NULL AS was_filled
+FROM j
+"""
+
+
 def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per (user, day), one count column per event_type —
     the declarative form of the reference's 30-column manual
@@ -582,6 +644,7 @@ QUERIES = {
     "hourly_event_rollup": hourly_event_rollup,
     "trailing_7d_user_value": trailing_7d_user_value,
     "events_pivot_daily": events_pivot_daily,
+    "calendar_gap_fill": calendar_gap_fill,
 }
 
 ORACLES = {
@@ -600,4 +663,5 @@ ORACLES = {
     "hourly_event_rollup": ORACLE_HOURLY_EVENT_ROLLUP,
     "trailing_7d_user_value": ORACLE_TRAILING_7D_USER_VALUE,
     "events_pivot_daily": ORACLE_EVENTS_PIVOT_DAILY,
+    "calendar_gap_fill": ORACLE_CALENDAR_GAP_FILL,
 }

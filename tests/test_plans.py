@@ -81,6 +81,19 @@ def test_aggregates_are_partial_then_final(spark):
     assert _exchanges(plan) <= 2  # agg + presentation orderBy
 
 
+def test_nation_trade_volume_filters_dims_before_fact_join(spark):
+    """Q7 shape: the nation filter must reach the supplier/customer
+    dims (broadcast), leaving ONE fact-fact shuffle join — not a
+    post-join filter over the full lineitem×orders product."""
+    from fin_trade_craft_spark.queries.relational import nation_trade_volume
+
+    plan = _formatted(nation_trade_volume(spark, SF_SMOKE))
+    assert _broadcast_joins(plan) >= 3
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # lineitem scan keeps the shipdate pushdown
+    assert "l_shipdate" in plan and "PushedFilters" in plan
+
+
 def test_asof_join_compiles_to_equi_join(spark):
     """The as-of join's key equality rides inside the composite
     join condition (operators/asof.py); Catalyst must extract it
