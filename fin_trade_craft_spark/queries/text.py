@@ -205,7 +205,8 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOKS = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
 
 ORACLE_DOC_CHUNKS = f"""
 WITH d AS (
@@ -389,9 +390,113 @@ FROM base JOIN top ON base.doc_id = top.doc_id
 """
 
 
+def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split — the holdout-assignment step
+    of a training-data pipeline, done by CONTENT HASH, not RNG:
+    identical across engines, runs, and parallelism, and duplicate
+    documents land in the same split (no train/eval leakage through
+    near-identical copies). First md5 nibble ∈ {0,1} → eval
+    (2/16 = 12.5% expected)."""
+    d = _docs(spark, sf_dir)
+    h = T.content_hash(F.col("text"))
+    return d.select(
+        "doc_id",
+        h.alias("content_md5"),
+        F.when(F.substring(h, 1, 1).isin("0", "1"), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+ORACLE_TRAIN_EVAL_SPLIT = f"""
+SELECT doc_id, md5({_NORM}) AS content_md5,
+       CASE WHEN substr(md5({_NORM}), 1, 1) IN ('0', '1')
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+SHARD_TOKEN_BUDGET = 512
+
+
+def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment — the sequence-packing step of
+    a training pipeline: within each language, documents (in stable
+    doc_id order) are packed into shards of ~{budget} tokens via a
+    running token count; shard_id = floor(tokens_before / budget).
+    One window over the lang partitioning — no driver-side bin
+    packing loop; at 100 TB this is the same single shuffle on the
+    partition key any per-lang feature pays."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(T.tokens(F.col("text"))).alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        before.alias("tokens_before"),
+        F.floor(before / F.lit(SHARD_TOKEN_BUDGET)).cast("bigint").alias("shard_id"),
+    )
+
+
+ORACLE_SHARD_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, tokens_before,
+       CAST(floor(tokens_before / {SHARD_TOKEN_BUDGET}.0) AS BIGINT) AS shard_id
+FROM c
+"""
+
+
+def props_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number-scrubbing redaction over the semi-structured ``props``
+    column (the PII-scrub shape: pattern → placeholder, with audit
+    counts). Pure JVM regex — per event_type: events processed,
+    digit-runs redacted, and distinct post-redaction templates
+    (collapsing values exposes the schema of the JSON payloads)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    redacted = F.regexp_replace("props", r"\d+", "#")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.regexp_count("props", F.lit(r"\d+"))).alias("n_digit_runs"),
+            F.countDistinct(redacted).alias("n_templates"),
+        )
+    )
+
+
+ORACLE_PROPS_REDACT = r"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(len(regexp_extract_all(props, '\d+'))) AS BIGINT) AS n_digit_runs,
+       COUNT(DISTINCT regexp_replace(props, '\d+', '#', 'g')) AS n_templates
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "doc_repetition_filter": doc_repetition_filter,
+    "train_eval_split": train_eval_split,
+    "shard_packing": shard_packing,
+    "props_redact": props_redact,
     "lang_id_heuristic": lang_id_heuristic,
     "token_stats": token_stats,
     "doc_fingerprints": doc_fingerprints,
@@ -403,6 +508,9 @@ QUERIES = {
 ORACLES = {
     "doc_quality_scores": ORACLE_DOC_QUALITY_SCORES,
     "doc_repetition_filter": ORACLE_DOC_REPETITION_FILTER,
+    "train_eval_split": ORACLE_TRAIN_EVAL_SPLIT,
+    "shard_packing": ORACLE_SHARD_PACKING,
+    "props_redact": ORACLE_PROPS_REDACT,
     "lang_id_heuristic": ORACLE_LANG_ID_HEURISTIC,
     "token_stats": ORACLE_TOKEN_STATS,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
