@@ -116,6 +116,62 @@ def exact_jaccard_pairs(
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
+def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over a near-dup pair graph — turns
+    pairwise matches into dedup CLUSTERS (cluster id = min doc id
+    reachable). Input: (d1, d2) edges. Output: (doc_id, cluster_id).
+
+    Min-label propagation: each iteration every node takes the min
+    of its own label and its neighbors' labels; converged when no
+    label changes. Iterations = graph diameter — near-dup clusters
+    are shallow (a dup cluster's diameter is rarely > a few hops),
+    so the loop is a handful of joins, each a plain shuffle the
+    optimizer handles; ``localCheckpoint`` per round cuts the
+    exponential lineage. The driver-side part is ONE small count per
+    iteration (the convergence check), never data. (GraphFrames'
+    CC is this same algorithm with alternating large/small star
+    optimizations; unavailable in this env and unnecessary at
+    dup-cluster diameters.)"""
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def minhash_signatures(shingle_sets: DataFrame, id_col: str = "doc_id", num_perm: int = 8) -> DataFrame:
     """k deterministic min-hashes per doc: perm i = min over
     shingles of md5('<i>:'||shingle). String-min over lowercase hex

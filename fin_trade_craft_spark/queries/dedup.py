@@ -173,6 +173,77 @@ WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pairwise matches — what a dedup
+    pipeline actually keeps: MinHash-LSH candidates → exact-Jaccard
+    verified pairs → connected components (cluster id = min doc id
+    in the component) → per-cluster size + canonical flag. The
+    verified pair graph is tiny relative to the corpus, so the
+    iterative label propagation runs over edges only."""
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=True)
+    sigs = D.minhash_signatures(sets, num_perm=8)
+    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
+    pairs = D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands)
+    cc = D.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        cc.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
+
+
+# transitive closure by recursive UNION (distinct) — min reachable
+# id per node IS the component id; the same candidate/verify tiers
+# as the Spark side feed the edge list
+ORACLE_DEDUP_CLUSTERS = f"""
+{_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id,
+{_MH_COLS}
+  FROM sh_sets
+),
+banded AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes_sh AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_sets),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh_sets),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2
+  FROM cands JOIN inter USING (d1, d2)
+  JOIN sizes_sh s1 ON d1 = s1.doc_id JOIN sizes_sh s2 ON d2 = s2.doc_id
+  WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+),
+rec AS (
+  WITH RECURSIVE reach(node, root) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+  )
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM rec GROUP BY cluster_id)
+SELECT doc_id, cluster_id, cluster_size, doc_id = cluster_id AS is_canonical
+FROM rec JOIN csize USING (cluster_id)
+"""
+
+
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures + 4-bit bucket histogram join."""
     sigs = D.simhash_bits(_docs_wide(spark, sf_dir))
@@ -256,12 +327,14 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_verified": dedup_jaccard_verified,
+    "dedup_clusters": dedup_clusters,
     "minhash_near_dupes": minhash_near_dupes,
     "simhash_buckets": simhash_buckets,
     "simhash_hamming_pairs": simhash_hamming_pairs,
 }
 
 ORACLES = {
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_jaccard_verified": ORACLE_DEDUP_JACCARD_VERIFIED,

@@ -538,6 +538,132 @@ WINDOW w AS (
 """
 
 
+def vwap_trailing_5d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-day volume-weighted average price per user —
+    the VWAP shape every market pipeline carries: daily bars
+    (one shuffle, map-side combined) then a ratio of two exact
+    rolling sums over the per-user frame. The rolling sums
+    re-accumulate in DECIMAL so the 5-row fold is associative —
+    double window sums can differ between engines' frame
+    evaluation orders (and between executor counts) in the last
+    ulp."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("date")
+    ).agg(
+        dsum("value").alias("day_value"),
+        F.count(F.lit(1)).alias("day_volume"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("date")
+        .rowsBetween(-4, 0)
+    )
+    vsum = F.sum(F.col("day_value").cast("decimal(18,2)")).over(w).cast("double")
+    vol = F.sum("day_volume").over(w)
+    return daily.select(
+        "user_id",
+        "date",
+        "day_value",
+        "day_volume",
+        (vsum / vol).alias("vwap_5d"),
+        vol.alias("volume_5d"),
+    )
+
+
+ORACLE_VWAP_TRAILING_5D = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS date,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value,
+         COUNT(*) AS day_volume
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, date, day_value, day_volume,
+       CAST(SUM(CAST(day_value AS DECIMAL(18,2)))
+              OVER (PARTITION BY user_id ORDER BY date
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(SUM(day_volume) OVER (PARTITION BY user_id ORDER BY date
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS vwap_5d,
+       CAST(SUM(day_volume) OVER (PARTITION BY user_id ORDER BY date
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS volume_5d
+FROM daily
+"""
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — users grouped by first-seen day, counted
+    at each day offset they return: two hash aggregates (per-user
+    min day, then distinct users per (cohort, offset)). The classic
+    product-analytics rollup; both shuffles key on small columns."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_date"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy("cohort_date", F.datediff("day", F.col("cohort_date")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_USER_RETENTION_COHORTS = """
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day FROM events
+), first AS (
+  SELECT user_id, MIN(day) AS cohort_date FROM d GROUP BY user_id
+)
+SELECT cohort_date, datediff('day', cohort_date, day) AS day_offset,
+       COUNT(DISTINCT d.user_id) AS n_users
+FROM d JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel on first-occurrence ordering:
+    one conditional-min aggregate per user (a single shuffle), then
+    a global stage rollup. The strict-sequence variant (click after
+    the qualifying view, not just after any view) is the same shape
+    with windowed condition chains."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return per.agg(
+        F.count(F.when(s1, 1)).alias("n_view"),
+        F.count(F.when(s2, 1)).alias("n_view_click"),
+        F.count(F.when(s3, 1)).alias("n_view_click_purchase"),
+        (F.count(F.when(s2, 1)).cast("double") / F.count(F.when(s1, 1))).alias("view_to_click"),
+        (F.count(F.when(s3, 1)).cast("double") / F.count(F.when(s2, 1))).alias("click_to_purchase"),
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+WITH per AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+       COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END) AS n_view_click_purchase,
+       CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS DOUBLE)
+         / COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS view_to_click,
+       CAST(COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END) AS DOUBLE)
+         / COUNT(CASE WHEN t_click > t_view THEN 1 END) AS click_to_purchase
+FROM per
+"""
+
+
 def calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense-calendar gap fill with LOCF (last observation carried
     forward) — the time-series alignment step every market pipeline
@@ -645,6 +771,9 @@ QUERIES = {
     "trailing_7d_user_value": trailing_7d_user_value,
     "events_pivot_daily": events_pivot_daily,
     "calendar_gap_fill": calendar_gap_fill,
+    "vwap_trailing_5d": vwap_trailing_5d,
+    "user_retention_cohorts": user_retention_cohorts,
+    "event_funnel": event_funnel,
 }
 
 ORACLES = {
@@ -664,4 +793,7 @@ ORACLES = {
     "trailing_7d_user_value": ORACLE_TRAILING_7D_USER_VALUE,
     "events_pivot_daily": ORACLE_EVENTS_PIVOT_DAILY,
     "calendar_gap_fill": ORACLE_CALENDAR_GAP_FILL,
+    "vwap_trailing_5d": ORACLE_VWAP_TRAILING_5D,
+    "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
+    "event_funnel": ORACLE_EVENT_FUNNEL,
 }
