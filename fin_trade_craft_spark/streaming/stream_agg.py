@@ -105,6 +105,42 @@ def session_stats_stream(
     )
 
 
+def click_attribution_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    attribution: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join: each click joins the views by
+    the same user in the preceding ``attribution`` window — the
+    attribution shape (impression→conversion) that needs BOTH sides
+    buffered in state. Watermarks on both event times bound that
+    state: a view can be evicted once no on-time click can still
+    match it (watermark + attribution window), which is what keeps
+    a forever-running join from accumulating forever. The time-range
+    predicate is what lets Spark derive that eviction bound — an
+    unconstrained stream-stream join would be unbounded state."""
+    v = views.select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        "value",
+    ).withWatermark("click_ts", watermark)
+    cond = (
+        (v["user_id"] == c["c_user_id"])
+        & (c["click_ts"] >= v["view_ts"])
+        & (c["click_ts"] <= v["view_ts"] + F.expr(f"INTERVAL {attribution}"))
+    )
+    return v.join(c, cond, "inner").select(
+        "user_id", "view_id", "view_ts", "click_id", "click_ts", "value"
+    )
+
+
 def dedup_stream(docs: DataFrame, watermark: str = "1 hour", ts_col: str = "ts") -> DataFrame:
     """Streaming exact dedup — the streaming twin of
     ``queries.dedup.dedup_exact``: first-seen document per content

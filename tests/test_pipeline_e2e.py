@@ -118,3 +118,27 @@ def test_full_pipeline(spark, tmp_path):
     pipe2 = build_default_pipeline(io)
     r2 = pipe2.run(include_market=False)
     assert not any(r.group == "market" for r in r2)
+
+
+def test_cli_group_resolution_and_dry_run(capsys):
+    """CLI flag semantics mirror the reference
+    (run_daily_transform.py:394-421): --only/--skip exclusive,
+    market opt-in, --dry-run prints without a SparkSession."""
+    import pytest as _pytest
+
+    from fin_trade_craft_spark.cli import main, resolve_groups
+
+    assert resolve_groups(None, None, False) == [
+        "fundamentals", "quality", "insider", "economic", "earnings",
+    ]
+    assert resolve_groups(None, None, True)[3] == "market"
+    assert resolve_groups(["quality"], None, False) == ["quality"]
+    assert resolve_groups(None, ["insider", "earnings"], False) == [
+        "fundamentals", "quality", "economic",
+    ]
+    with _pytest.raises(SystemExit):
+        resolve_groups(["quality"], ["insider"], False)
+
+    assert main(["--dry-run", "--skip", "economic"]) == 0
+    out = capsys.readouterr().out
+    assert "would run group: fundamentals" in out and "economic" not in out

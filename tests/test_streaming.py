@@ -259,3 +259,49 @@ def test_stream_dedup_state_spans_batches(spark, tmp_path):
     # the cross-batch duplicates (docs 4 and 6) were dropped by
     # state carried over from micro-batch 1
     assert not {4, 6} & {r.doc_id for r in rows}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream click-attribution join (watermarked both sides,
+    time-range predicate) must produce exactly the batch join's
+    matches on the same data."""
+    from fin_trade_craft_spark.streaming.stream_agg import (
+        click_attribution_stream,
+        run_available_now_append,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    (src_dir / "events.parquet").symlink_to(f"{SF_SMOKE}/events.parquet")
+
+    def views_clicks(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "click"),
+        )
+
+    stream = read_events_stream(spark, str(src_dir), schema)
+    sv, sc = views_clicks(stream)
+    rows = run_available_now_append(
+        click_attribution_stream(sv, sc), str(tmp_path / "ckpt"), "attributed"
+    )
+    got = sorted((r.user_id, r.view_id, r.click_id) for r in rows)
+    assert len(got) > 0
+
+    bv, bc = views_clicks(load_table(spark, SF_SMOKE, "events"))
+    v = bv.select("user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id"))
+    c = bc.select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    batch = v.join(
+        c,
+        (v["user_id"] == c["c_user_id"])
+        & (c["click_ts"] >= v["view_ts"])
+        & (c["click_ts"] <= v["view_ts"] + F.expr("INTERVAL 1 hour")),
+    )
+    want = sorted((r.user_id, r.view_id, r.click_id) for r in batch.collect())
+    assert got == want
