@@ -819,6 +819,190 @@ ORDER BY s_suppkey
 """
 
 
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped distribution-of-counts: how many customers
+    placed exactly N qualifying orders (urgent orders excluded by a
+    filter pushed below the join). Two aggregations: a left join
+    counts orders per customer (NULL-safe — customers with none
+    count 0), then the counts themselves are histogrammed. At scale
+    the first agg shuffles on c_custkey (the join key, reused), the
+    second shuffles tiny (one row per distinct count)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != F.lit("1-URGENT")
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             WHERE o_orderpriority <> '1-URGENT') o
+    ON c_custkey = o.o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped IN-subquery-on-aggregate: orders whose total
+    lineitem quantity exceeds a threshold, enriched with the
+    customer. The IN (SELECT ... HAVING SUM > t) de-correlates to a
+    per-order aggregate + semi-join; here the aggregate IS the
+    payload, so it is computed once and inner-joined — one shuffle
+    on l_orderkey, then a join that AQE sizes (the filtered agg is
+    small → broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(250.0))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+ORACLE_LARGE_VOLUME_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped scalar-subquery + anti-join: customers whose
+    balance is above the average positive balance but who have no
+    open ('O') orders, summarized per market segment. The scalar avg
+    is one broadcast row (a cross join with a 1-row frame); the
+    NOT EXISTS is a left-anti join on c_custkey. At scale the anti
+    join shuffles both sides on the key once — no per-row subquery."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    open_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == F.lit("O")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_IDLE_RICH_CUSTOMERS = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped EXISTS / NOT-EXISTS chain: suppliers who
+    were the ONLY late shipper (ship > order date + 90 days) on a
+    finished multi-supplier order. Rather than executing correlated
+    EXISTS probes, both existence tests de-correlate into one
+    per-order aggregate — distinct suppliers total and distinct late
+    suppliers — so the whole query is two hash aggregations on
+    l_orderkey plus a broadcast of the supplier dim. This is the
+    plan shape that survives 100 TB; correlated-subquery execution
+    would not."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == F.lit("F")
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias("is_late"),
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    sole_late = (
+        joined.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(sup), sole_late.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+ORACLE_SOLE_LATE_SUPPLIERS = """
+WITH joined AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM joined GROUP BY l_orderkey
+), sole_late AS (
+  SELECT DISTINCT j.l_orderkey, j.l_suppkey
+  FROM joined j
+  JOIN per_order p ON j.l_orderkey = p.l_orderkey
+  WHERE j.is_late AND p.n_supp > 1 AND p.n_late_supp = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM sole_late JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "nation_trade_volume": nation_trade_volume,
@@ -842,6 +1026,10 @@ QUERIES = {
     "salted_skew_join": salted_skew_join,
     "small_quantity_revenue": small_quantity_revenue,
     "revenue_rollup": revenue_rollup,
+    "customer_order_distribution": customer_order_distribution,
+    "large_volume_orders": large_volume_orders,
+    "idle_rich_customers": idle_rich_customers,
+    "sole_late_suppliers": sole_late_suppliers,
 }
 
 ORACLES = {
@@ -867,4 +1055,8 @@ ORACLES = {
     "salted_skew_join": ORACLE_SALTED_SKEW_JOIN,
     "small_quantity_revenue": ORACLE_SMALL_QUANTITY_REVENUE,
     "revenue_rollup": ORACLE_REVENUE_ROLLUP,
+    "customer_order_distribution": ORACLE_CUSTOMER_ORDER_DISTRIBUTION,
+    "large_volume_orders": ORACLE_LARGE_VOLUME_ORDERS,
+    "idle_rich_customers": ORACLE_IDLE_RICH_CUSTOMERS,
+    "sole_late_suppliers": ORACLE_SOLE_LATE_SUPPLIERS,
 }

@@ -491,6 +491,152 @@ GROUP BY event_type
 """
 
 
+CONTAM_K = 8  # shingle width for eval-overlap detection
+
+
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan — the decontamination stage of a
+    training-data pipeline: for every TRAIN document, the fraction
+    of its distinct 8-gram shingles that also appear anywhere in the
+    EVAL split (same content-hash split as ``train_eval_split``, so
+    the check is deterministic and leakage-proof by construction).
+
+    Scale shape: the eval side of a real pipeline is benchmark-sized
+    (thousands of docs), so its distinct-shingle set broadcasts; the
+    100 TB train side is then a map-side semi-join probe — no
+    shuffle of the corpus. At fixture scale the same plan runs with
+    the eval set a few thousand rows."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        T.content_hash(F.col("text")).alias("h"),
+        T.tokens(F.col("text")).alias("toks"),
+    ).filter(F.expr(f"size(toks) >= {CONTAM_K}"))
+    is_eval = F.substring("h", 1, 1).isin("0", "1")
+    sh = d.select(
+        "doc_id",
+        is_eval.alias("is_eval"),
+        F.explode(T.shingles("toks", CONTAM_K)).alias("g"),
+    )
+    eval_g = sh.filter(F.col("is_eval")).select("g").distinct()
+    train = sh.filter(~F.col("is_eval"))
+    base = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(eval_g), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    frac = F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double")
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.coalesce(frac, F.lit(0.0)).alias("contamination_frac"),
+            F.coalesce(frac > 0.05, F.lit(False)).alias("is_contaminated"),
+        )
+    )
+
+
+ORACLE_EVAL_CONTAMINATION = f"""
+WITH d AS (
+  SELECT doc_id, md5({_NORM}) AS h, {_TOKS} AS toks FROM documents
+), t AS (
+  SELECT doc_id, substr(h, 1, 1) IN ('0', '1') AS is_eval, toks
+  FROM d WHERE len(toks) >= {CONTAM_K}
+), sh AS (
+  SELECT doc_id, is_eval,
+         unnest(list_distinct(list_transform(range(1, len(toks) - {CONTAM_K - 2}),
+                i -> array_to_string(list_slice(toks, i, i + {CONTAM_K - 1}), ' ')))) AS g
+  FROM t
+), eval_g AS (
+  SELECT DISTINCT g FROM sh WHERE is_eval
+), train AS (
+  SELECT doc_id, g FROM sh WHERE NOT is_eval
+), base AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM train WHERE g IN (SELECT g FROM eval_g) GROUP BY doc_id
+)
+SELECT base.doc_id, n_shingles,
+       COALESCE(n_contaminated, 0) AS n_contaminated,
+       COALESCE(CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE), 0.0)
+         AS contamination_frac,
+       COALESCE(CAST(n_contaminated AS DOUBLE) / CAST(n_shingles AS DOUBLE) > 0.05, FALSE)
+         AS is_contaminated
+FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+"""
+
+
+BOILER_K = 5     # n-gram width for cross-doc boilerplate detection
+BOILER_MIN_DOCS = 2  # a 5-gram in >= this many distinct docs is boilerplate
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate pruning (the C4/CCNet shared-
+    n-gram shape): 5-grams occurring in multiple DISTINCT documents
+    are boilerplate; each doc reports what fraction of its distinct
+    5-grams are boilerplate and whether it survives the prune.
+
+    Scale shape: per-doc distinct shingles explode → one hash
+    aggregation keyed by the gram (map-side partial count, since
+    each doc contributes a gram once the distinct-doc count is a
+    plain count) → the boilerplate gram set semi-joins back. Both
+    shuffles key on the gram; at 100 TB the gram string would ride
+    as xxhash64(gram) to shrink the shuffle — kept as the string
+    here for cross-engine value parity."""
+    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    d = d.filter(F.expr(f"size(toks) >= {BOILER_K}"))
+    sh = d.select("doc_id", F.explode(T.shingles("toks", BOILER_K)).alias("g"))
+    boiler = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= F.lit(BOILER_MIN_DOCS))
+        .select("g")
+    )
+    base = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.join(boiler, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    frac = F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+        F.coalesce(frac, F.lit(0.0)).alias("boiler_frac"),
+        F.coalesce(frac <= 0.5, F.lit(True)).alias("keep"),
+    )
+
+
+ORACLE_BOILERPLATE_NGRAMS = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), t AS (
+  SELECT doc_id, toks FROM d WHERE len(toks) >= {BOILER_K}
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - {BOILER_K - 2}),
+                i -> array_to_string(list_slice(toks, i, i + {BOILER_K - 1}), ' ')))) AS g
+  FROM t
+), boiler AS (
+  SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= {BOILER_MIN_DOCS}
+), base AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_boiler
+  FROM sh WHERE g IN (SELECT g FROM boiler) GROUP BY doc_id
+)
+SELECT base.doc_id, n_shingles,
+       COALESCE(n_boiler, 0) AS n_boiler,
+       COALESCE(CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE), 0.0) AS boiler_frac,
+       COALESCE(CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE) <= 0.5, TRUE) AS keep
+FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+"""
+
+
 QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "doc_repetition_filter": doc_repetition_filter,
@@ -503,6 +649,8 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "json_props_stats": json_props_stats,
     "doc_prep_pipeline": doc_prep_pipeline,
+    "eval_contamination": eval_contamination,
+    "boilerplate_ngrams": boilerplate_ngrams,
 }
 
 ORACLES = {
@@ -517,4 +665,6 @@ ORACLES = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "json_props_stats": ORACLE_JSON_PROPS_STATS,
     "doc_prep_pipeline": ORACLE_DOC_PREP_PIPELINE,
+    "eval_contamination": ORACLE_EVAL_CONTAMINATION,
+    "boilerplate_ngrams": ORACLE_BOILERPLATE_NGRAMS,
 }
