@@ -439,6 +439,49 @@ WHERE dot / (SQRT(na.n2) * SQRT(nb.n2)) >= 0.35
 """
 
 
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@k of the IVF tier against the
+    exact brute-force top-k, per query vector. This is the harness a
+    pipeline runs after (re)building the coarse quantizer to decide
+    whether nprobe / centroid count still meet the recall budget.
+
+    Scale shape: both sides are top-k result sets (queries × k rows
+    — benchmark-sized, NOT corpus-sized), so the comparison join is
+    trivially broadcast; the cost is the two searches themselves,
+    each already scale-shaped (IVF probes buckets, brute force is
+    the deliberate exact baseline)."""
+    exact = knn_bruteforce(spark, sf_dir).select("qid", "nid")
+    approx = ivf_search(spark, sf_dir).select("qid", "nid", F.lit(1).alias("hit"))
+    return (
+        exact.join(F.broadcast(approx), ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "qid",
+            "k",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("k").cast("double")).alias("recall_at_k"),
+        )
+    )
+
+
+ORACLE_ANN_RECALL = f"""
+WITH exact_k AS (
+  SELECT qid, nid FROM ({ORACLE_KNN_BRUTEFORCE})
+), ivf_k AS (
+  SELECT qid, nid, 1 AS hit FROM ({ORACLE_IVF_SEARCH})
+)
+SELECT e.qid, COUNT(*) AS k,
+       CAST(SUM(COALESCE(i.hit, 0)) AS BIGINT) AS n_hits,
+       CAST(SUM(COALESCE(i.hit, 0)) AS DOUBLE) / COUNT(*) AS recall_at_k
+FROM exact_k e LEFT JOIN ivf_k i ON e.qid = i.qid AND e.nid = i.nid
+GROUP BY e.qid
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "label_centroids": label_centroids,
@@ -446,9 +489,11 @@ QUERIES = {
     "ivf_search": ivf_search,
     "embedding_near_dupes": embedding_near_dupes,
     "srp_lsh_near_dupes": srp_lsh_near_dupes,
+    "ann_recall": ann_recall,
 }
 
 ORACLES = {
+    "ann_recall": ORACLE_ANN_RECALL,
     "ivf_search": ORACLE_IVF_SEARCH,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,
     "label_centroids": ORACLE_LABEL_CENTROIDS,

@@ -637,6 +637,75 @@ FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
 """
 
 
+TFIDF_TOP = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by a TF-IDF-shaped
+    rarity score — the keyword-extraction step of a corpus indexing
+    pipeline. Score = tf · (N+1)/(df+1): the same monotone-in-1/df
+    ranking as log-IDF, but log-free — every factor is an exact
+    integer and the single division is IEEE-correctly-rounded, so
+    the score is bit-identical across engines (ln() is not
+    correctly-rounded and may differ in the last ulp between
+    libm implementations).
+
+    Scale shape: two hash aggregations — (doc, term) term
+    frequencies, then term document frequencies (map-side partial on
+    both) — a broadcast of the df table is NOT needed: df joins back
+    on the term key the tf frame already shuffled on. Top-3 per doc
+    is a bounded window."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * (F.col("n_docs") + 1)).cast("double")
+                / (F.col("df") + 1).cast("double")
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term, tf, df,
+         CAST(tf * (n_docs + 1) AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, df, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP}
+"""
+
+
 QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "doc_repetition_filter": doc_repetition_filter,
@@ -651,9 +720,11 @@ QUERIES = {
     "doc_prep_pipeline": doc_prep_pipeline,
     "eval_contamination": eval_contamination,
     "boilerplate_ngrams": boilerplate_ngrams,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLES = {
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "doc_quality_scores": ORACLE_DOC_QUALITY_SCORES,
     "doc_repetition_filter": ORACLE_DOC_REPETITION_FILTER,
     "train_eval_split": ORACLE_TRAIN_EVAL_SPLIT,

@@ -1,0 +1,35 @@
+"""Differential tests: embedding-similarity queries vs their DuckDB
+oracles at sf0.001 (mirrors test_relational.py)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.check_correctness import compare  # noqa: E402
+
+from fin_trade_craft_spark.queries import similarity  # noqa: E402
+
+from conftest import SF_SMOKE  # noqa: E402
+
+ORACLED = sorted(set(similarity.QUERIES) & set(similarity.ORACLES))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_similarity_vs_oracle(spark, duck, name):
+    sdf = similarity.QUERIES[name](spark, SF_SMOKE).toPandas()
+    odf = duck.execute(similarity.ORACLES[name]).df()
+    assert len(sdf) > 0, f"{name}: empty result"
+    ok, msg = compare(sdf, odf)
+    assert ok, f"{name}: {msg}"
+
+
+def test_ann_recall_bounds(spark):
+    pdf = similarity.QUERIES["ann_recall"](spark, SF_SMOKE).toPandas()
+    assert (pdf["k"] == 5).all()
+    assert ((pdf["recall_at_k"] >= 0) & (pdf["recall_at_k"] <= 1)).all()
+    assert (pdf["n_hits"] <= pdf["k"]).all()
