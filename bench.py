@@ -52,6 +52,9 @@ def bench_query_names() -> list[str]:
         "doc_repetition_filter",
         "doc_chunks",
         "json_props_stats",
+        "eval_contamination",
+        "boilerplate_ngrams",
+        "tfidf_top_terms",
         # candidate-bounded exact-Jaccard tier: the full-corpus
         # quadratic variant (dedup_ngram_jaccard) stays an oracle
         # correctness query at sf0.01 but is NOT benched — its

@@ -138,3 +138,57 @@ def test_whole_stage_codegen_in_relational_core(spark):
         df.explain(mode="codegen")
     plan = buf.getvalue()
     assert "WholeStageCodegen" in plan and "Found" in plan
+
+
+def test_eval_contamination_broadcasts_eval_set(spark):
+    """The eval shingle set is benchmark-sized and must broadcast:
+    the 100 TB train side is then a map-side semi-join probe. A
+    regression to a shuffled join would shuffle the whole corpus's
+    shingles."""
+    from fin_trade_craft_spark.queries.text import eval_contamination
+
+    plan = _formatted(eval_contamination(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_sole_late_suppliers_no_correlated_execution(spark):
+    """Q21 shape: both EXISTS probes must de-correlate into
+    aggregates — no nested-loop or cartesian anywhere, supplier dim
+    broadcast."""
+    from fin_trade_craft_spark.queries.relational import sole_late_suppliers
+
+    plan = _formatted(sole_late_suppliers(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert _broadcast_joins(plan) >= 1
+
+
+def test_idle_rich_customers_anti_join(spark):
+    """Q22 shape: NOT EXISTS must compile to a single anti join;
+    the scalar average is a broadcast, never a per-row subquery."""
+    from fin_trade_craft_spark.queries.relational import idle_rich_customers
+
+    plan = _formatted(idle_rich_customers(spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_warehouse_partition_pruning(spark, tmp_path):
+    """A date-partitioned warehouse table read with a partition
+    predicate must prune at the SCAN (PartitionFilters), not filter
+    post-read — at 100 TB this is the difference between reading
+    one day and reading the table."""
+    from pyspark.sql import functions as F
+
+    from fin_trade_craft_spark.sources.io import TableIO
+
+    io_ = TableIO(spark, str(tmp_path))
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("day"),
+    )
+    io_.overwrite(df, "t", partition_by=["day"])
+    read = io_.read("t").filter(F.col("day") == "2")
+    plan = _formatted(read)
+    assert re.search(r"PartitionFilters: \[[^\]]*day", plan), plan
+    assert read.count() == 25
