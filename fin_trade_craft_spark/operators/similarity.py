@@ -88,3 +88,62 @@ def knn_bruteforce(
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "nid", "cos_sim")
     )
+
+
+def knn_bruteforce_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Throughput variant of ``knn_bruteforce``: Arrow-batched
+    ``mapInPandas`` with one numpy matmul per batch instead of
+    per-pair JVM lambda accumulation. ~IEEE-double accurate but NOT
+    bit-reproducible across summation orders (BLAS folds in
+    whatever order it likes) — use the decimal path when results
+    must hash-match an oracle; use this when scoring throughput is
+    the budget.
+
+    Scale shape: identical to the exact path — the query matrix
+    rides to every task in the UDF closure (queries are
+    benchmark-sized by contract), the corpus is never shuffled, and
+    each batch emits only its LOCAL top-k per query, so the final
+    global top-k window sees k·|queries| rows per batch, not the
+    corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = cmat @ qmat.T  # (n_corpus_batch, n_queries)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                mask = ids != qids[j]
+                s, nid = sims[mask, j], ids[mask]
+                # local top-k, ties broken by nid asc (matches the
+                # exact path's deterministic ordering)
+                order = np.lexsort((nid, -s))[:k]
+                out_q.extend([qids[j]] * len(order))
+                out_n.extend(nid[order])
+                out_s.extend(s[order])
+            yield pd.DataFrame({"qid": out_q, "nid": out_n, "cos_sim": out_s})
+
+    c = corpus.select(id_col, vec_col)
+    scored = c.mapInPandas(score, "qid long, nid long, cos_sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "nid", "cos_sim")
+    )

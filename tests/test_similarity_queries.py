@@ -33,3 +33,28 @@ def test_ann_recall_bounds(spark):
     assert (pdf["k"] == 5).all()
     assert ((pdf["recall_at_k"] >= 0) & (pdf["recall_at_k"] <= 1)).all()
     assert (pdf["n_hits"] <= pdf["k"]).all()
+
+
+def test_knn_numpy_matches_exact_path(spark):
+    """The throughput (numpy matmul) kNN must return the same
+    neighbor sets as the exact decimal path, with scores equal to
+    float tolerance (bit-equality is exactly what it trades away)."""
+    import pandas as pd
+
+    from fin_trade_craft_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_bruteforce_numpy,
+    )
+    from fin_trade_craft_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(emb.vec_id < 10)
+    exact = knn_bruteforce(emb, q, k=5).toPandas()
+    fast = knn_bruteforce_numpy(emb, q, k=5).toPandas()
+    key = ["qid", "rank"]
+    exact = exact.sort_values(key).reset_index(drop=True)
+    fast = fast.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        exact[["qid", "rank", "nid"]], fast[["qid", "rank", "nid"]]
+    )
+    assert (exact["cos_sim"] - fast["cos_sim"]).abs().max() < 1e-9
