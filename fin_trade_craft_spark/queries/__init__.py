@@ -21,6 +21,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _MODULES: list[str] = [
     "relational",
+    "tpch_shapes",
     "windows",
     "asof",
     "text",
