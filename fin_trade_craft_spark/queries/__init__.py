@@ -25,6 +25,7 @@ _MODULES: list[str] = [
     "windows",
     "asof",
     "text",
+    "corpus_mix",
     "dedup",
     "similarity",
     "pandas_islands",

@@ -1,0 +1,282 @@
+"""Corpus-mixture queries — the dataset-curation stages of a
+training-data pipeline that sit ABOVE per-document filtering:
+temperature-weighted source mixing, deterministic stratified
+sampling, corpus vocabulary statistics, and per-document token
+entropy.
+
+Scale notes (100 TB stance):
+- Mixture weights aggregate the whole corpus down to one row per
+  source (map-side partial sums; the final frame is tiny) — the
+  normalizing sum is a window over that tiny frame, never over the
+  corpus.
+- Stratified sampling is HASH-threshold based, not RNG: the keep
+  decision is a pure function of (doc content hash, per-group
+  rate), so it is identical across engines, runs, retries, and
+  parallelism, and needs no shuffle at all beyond the tiny
+  per-group rate broadcast.
+- Vocabulary stats are a two-level aggregate keyed by (source,
+  term): gram counts partial-aggregate map-side before the single
+  shuffle, and the per-source rollup rides the same partitioning.
+- Token entropy folds a SORTED per-doc count array sequentially
+  (F.aggregate), so the float accumulation order is fixed —
+  bit-identical results at any parallelism, matching the engine's
+  exact-aggregation discipline for doubles that DECIMAL can't carry
+  (logarithms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..sources.catalog import load_table
+
+_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+MIX_ALPHA = 0.7  # temperature exponent, the multilingual-LM default
+MIX_TOKEN_BUDGET = 1_000_000
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing: each source's sampling
+    weight is n_tokens^alpha normalized over sources (alpha < 1
+    upsamples small sources), plus the token quota each source gets
+    from a fixed training budget and the implied epochs over the
+    source (quota / corpus size — >1 means the small source is seen
+    multiple times)."""
+    d = _docs(spark, sf_dir).select(
+        "source", F.size(T.tokens(F.col("text"))).alias("n_tokens")
+    )
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    # pow() is libm-dependent (last-ulp differences across engines)
+    # and the normalizing sum would otherwise fold doubles in
+    # partition order — quantize pow to a fixed decimal grain and
+    # accumulate exactly, then do the divisions in one fixed chain.
+    raw = F.pow(F.col("total_tokens").cast("double"), F.lit(MIX_ALPHA)).cast(
+        "decimal(28,10)"
+    )
+    w = Window.partitionBy()
+    weight = raw.cast("double") / F.sum(raw).over(w).cast("double")
+    quota = weight * F.lit(float(MIX_TOKEN_BUDGET))
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        weight.alias("mix_weight"),
+        quota.alias("token_quota"),
+        (quota / F.col("total_tokens").cast("double")).alias("epochs"),
+    ).orderBy("source")
+
+
+ORACLE_SOURCE_MIXTURE_WEIGHTS = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+), raw_t AS (
+  SELECT source, n_docs, total_tokens,
+         CAST(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS DECIMAL(28,10)) AS raw
+  FROM per_src
+), wt AS (
+  SELECT source, n_docs, total_tokens,
+         CAST(raw AS DOUBLE) / CAST(SUM(raw) OVER () AS DOUBLE) AS mix_weight
+  FROM raw_t
+)
+SELECT source, n_docs, total_tokens, mix_weight,
+       mix_weight * {float(MIX_TOKEN_BUDGET)} AS token_quota,
+       mix_weight * {float(MIX_TOKEN_BUDGET)} / CAST(total_tokens AS DOUBLE) AS epochs
+FROM wt
+ORDER BY source
+"""
+
+
+STRATA_CAP = 60  # target docs per language stratum
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: cap each language stratum
+    at ~STRATA_CAP docs by keeping documents whose content-hash
+    fraction falls below the stratum's rate (rate = cap / n_lang,
+    capped at 1). The hash threshold is compared in hex-string
+    space — the first 8 md5 nibbles against the rate scaled to
+    16^8 — so the decision is engine-independent and needs no RNG
+    state. Duplicated content always samples identically (same
+    hash), which keeps downstream dedup honest."""
+    d = _docs(spark, sf_dir)
+    n_lang = Window.partitionBy("lang")
+    rate = F.least(
+        F.lit(1.0), F.lit(float(STRATA_CAP)) / F.count(F.lit(1)).over(n_lang)
+    )
+    # rate -> zero-padded 8-nibble hex threshold; md5 prefix < threshold <=> keep
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(rate * F.lit(float(16**8))).cast("bigint"))), 8, "0"
+    )
+    h = T.content_hash(F.col("text"))
+    keep = F.substring(h, 1, 8) < thresh
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring(h, 1, 8).alias("hash_prefix"),
+        rate.alias("sample_rate"),
+        keep.alias("sampled"),
+    ).orderBy("doc_id")
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, source,
+         substr(md5({_NORM}), 1, 8) AS hash_prefix,
+         LEAST(1.0, {float(STRATA_CAP)} / COUNT(*) OVER (PARTITION BY lang)) AS sample_rate
+  FROM documents
+)
+SELECT doc_id, lang, source, hash_prefix, sample_rate,
+       hash_prefix < lpad(lower(to_hex(CAST(floor(sample_rate * {float(16 ** 8)}) AS BIGINT))), 8, '0')
+         AS sampled
+FROM d
+ORDER BY doc_id
+"""
+
+
+def vocab_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics: vocabulary size, hapax
+    legomena (terms occurring exactly once in the source), total
+    tokens, hapax ratio, and corpus-level type-token ratio — the
+    Zipf/coverage profile a tokenizer-training or data-mixing pass
+    reads before choosing sources."""
+    d = _docs(spark, sf_dir).select("source", T.tokens(F.col("text")).alias("toks"))
+    term = d.select("source", F.explode("toks").alias("term"))
+    cnt = term.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.sum("c").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            "n_hapax",
+            "total_tokens",
+            (F.col("n_hapax").cast("double") / F.col("vocab_size").cast("double")).alias(
+                "hapax_ratio"
+            ),
+            (F.col("vocab_size").cast("double") / F.col("total_tokens").cast("double")).alias(
+                "ttr"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_VOCAB_HAPAX_STATS = f"""
+WITH term AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+), cnt AS (
+  SELECT source, term, COUNT(*) AS c FROM term GROUP BY source, term
+)
+SELECT source,
+       COUNT(*) AS vocab_size,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hapax_ratio,
+       COUNT(*) / CAST(SUM(c) AS DOUBLE) AS ttr
+FROM cnt
+GROUP BY source
+ORDER BY source
+"""
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution (in
+    bits) plus its normalized form (entropy / log2 vocab) — a
+    quality proxy separating natural text from degenerate repetition
+    (low entropy) and random noise (entropy ≈ max).
+
+    Floats-with-logs can't ride DECIMAL, so determinism comes from
+    ORDER instead: the per-doc term counts are sorted (count, term)
+    and folded sequentially with F.aggregate — the same left-fold a
+    single-threaded oracle performs — making the double sum
+    bit-identical at any parallelism. The fold runs over one small
+    per-doc array, not the corpus: the heavy work is still the
+    (doc, term) hash aggregate, which partial-aggregates map-side."""
+    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    cnt = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.array_sort(F.collect_list(F.struct("c", "term"))).alias("counts"),
+    )
+    n = F.col("n_tokens").cast("double")
+    ent = -F.aggregate(
+        F.col("counts"),
+        F.lit(0.0),
+        lambda acc, s: acc + (s["c"].cast("double") / n) * F.log2(s["c"].cast("double") / n),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.col("vocab").alias("vocab_size"),
+        ent.alias("entropy_bits"),
+        F.when(F.col("vocab") > 1, ent / F.log2(F.col("vocab").cast("double")))
+        .otherwise(F.lit(0.0))
+        .alias("entropy_norm"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TOKEN_ENTROPY = f"""
+WITH term AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), cnt AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM term GROUP BY doc_id, term
+), per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS vocab_size,
+         list_sort(list(struct_pack(c := c, term := term))) AS counts
+  FROM cnt GROUP BY doc_id
+), ent AS (
+  SELECT doc_id, n_tokens, vocab_size,
+         -list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(counts,
+                s -> (CAST(s['c'] AS DOUBLE) / n_tokens) * log2(CAST(s['c'] AS DOUBLE) / n_tokens))),
+            (acc, x) -> acc + x) AS entropy_bits
+  FROM per_doc
+)
+SELECT doc_id, n_tokens, vocab_size, entropy_bits,
+       CASE WHEN vocab_size > 1 THEN entropy_bits / log2(CAST(vocab_size AS DOUBLE))
+            ELSE 0.0 END AS entropy_norm
+FROM ent
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "source_mixture_weights": source_mixture_weights,
+    "stratified_sample": stratified_sample,
+    "vocab_hapax_stats": vocab_hapax_stats,
+    "token_entropy": token_entropy,
+}
+
+ORACLES = {
+    "source_mixture_weights": ORACLE_SOURCE_MIXTURE_WEIGHTS,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "vocab_hapax_stats": ORACLE_VOCAB_HAPAX_STATS,
+    "token_entropy": ORACLE_TOKEN_ENTROPY,
+}
