@@ -36,10 +36,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     are pushed into the parquet scan by Catalyst (verify with
     ``.explain`` → PushedFilters / ReadSchema).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; we read it as a long
-    (nanosAsLong) and truncate to a microsecond TimestampType —
-    matching DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation.
+    ``events.ts`` has been written by the driver as either parquet
+    TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+    as long via nanosAsLong and truncate to microseconds, matching
+    DuckDB's ``CAST(ts AS TIMESTAMP)``) or TIMESTAMP(MICROS) (read
+    natively). Detect which from the loaded type so both driver data
+    generations work.
     """
     # The driver hands us ITS session — pin the runtime confs our
     # semantics depend on (UTC keeps collected timestamps identical
@@ -51,9 +53,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-        # integer DIV, not `/`: ns-since-epoch (~1.7e18) exceeds
-        # double's 53-bit mantissa, so float division is off by ±1µs
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            # integer DIV, not `/`: ns-since-epoch (~1.7e18) exceeds
+            # double's 53-bit mantissa, so float division is off by ±1µs
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if ts_type == "timestamp_ntz":
+            # driver now writes TIMESTAMP(MICROS) (naive); present as
+            # session-TZ TimestampType (UTC) so downstream epoch math
+            # and the DuckDB oracle agree
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 
