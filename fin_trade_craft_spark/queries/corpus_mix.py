@@ -210,7 +210,14 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-threaded oracle performs — making the double sum
     bit-identical at any parallelism. The fold runs over one small
     per-doc array, not the corpus: the heavy work is still the
-    (doc, term) hash aggregate, which partial-aggregates map-side."""
+    (doc, term) hash aggregate, which partial-aggregates map-side.
+
+    The compared columns are rounded to 9 decimals in BOTH engines:
+    the sorted fold fixes summation order, but JVM ``log2`` and
+    DuckDB's libm ``log2`` still differ in the last ulp (≤4.4e-15
+    observed), so bit-exact comparison needs the repo's standard
+    per-column quantization (SURVEY §7.2 tolerance policy — same
+    treatment tfidf_top_terms got by avoiding ln entirely)."""
     d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
     cnt = (
         d.select("doc_id", F.explode("toks").alias("term"))
@@ -232,10 +239,13 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         F.col("vocab").alias("vocab_size"),
-        ent.alias("entropy_bits"),
-        F.when(F.col("vocab") > 1, ent / F.log2(F.col("vocab").cast("double")))
-        .otherwise(F.lit(0.0))
-        .alias("entropy_norm"),
+        F.round(ent, 9).alias("entropy_bits"),
+        F.round(
+            F.when(F.col("vocab") > 1, ent / F.log2(F.col("vocab").cast("double"))).otherwise(
+                F.lit(0.0)
+            ),
+            9,
+        ).alias("entropy_norm"),
     ).orderBy("doc_id")
 
 
@@ -259,9 +269,10 @@ WITH term AS (
             (acc, x) -> acc + x) AS entropy_bits
   FROM per_doc
 )
-SELECT doc_id, n_tokens, vocab_size, entropy_bits,
-       CASE WHEN vocab_size > 1 THEN entropy_bits / log2(CAST(vocab_size AS DOUBLE))
-            ELSE 0.0 END AS entropy_norm
+SELECT doc_id, n_tokens, vocab_size,
+       ROUND(entropy_bits, 9) AS entropy_bits,
+       ROUND(CASE WHEN vocab_size > 1 THEN entropy_bits / log2(CAST(vocab_size AS DOUBLE))
+                  ELSE 0.0 END, 9) AS entropy_norm
 FROM ent
 ORDER BY doc_id
 """

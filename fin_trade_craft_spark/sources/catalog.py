@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -53,18 +54,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-        ts_type = df.schema["ts"].dataType.typeName()
-        if ts_type in ("long", "bigint"):
-            # integer DIV, not `/`: ns-since-epoch (~1.7e18) exceeds
-            # double's 53-bit mantissa, so float division is off by ±1µs
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        if ts_type == "timestamp_ntz":
-            # driver now writes TIMESTAMP(MICROS) (naive); present as
-            # session-TZ TimestampType (UTC) so downstream epoch math
-            # and the DuckDB oracle agree
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-TZ TimestampType regardless
+    of which physical parquet type the driver wrote. Schema-driven —
+    the decision keys on the type the column actually loaded as, never
+    on a session conf (a conf set mid-session after a schema was
+    captured silently changes what "ts" means; see round-2 verdict).
+
+    - LongType  → INT64 nanos read under ``nanosAsLong``; integer DIV,
+      not `/`: ns-since-epoch (~1.7e18) exceeds double's 53-bit
+      mantissa, so float division is off by ±1µs.
+    - TIMESTAMP_NTZ → parquet TIMESTAMP(MICROS) (naive); present as
+      session-TZ TimestampType (UTC) so downstream epoch math and the
+      DuckDB oracle agree.
+    - TimestampType → already what we want.
+    - anything else → fail fast with the loaded type named, instead of
+      letting a bad ts type surface later as confusing epoch math.
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(ts_type, TimestampType):
+        return df
+    raise TypeError(
+        f"events.ts loaded as {ts_type.simpleString()}; expected INT64 nanos "
+        "(long under nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP — the parquet "
+        "was written with an unsupported ts encoding"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

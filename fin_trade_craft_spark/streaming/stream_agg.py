@@ -23,16 +23,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
-def read_events_stream(
-    spark: SparkSession, path: str, schema: StructType, ts_is_nanos: bool = True
-) -> DataFrame:
-    """File-source stream over events-shaped parquet. The nanos→µs
-    conversion mirrors sources.catalog.load_table."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+def read_events_stream(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """File-source stream over events-shaped parquet. ts normalization
+    is schema-driven (sources.catalog.normalize_event_ts): the caller's
+    ``schema`` (from a batch probe of the same files) decides whether
+    ts arrives as INT64 nanos, TIMESTAMP_NTZ micros, or TimestampType —
+    never a session conf, which could have been set after the schema
+    was captured and disagree with it."""
+    from ..sources.catalog import normalize_event_ts
+
     df = spark.readStream.schema(schema).parquet(path)
-    if ts_is_nanos:
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return normalize_event_ts(df)
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -103,9 +103,116 @@ def test_multimodal_binary_plumbing(spark):
     for d, r in meta.items():
         w, h = _fake_dims(r.byte_len)
         assert (r.width, r.height) == (w, h) and r.format in ("FAKE", "INVALID", "UNKNOWN")
-    resized = {r.doc_id: r for r in resize_images(docs, max_bytes=100).collect()}
-    assert len(bytes(resized[2].resized)) == 100
+    # non-image payloads flow through the RAW fallback (truncated)
+    resized = {r.doc_id: r for r in resize_images(docs, raw_fallback_bytes=100).collect()}
+    assert resized[2].out_format == "RAW" and len(bytes(resized[2].resized)) == 100
     assert bytes(resized[1].resized) == b"hello world"
+    assert resized[1].out_width == -1 and resized[1].out_height == -1
+
+
+def test_resize_images_real_png(spark):
+    """Real resize: PNG payloads are decoded, aspect-fit NN-resampled,
+    and re-encoded; output dims and exact pixel values verified by
+    decoding the emitted bytes."""
+    import numpy as np
+
+    from fin_trade_craft_spark.functions import png as P
+
+    grad = np.add.outer(np.arange(40), np.arange(80)).astype(np.uint8)  # 40h x 80w
+    rgb = np.stack([grad, grad[::-1], 255 - grad], axis=-1)  # 40x80x3
+    square = np.full((20, 20), 7, dtype=np.uint8)  # already fits
+    docs = spark.createDataFrame(
+        [(1, bytearray(P.encode_png(grad))), (2, bytearray(P.encode_png(rgb))),
+         (3, bytearray(P.encode_png(square)))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in resize_images(docs, max_w=32, max_h=32).collect()}
+    # 80x40 fit in 32x32 -> width-limited: 32 x (40*32//80)=16
+    assert (out[1].out_format, out[1].out_width, out[1].out_height) == ("PNG", 32, 16)
+    assert (out[2].out_width, out[2].out_height) == (32, 16)
+    # fits already -> untouched dims
+    assert (out[3].out_width, out[3].out_height) == (20, 20)
+    # decode the emitted bytes: exact NN expectation, all channels
+    got = P.decode_png(bytes(out[1].resized))
+    exp = P.nn_resize(grad[:, :, np.newaxis], 32, 16)
+    assert got.shape == (16, 32, 1) and np.array_equal(got, exp)
+    got_rgb = P.decode_png(bytes(out[2].resized))
+    assert np.array_equal(got_rgb, P.nn_resize(rgb, 32, 16))
+    assert np.array_equal(P.decode_png(bytes(out[3].resized))[:, :, 0], square)
+
+
+def test_png_codec_all_filters_and_edges():
+    """The pure-numpy PNG codec: round-trip, all five scanline filter
+    types on decode (hand-filtered IDAT), and rejection paths."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from fin_trade_craft_spark.functions import png as P
+
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 256, (13, 17, 4), dtype=np.uint8)  # RGBA, odd dims
+    assert np.array_equal(P.decode_png(P.encode_png(img)), img)
+    gray = rng.randint(0, 256, (5, 9), dtype=np.uint8)
+    assert np.array_equal(P.decode_png(P.encode_png(gray))[:, :, 0], gray)
+
+    # hand-build an IDAT exercising filters 1(Sub) 2(Up) 3(Avg) 4(Paeth) 0
+    target = rng.randint(0, 256, (5, 6, 3), dtype=np.uint8)
+    h, w, c = target.shape
+    bpp = c
+    lines = []
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y, ftype in enumerate([1, 2, 3, 4, 0]):
+        cur = target[y].reshape(-1).astype(np.int32)
+        enc = np.zeros(w * c, dtype=np.int32)
+        for x in range(w * c):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            cc = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else cc)
+            enc[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    hand = (
+        P.SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(P.decode_png(hand), target)
+
+    with pytest.raises(ValueError, match="signature"):
+        P.decode_png(b"JFIF not a png")
+    with pytest.raises(ValueError, match="color type"):
+        # palette PNG (color type 3) is out of scope
+        P.decode_png(
+            P.SIGNATURE
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+    # fit_dims: integer aspect fit, never upscales
+    assert P.fit_dims(80, 40, 32, 32) == (32, 16)
+    assert P.fit_dims(40, 80, 32, 32) == (16, 32)
+    assert P.fit_dims(10, 10, 32, 32) == (10, 10)
+    assert P.fit_dims(1000, 3, 32, 32) == (32, 1)
 
 
 def test_audio_frame_energy_edges(spark):
