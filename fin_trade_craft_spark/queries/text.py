@@ -706,7 +706,70 @@ SELECT doc_id, rank, term, tf, df, score FROM (
 """
 
 
+def transcript_title_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference parity: the earnings-call transcript title-EDA query
+    (transforms/transform_earnings_call_transcript_eda.py:46-103) —
+    a first-match CASE/ILIKE cascade buckets each row, then a global
+    ``SUM(COUNT(*)) OVER ()`` turns counts into percentage shares,
+    ordered most-common first. Same shape here over ``documents``
+    with content-keyword tiers standing in for the title tiers (the
+    fixture has no job-title column; the operator — cascade classify
+    + count + rounded global share — is the thing under parity).
+
+    Scale shape: the window runs AFTER the groupBy, over one row per
+    tier (≤5), so the single-partition global window is trivially
+    cheap; the heavy side is a map-side-combinable hash aggregate."""
+    d = _docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    tier = (
+        F.when(low.contains("stream") | low.contains("window"), "Streaming / Windowing")
+        .when(low.contains("join") | low.contains("merge"), "Join / Merge")
+        .when(low.contains("agg") | low.contains("group"), "Aggregation")
+        .when(low.contains("scan") | low.contains("filter"), "Scan / Filter")
+        .otherwise("Needs Classification")
+    )
+    from pyspark.sql.window import Window
+
+    counted = (
+        d.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .groupBy(tier.alias("aggregate_title"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = F.sum("cnt").over(Window.partitionBy())
+    return counted.select(
+        "aggregate_title",
+        "cnt",
+        F.round(F.lit(100.0) * F.col("cnt") / total, 2).alias("percentage"),
+    ).orderBy(F.col("cnt").desc(), "aggregate_title")
+
+
+ORACLE_TRANSCRIPT_TITLE_SHARE = """
+WITH classified AS (
+  SELECT CASE
+           WHEN lower(text) LIKE '%stream%' OR lower(text) LIKE '%window%'
+             THEN 'Streaming / Windowing'
+           WHEN lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%'
+             THEN 'Join / Merge'
+           WHEN lower(text) LIKE '%agg%' OR lower(text) LIKE '%group%'
+             THEN 'Aggregation'
+           WHEN lower(text) LIKE '%scan%' OR lower(text) LIKE '%filter%'
+             THEN 'Scan / Filter'
+           ELSE 'Needs Classification'
+         END AS aggregate_title
+  FROM documents
+  WHERE text IS NOT NULL AND text != ''
+)
+SELECT aggregate_title,
+       COUNT(*) AS cnt,
+       ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 2) AS percentage
+FROM classified
+GROUP BY aggregate_title
+ORDER BY cnt DESC, aggregate_title
+"""
+
+
 QUERIES = {
+    "transcript_title_share": transcript_title_share,
     "doc_quality_scores": doc_quality_scores,
     "doc_repetition_filter": doc_repetition_filter,
     "train_eval_split": train_eval_split,
@@ -724,6 +787,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "transcript_title_share": ORACLE_TRANSCRIPT_TITLE_SHARE,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "doc_quality_scores": ORACLE_DOC_QUALITY_SCORES,
     "doc_repetition_filter": ORACLE_DOC_REPETITION_FILTER,

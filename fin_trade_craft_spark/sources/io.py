@@ -22,12 +22,20 @@ replace (S8), CTAS (S9), ALTER ADD COLUMN (S10), UPDATE-by-key
 
 Plain parquet was chosen because Delta isn't in this environment;
 the interface is Delta-shaped so a MERGE-backed implementation can
-swap in. Rewrites stage through a temp directory (the merged plan
-reads the table being overwritten) and are therefore NOT atomic: a
-crash between the final overwrite starting and finishing can leave
-a partial table (the temp copy, cleaned in ``finally`` on success,
-is the recovery point). Delta/Iceberg commit protocols are the real
-answer at cluster scale.
+swap in. Full-table rewrites stage through a temp directory (the
+merged plan reads the table being overwritten) and commit by
+DIRECTORY RENAME: write tmp → rename live table aside → rename tmp
+into place → drop the old copy. Each rename is atomic on a POSIX
+filesystem, so a crash can never leave a half-written live table —
+the worst case is the instant between the two renames, where the
+table is momentarily absent and ``recover_table`` rolls the swap
+forward (staged copy was complete) or cleans up an aborted stage.
+Partition-scoped upserts still commit per-partition via dynamic
+partition overwrite (non-atomic ACROSS partitions — inherent to
+plain parquet; Delta/Iceberg commit protocols are the real answer
+at cluster scale, and on object stores rename is a copy, which is
+why those formats commit via manifest, not rename). Single writer
+per table by contract, as in the reference's job scheduler.
 
 Layout guidance (SURVEY §4.2.5): facts partitioned by a bucket of
 the entity key (``symbol_bucket = hash(symbol_id) % N``), sorted
@@ -96,24 +104,74 @@ class TableIO:
 
         shutil.rmtree(path, ignore_errors=True)
 
+    def _swap_paths(self, table: str) -> tuple[str, str, str]:
+        # FIXED suffixes (not uuid) so recover_table can find an
+        # interrupted swap's pieces after a crash
+        p = self.path(table)
+        return p, f"{p}.__swap_tmp", f"{p}.__swap_old"
+
     def _stage_and_swap(self, df: DataFrame, table: str, partition_by: list[str] | None) -> None:
-        """Write ``df`` (whose plan reads ``table``) via a temp dir,
-        then overwrite the final path from the temp copy. The temp
-        dir is always removed; the final overwrite is non-atomic
-        (see module docstring)."""
-        tmp = self._tmp_path(table)
+        """Write ``df`` (whose plan reads ``table``) to a staging dir,
+        then commit by two atomic directory renames (see module
+        docstring). A crash mid-protocol is recoverable from the
+        on-disk state alone via ``recover_table``."""
+        import os
+
+        final, tmp, old = self._swap_paths(table)
+        self._rm(tmp)
+        self._rm(old)
         try:
             w = df.write.mode("overwrite")
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.parquet(tmp)
-            final = self.spark.read.parquet(tmp)
-            w2 = final.write.mode("overwrite")
-            if partition_by:
-                w2 = w2.partitionBy(*partition_by)
-            w2.parquet(self.path(table))
-        finally:
+        except Exception:
+            self._rm(tmp)  # failed stage: live table never touched
+            raise
+        # commit: the live table is only ever absent between these
+        # two renames, and by then tmp is known-complete
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        self._rm(old)
+
+    def recover_table(self, table: str) -> str:
+        """Finish or undo a swap interrupted by a crash, from on-disk
+        state alone. Returns what it did:
+
+        - ``"rolled_forward"`` — live table missing, old + staged
+          copies present: the crash hit between the two commit
+          renames; the staged copy is complete by protocol (renames
+          only start after the staged write succeeds), so promote it.
+        - ``"aborted_stage"`` — live table present, staged dir left
+          over: the crash hit during/just after staging; the live
+          table was never touched, drop the partial stage.
+        - ``"cleaned"`` — live table present, old copy left over: the
+          crash hit after commit, before cleanup; drop the old copy.
+        - ``"ok"`` — nothing to do.
+        """
+        import os
+
+        final, tmp, old = self._swap_paths(table)
+        if not os.path.exists(final):
+            if os.path.exists(tmp):
+                os.rename(tmp, final)
+                self._rm(old)
+                return "rolled_forward"
+            if os.path.exists(old):
+                # stage vanished (crash during a pre-swap cleanup of a
+                # previous failed run) — restore the pre-swap table
+                os.rename(old, final)
+                return "rolled_back"
+            return "ok"
+        status = "ok"
+        if os.path.exists(tmp):
             self._rm(tmp)
+            status = "aborted_stage"
+        if os.path.exists(old):
+            self._rm(old)
+            status = "cleaned" if status == "ok" else status
+        return status
 
     def upsert(self, df: DataFrame, table: str, keys: list[str], partition_by: list[str] | None = None) -> None:
         """S7: new rows win on the natural key (ON CONFLICT DO

@@ -245,3 +245,72 @@ def test_video_frame_sample_expansion(spark):
     assert [r.frame_idx for r in rows] == [0, 4, 8]  # every 4th of 9
     assert all(r.frame_len == 512 for r in rows)
     assert rows[0].frame_md5 == hashlib.md5(payload[:512]).hexdigest()
+
+
+def test_gbt_probability_rank_order_and_threshold_sensitivity(spark):
+    """XGBoost-parity calibration (round-2 verdict item 5): the
+    reference scores with XGBClassifier.predict_proba and cuts at
+    0.85 (trading_bot/daily_signal_scorer.py:258-259); this repo
+    substitutes MLlib GBT (xgboost not installable here). The funnel
+    survives that substitution iff the GBT probabilities are
+    RANK-ORDER stable in the true signal — any monotone probability
+    recalibration between the two models then only shifts where the
+    0.85 cut lands (a tunable), never which candidates outrank which.
+    Asserted here: decile-level monotonicity, high rank correlation
+    with the generating signal, and nested survivor sets across cuts."""
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(600):
+        a = rng.random()  # true P(success) == a, by construction
+        label = 1 if rng.random() < a else 0
+        rows.append((i, i % 11, float(a), rng.random(), "Tech", label,
+                     rng.uniform(0, 100), rng.uniform(50, 100)))
+    df = spark.createDataFrame(
+        rows, "trade_id int, symbol_id int, a double, noise double, sector string,"
+              " label int, signal_strength double, overall_quality_score double"
+    )
+    prep = SC.prepare_features(df, ["a", "noise"])
+    model = SC.train_success_model(prep, ["a", "noise", "sector_Tech", "sector_UNKNOWN"])
+    scored = SC.score_candidates(model, prep).select(
+        "trade_id", "a", "success_probability", "signal_strength",
+        "overall_quality_score", "symbol_id"
+    ).collect()
+
+    # decile monotonicity: mean predicted prob rises with the signal
+    by_a = sorted(scored, key=lambda r: r.a)
+    decile = len(by_a) // 10
+    means = [
+        sum(r.success_probability for r in by_a[k * decile:(k + 1) * decile]) / decile
+        for k in range(10)
+    ]
+    assert all(means[k] < means[k + 1] for k in range(9)), means
+
+    # Spearman rank correlation between predicted prob and true signal
+    def ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        r = [0] * len(vals)
+        for pos, i in enumerate(order):
+            r[i] = pos
+        return r
+    ra = ranks([r.a for r in scored])
+    rp = ranks([r.success_probability for r in scored])
+    n = len(scored)
+    rho = 1 - 6 * sum((x - y) ** 2 for x, y in zip(ra, rp)) / (n * (n**2 - 1))
+    # per-row rho is bounded by tree-leaf ties against Bernoulli label
+    # noise (~0.8 for 600 draws); the decile assertion above is the
+    # strict funnel-level property
+    assert rho > 0.75, rho
+
+    # threshold sensitivity: cuts at 0.80/0.85/0.90 select nested sets,
+    # so a recalibrated model maps to some cut in this family
+    import pyspark.sql.functions as SF
+    scored_df = SC.score_candidates(model, prep)
+    surv = {
+        t: {r.trade_id for r in scored_df.filter(SF.col("success_probability") >= t)
+            .select("trade_id").collect()}
+        for t in (0.80, 0.85, 0.90)
+    }
+    assert surv[0.90] <= surv[0.85] <= surv[0.80]
+    assert len(surv[0.85]) > 0

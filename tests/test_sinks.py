@@ -58,3 +58,55 @@ def test_json_lines_roundtrip(spark, tmp_path):
     back = spark.read.schema(df.schema).json(out)
     got = sorted((r.doc_id, r.text, dict(r.meta)) for r in back.collect())
     assert got == [(1, "hello world", {"lang": "en"}), (2, "bonjour", {"lang": "fr"})]
+
+
+def test_atomic_swap_crash_recovery(spark, tmp_path):
+    """Rename-based table swap: inject a crash at every protocol
+    boundary and verify recover_table restores a complete, readable
+    table from on-disk state alone."""
+    import os
+    import shutil
+
+    from fin_trade_craft_spark.sources.io import TableIO
+
+    io = TableIO(spark, str(tmp_path / "wh"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    v2 = spark.createDataFrame([(1, "A"), (3, "C")], "id int, v string")
+    final, tmp, old = io._swap_paths("t")
+
+    def reset():
+        for p in (final, tmp, old):
+            shutil.rmtree(p, ignore_errors=True)
+        io.overwrite(v1, "t")
+
+    def rows():
+        return sorted((r.id, r.v) for r in io.read("t").collect())
+
+    # crash DURING staging: partial tmp dir, live table untouched
+    reset()
+    os.makedirs(tmp)
+    (Path(tmp) / "part-00000.parquet").write_bytes(b"partial garbage")
+    assert io.recover_table("t") == "aborted_stage"
+    assert not os.path.exists(tmp) and rows() == [(1, "a"), (2, "b")]
+
+    # crash BETWEEN the two commit renames: table momentarily absent,
+    # staged copy complete -> rolled forward to v2
+    reset()
+    v2.write.parquet(tmp)
+    os.rename(final, old)  # first rename happened, second did not
+    assert io.recover_table("t") == "rolled_forward"
+    assert rows() == [(1, "A"), (3, "C")] and not os.path.exists(old)
+
+    # crash AFTER commit, before old-copy cleanup
+    reset()
+    shutil.copytree(final, old)
+    assert io.recover_table("t") == "cleaned"
+    assert rows() == [(1, "a"), (2, "b")] and not os.path.exists(old)
+
+    # nothing to do
+    assert io.recover_table("t") == "ok"
+
+    # and the happy path end-to-end still works (upsert full rewrite)
+    io.upsert(v2, "t", ["id"])
+    assert rows() == [(1, "A"), (2, "b"), (3, "C")]
+    assert not os.path.exists(tmp) and not os.path.exists(old)
