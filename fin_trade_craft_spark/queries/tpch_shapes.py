@@ -427,6 +427,269 @@ LIMIT 100
 """
 
 
+_REV = F.col("l_extendedprice").cast("decimal(12,2)") * (
+    F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+)
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 highest-revenue orders placed before a
+    cutoff but not yet fully shipped at it, for one market segment.
+    Customer is a broadcast dim (segment filter applied before the
+    broadcast); lineitem and orders shuffle once on the order key;
+    revenue is exact-decimal so the top-10 CUT is deterministic
+    across engines and parallelism (a double sum could reorder ties
+    at the boundary)."""
+    cutoff = F.lit("1998-06-01")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_REV).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-scan filtered aggregate — the query
+    whose entire cost IS the scan, so every predicate must reach the
+    parquet reader (date range, discount band, quantity cap are all
+    min/max-prunable; `.explain` shows them in PushedFilters).
+    One partial-aggregated sum, no shuffle of rows — the 100 TB cost
+    is (pruned bytes read) / (scan bandwidth), nothing else."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
+        "decimal(3,2)"
+    )
+    return li.agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+ORACLE_FORECAST_REVENUE_CHANGE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part shipped value for suppliers in a
+    nation group, keeping parts whose value exceeds a fraction of the
+    GLOBAL total (scalar subquery over the same aggregate). The
+    global total is a one-row broadcast (crossJoin of an agg), and
+    the threshold compare stays in exact decimal (``2500*value >
+    total``) — a double compare could flip rows at the cut between
+    engines. Supplier∘nation is a broadcast semi-join; one fact
+    shuffle on l_partkey."""
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(
+                    F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    val = F.col("l_quantity").cast("decimal(12,2)") * F.col("l_extendedprice").cast(
+        "decimal(12,2)"
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("_val"))
+    total = per_part.agg(F.sum("_val").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_val") * F.lit(2500) > F.col("_total"))
+        .select("l_partkey", F.col("_val").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+ORACLE_IMPORTANT_PART_VALUES = """
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+  )
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM v
+WHERE val * 2500 > (SELECT SUM(val) FROM v)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def shipping_delay_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted (the testdata has no l_shipmode): the
+    shipmode axis becomes a derived delay class (>=60 days order→ship
+    = SLOW), counting high- vs low-priority lines per class — the
+    two-way conditional count over a joined year of shipments. Orders
+    join is a shuffle pair on the order key; the CASE counts are
+    map-side partial."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    mode = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) >= 60, "SLOW"
+    ).otherwise("FAST")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(mode.alias("delay_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_count"),
+        )
+        .orderBy("delay_mode")
+    )
+
+
+ORACLE_SHIPPING_DELAY_MODES = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 60
+            THEN 'SLOW' ELSE 'FAST' END AS delay_mode,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_priority_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+         AS low_priority_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY delay_mode
+"""
+
+
+def part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): distinct
+    supplier count per (brand, type, size) for a size list, excluding
+    one brand/type and any supplier with a negative balance (the
+    'complaints' NOT IN, de-correlated to a broadcast anti-join —
+    s_suppkey is non-null so anti-join ≡ NOT IN). The distinct-count
+    shuffles once on the group key after a map-side distinct."""
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in a nation group who shipped more
+    than a threshold quantity of any 'small%' part in a year — the
+    nested-IN chain (supplier IN (… part IN (…))) de-correlated to
+    aggregates + semi-joins. Part filter is a broadcast semi-join
+    into the (supp, part) quantity aggregate; the surviving supplier
+    keys (tiny) broadcast-semi-join into the supplier dim. Quantity
+    threshold compares in exact decimal."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    smallp = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    pq = (
+        li.join(F.broadcast(smallp), li.l_partkey == smallp.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_2", "NATION_5"))
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .join(F.broadcast(pq), s.s_suppkey == pq.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+ORACLE_EXCESS_STOCK_SUPPLIERS = """
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_2', 'NATION_5')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM (
+      SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_suppkey, l_partkey
+    ) WHERE qty > 40
+  )
+ORDER BY s_name
+"""
+
+
 QUERIES = {
     "priority_late_orders": priority_late_orders,
     "market_share": market_share,
@@ -435,9 +698,21 @@ QUERIES = {
     "promo_revenue_share": promo_revenue_share,
     "disjunctive_part_revenue": disjunctive_part_revenue,
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
+    "shipping_priority": shipping_priority,
+    "forecast_revenue_change": forecast_revenue_change,
+    "important_part_values": important_part_values,
+    "shipping_delay_modes": shipping_delay_modes,
+    "part_supplier_counts": part_supplier_counts,
+    "excess_stock_suppliers": excess_stock_suppliers,
 }
 
 ORACLES = {
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "forecast_revenue_change": ORACLE_FORECAST_REVENUE_CHANGE,
+    "important_part_values": ORACLE_IMPORTANT_PART_VALUES,
+    "shipping_delay_modes": ORACLE_SHIPPING_DELAY_MODES,
+    "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
+    "excess_stock_suppliers": ORACLE_EXCESS_STOCK_SUPPLIERS,
     "priority_late_orders": ORACLE_PRIORITY_LATE_ORDERS,
     "market_share": ORACLE_MARKET_SHARE,
     "product_profit": ORACLE_PRODUCT_PROFIT,

@@ -192,3 +192,56 @@ def test_warehouse_partition_pruning(spark, tmp_path):
     plan = _formatted(read)
     assert re.search(r"PartitionFilters: \[[^\]]*day", plan), plan
     assert read.count() == 25
+
+
+def test_q6_all_predicates_reach_the_scan(spark):
+    """forecast_revenue_change is pure scan: date range, discount
+    band, and quantity cap must all be in PushedFilters, and the scan
+    must read only the 4 touched columns."""
+    from fin_trade_craft_spark.queries.tpch_shapes import forecast_revenue_change
+
+    plan = _formatted(forecast_revenue_change(spark, SF_SMOKE))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24" in plan
+    m = re.search(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert m and m.group(1).count(":") == 4, plan
+    # single-scan agg: the only exchange is the 1-row final-agg gather
+    assert _exchanges(plan) <= 1
+
+
+def test_q3_semi_broadcast_and_single_fact_shuffle_pair(spark):
+    from fin_trade_craft_spark.queries.tpch_shapes import shipping_priority
+
+    plan = _formatted(shipping_priority(spark, SF_SMOKE))
+    # customer-segment filter is a broadcast semi-join, not a shuffle
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q11_global_total_is_one_row_broadcast(spark):
+    from fin_trade_craft_spark.queries.tpch_shapes import important_part_values
+
+    plan = _formatted(important_part_values(spark, SF_SMOKE))
+    # the scalar-subquery total joins back as a broadcast, never a
+    # cartesian re-shuffle of the per-part aggregate
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or _broadcast_joins(plan) >= 1
+    # supplier-nation restriction is semi-join shaped
+    assert "LeftSemi" in plan
+
+
+def test_q16_not_in_becomes_broadcast_anti_join(spark):
+    from fin_trade_craft_spark.queries.tpch_shapes import part_supplier_counts
+
+    plan = _formatted(part_supplier_counts(spark, SF_SMOKE))
+    assert re.search(r"BroadcastHashJoin.*LeftAnti|LeftAnti.*BuildRight", plan, re.S)
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_in_is_semi_join_chain(spark):
+    from fin_trade_craft_spark.queries.tpch_shapes import excess_stock_suppliers
+
+    plan = _formatted(excess_stock_suppliers(spark, SF_SMOKE))
+    assert plan.count("LeftSemi") >= 2  # part->lineitem and pq->supplier
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
