@@ -33,6 +33,7 @@ _MODULES: list[str] = [
     "multimodal",
     "sketches",
     "reporting",
+    "streaming",
 ]
 
 

@@ -1,0 +1,243 @@
+"""Driver queries for the Structured Streaming operators (§2.9) —
+each runs the REAL streaming job (``readStream`` file source,
+event-time watermark, ``Trigger.AvailableNow`` drain into a memory
+sink) and returns the sink as a DataFrame, so the driver's DuckDB
+oracle verifies STREAMING output against batch SQL semantics. This
+upgrades §2.9 from pytest-only evidence to full value-oracle rows:
+an AvailableNow drain over a static parquet directory is
+deterministic (same files, same watermark trajectory), which is what
+makes a bit-exact oracle legitimate here.
+
+Per-call hygiene: fresh checkpoint dir + unique memory-sink name, so
+repeated driver invocations in one session never collide; the events
+file is staged into a temp dir because a file-source stream reads a
+DIRECTORY (symlinks only — no data copied).
+
+Scale notes: these are the same jobs a cluster would run against an
+object-store landing zone; AvailableNow gives incremental
+exactly-once file progress (the Spark-native form of the reference's
+staleness polling), watermarks bound aggregation/join/dedup state,
+and the memory sink is test-only — production sinks are the
+parquet/foreachBatch upsert sinks in streaming/stream_agg.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.stream_agg import read_events_stream
+
+
+def _stage_dir(sf_dir: str, name: str) -> str:
+    """Symlink <sf_dir>/<name>.parquet (file or directory of parts)
+    into a fresh temp dir usable as a file-source stream path."""
+    src = Path(sf_dir.rstrip("/")) / f"{name}.parquet"
+    d = Path(tempfile.mkdtemp(prefix=f"stream_{name}_"))
+    if src.is_dir():
+        for i, part in enumerate(sorted(src.glob("*.parquet"))):
+            (d / f"part_{i}.parquet").symlink_to(part)
+    else:
+        (d / f"{name}.parquet").symlink_to(src)
+    return str(d)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema probe via batch read; nanosAsLong first so a nanos-typed
+    # file probes as long (normalize_event_ts handles either)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    return read_events_stream(spark, _stage_dir(sf_dir, "events"), schema)
+
+
+def _drain(stream_df: DataFrame, mode: str) -> DataFrame:
+    """AvailableNow drain into a uniquely-named memory sink; returns
+    the sink table (NOT collected — the driver does that)."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream_df.sparkSession.table(name)
+
+
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window rollup (W-windowed agg over
+    ``readStream`` with a 2h watermark), drained AvailableNow —
+    oracle is plain batch GROUP BY date_trunc('hour'). Streaming twin
+    of queries/windows.hourly_event_rollup (reference analog:
+    transform_trading_signals.py incremental daily rollups)."""
+    ev = _events_stream(spark, sf_dir)
+    rolled = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")
+    )
+    return _drain(rolled, "complete").orderBy("hour", "event_type")
+
+
+ORACLE_STREAMING_HOURLY_ROLLUP = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessionization via ``session_window(ts, 30 min)``
+    — dynamic merging session state per user — verified against the
+    INDEPENDENT batch formulation (lag-based island sessionizer) as
+    SQL: session_start = first event, session_end = last event + gap.
+    The two agree whenever no inter-event gap is exactly the 30-min
+    boundary (session_window's end is exclusive; the lag sessionizer
+    keeps `diff == gap` together) — true for this data's microsecond
+    timestamps, and the kind of boundary contract the docstring of
+    streaming/stream_agg.session_stats_stream spells out."""
+    ev = _events_stream(spark, sf_dir)
+    sess = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain(sess, "complete").orderBy("user_id", "session_start")
+
+
+ORACLE_STREAMING_SESSION_STATS = """
+WITH t AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+    CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+           OR epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM t
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def streaming_dedup_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on
+    the normalized content hash over a documents stream — keyed state
+    crosses micro-batches, watermark bounds it. WHICH doc survives
+    per hash is a first-arrival race, so the driver-compared output
+    is the surviving HASH SET (deterministic ≡ batch DISTINCT md5),
+    not the arbitrary winner rows."""
+    from ..functions.text import content_hash
+
+    docs_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .parquet(_stage_dir(sf_dir, "documents"))
+        .withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("content_md5", content_hash(F.col("text")))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["content_md5"]
+    )
+    out = _drain(deduped.select("content_md5"), "append")
+    return out.orderBy("content_md5")
+
+
+ORACLE_STREAMING_DEDUP_HASHES = r"""
+SELECT DISTINCT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_md5
+FROM documents
+ORDER BY content_md5
+"""
+
+
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: clicks join views by the same
+    user within a preceding 1h attribution window, both sides
+    watermarked (the time-range predicate is what lets Spark bound
+    the buffered state). Drained AvailableNow; oracle is the
+    identical interval join in batch SQL — the inner join's result
+    set is order-free and exactly reproducible."""
+    ev = _events_stream(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    ).withWatermark("view_ts", "2 hours")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", "2 hours")
+    joined = v.join(
+        c,
+        (v["user_id"] == c["c_user_id"])
+        & (c["click_ts"] >= v["view_ts"])
+        & (c["click_ts"] <= v["view_ts"] + F.expr("INTERVAL 1 hour")),
+        "inner",
+    ).select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+    return _drain(joined, "append").orderBy("user_id", "view_id", "click_id")
+
+
+ORACLE_STREAMING_CLICK_ATTRIBUTION = """
+WITH v AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.user_id, view_id, view_ts, click_id, click_ts
+FROM v JOIN c ON v.user_id = c.user_id
+ AND click_ts >= view_ts
+ AND click_ts <= view_ts + INTERVAL 1 HOUR
+ORDER BY v.user_id, view_id, click_id
+"""
+
+
+QUERIES = {
+    "streaming_hourly_rollup": streaming_hourly_rollup,
+    "streaming_session_stats": streaming_session_stats,
+    "streaming_dedup_hashes": streaming_dedup_hashes,
+    "streaming_click_attribution": streaming_click_attribution,
+}
+
+ORACLES = {
+    "streaming_hourly_rollup": ORACLE_STREAMING_HOURLY_ROLLUP,
+    "streaming_session_stats": ORACLE_STREAMING_SESSION_STATS,
+    "streaming_dedup_hashes": ORACLE_STREAMING_DEDUP_HASHES,
+    "streaming_click_attribution": ORACLE_STREAMING_CLICK_ATTRIBUTION,
+}
