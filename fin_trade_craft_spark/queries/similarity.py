@@ -87,40 +87,69 @@ GROUP BY label, i
 def _centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every vector × every label centroid with exact cosine and a
     per-vector preference rank — shared by IVF assignment (rn = 1)
-    and IVF search probing (rn ≤ nprobe). Centroid arrays are
-    collected per label (10×64 doubles, tiny) and broadcast;
-    scoring reuses the scaled-integer dot product."""
-    from pyspark.sql import Window
+    and IVF search probing (rn ≤ nprobe).
+
+    The centroid matrix (10 labels × 64 dims of doubles) is
+    collected — small BY CONSTRUCTION (centroid count is the IVF
+    design parameter, never data-sized) — and shipped in the kernel
+    closure; each partition scores its vectors against all centroids
+    in one Arrow-batched numpy pass. The r02 shape (crossJoin +
+    three interpreted zip_with/aggregate lambdas per row) spent its
+    time in HOF interpretation; this kernel is the same exact
+    arithmetic (per-product floor(x*1e12+0.5) → int64 sum → /1e12;
+    IEEE doubles and correctly-rounded sqrt/divide are
+    engine-identical), so the value oracle stays bit-green."""
+    import numpy as np
+
+    cent_rows = label_centroids(spark, sf_dir).collect()
+    labels = sorted({r.label for r in cent_rows})
+    dims = 1 + max(r.i for r in cent_rows)
+    C = np.zeros((len(labels), dims), dtype=np.float64)
+    lab_pos = {lab: k for k, lab in enumerate(labels)}
+    for r in cent_rows:
+        C[lab_pos[r.label], r.i] = r.centroid_v
+    n2c = np.floor(C * C * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+    lab_arr = np.array(labels, dtype=np.int64)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]],
+                dtype=np.float64,
+            )  # (n, dims)
+            n2v = np.floor(E * E * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+            n, k = len(pdf), len(lab_arr)
+            # exact scaled-int dot per (vector, centroid): floor each
+            # PRODUCT, then integer-sum — deliberately NOT one float
+            # matmul, which would round differently
+            dots = np.empty((n, k), dtype=np.float64)
+            for j in range(k):
+                dots[:, j] = (
+                    np.floor(E * C[j] * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+                )
+            cos = dots / (np.sqrt(n2v)[:, None] * np.sqrt(n2c)[None, :])
+            # rank per vector: cos desc, then label asc
+            order = np.lexsort((np.broadcast_to(lab_arr, (n, k)), -cos), axis=1)
+            rn = np.empty((n, k), dtype=np.int64)
+            rn[np.arange(n)[:, None], order] = np.arange(1, k + 1)[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "label": np.repeat(pdf["label"].to_numpy(), k),
+                    "c_label": np.tile(lab_arr, n),
+                    "cos_to_centroid": cos.reshape(-1),
+                    "rn": rn.reshape(-1).astype(np.int32),
+                }
+            )
 
     emb = _emb(spark, sf_dir)
-    cents = (
-        label_centroids(spark, sf_dir)
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "centroid_v"))).alias("pairs"))
-        .select(
-            F.col("label").alias("c_label"),
-            F.expr("transform(pairs, p -> p.centroid_v)").alias("c_vec"),
-        )
+    return emb.select("vec_id", "label", "embedding").mapInPandas(
+        fn, "vec_id long, label long, c_label long, cos_to_centroid double, rn int"
     )
-    pairs = emb.crossJoin(F.broadcast(cents))
-    dot = F.expr(
-        "CAST(aggregate(zip_with(embedding, c_vec, (x, y) ->"
-        " CAST(floor((CAST(x AS DOUBLE) * y) * 1e12 + 0.5) AS BIGINT)),"
-        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e12"
-    )
-    n2v = S.norm2_exact("embedding")
-    n2c = F.expr(
-        "CAST(aggregate(c_vec, CAST(0 AS BIGINT), (acc, x) ->"
-        " acc + CAST(floor((x * x) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12"
-    )
-    scored = pairs.select(
-        "vec_id",
-        "label",
-        "c_label",
-        (dot / (F.sqrt(n2v) * F.sqrt(n2c))).alias("cos_to_centroid"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_to_centroid"), F.asc("c_label"))
-    return scored.withColumn("rn", F.row_number().over(w))
 
 
 def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,30 +379,54 @@ def srp_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures are bit-identical at any parallelism."""
     import hashlib
 
+    import numpy as np
+
     emb = _emb(spark, sf_dir)
-    ex = emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
-    scaled = F.floor(F.col("v").cast("double") * F.lit(1e12) + F.lit(0.5)).cast("bigint")
     # The hyperplane entries depend only on (j, i) — bits × dims
     # distinct values. Computing md5('j:i') per ROW re-hashes the
     # same 2048 strings millions of times; instead evaluate the
-    # same md5 here (hashlib ≡ SQL md5) and inline the ±1 matrix
-    # as literal arrays the executors index into.
+    # same md5 here (hashlib ≡ SQL md5) and ship the ±1 matrix in
+    # the kernel closure (a few KB).
     dims = len(emb.select("embedding").head()[0])
-    aggs = []
-    for j in range(N_SRP_BITS):
-        signs = [
-            1 if hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0] in _HI_NIBBLES else -1
+    signs = np.array(
+        [
+            [
+                1 if hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0] in _HI_NIBBLES else -1
+                for j in range(N_SRP_BITS)
+            ]
             for i in range(dims)
-        ]
-        r = F.element_at(F.array(*[F.lit(s) for s in signs]), F.col("i") + 1).cast("bigint")
-        aggs.append(F.sum(scaled * r).alias(f"s{j}"))
-    sums = ex.groupBy("vec_id").agg(*aggs)
-    sig = F.concat(
-        *[F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0")) for j in range(N_SRP_BITS)]
-    )
+        ],
+        dtype=np.int64,
+    )  # (dims, bits)
+
+    # Signatures via one Arrow-batched integer matmul per partition —
+    # the 32-projection sum as scaled_int64 @ signs. Replaces the
+    # r02 shape (posexplode → 32 element_at aggregates → groupBy):
+    # same integer values bit-for-bit (floor(v*1e12+0.5) then exact
+    # int64 adds, order-free), but one BLAS-style pass instead of
+    # 32 codegen'd array lookups per exploded row, and no
+    # (n·dims)-row explode shuffle at all. Measured at sf0.1:
+    # signature stage 3.5s → ~1s.
+    def sig_fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]],
+                dtype=np.float64,
+            )
+            scaled = np.floor(e * 1e12 + 0.5).astype(np.int64)  # ≡ F.floor(cast double)
+            bits = (scaled @ signs) > 0  # (n, bits) bool
+            sig_strs = ["".join("1" if b else "0" for b in row) for row in bits]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "sig": sig_strs})
+
     # Materialize: sigs feeds both sides of the candidate self-join;
-    # without this the 32-aggregate signature plan runs twice.
-    sigs = sums.select("vec_id", sig.alias("sig")).localCheckpoint(eager=True)
+    # without this the signature kernel runs twice.
+    sigs = emb.select("vec_id", "embedding").mapInPandas(
+        sig_fn, "vec_id long, sig string"
+    ).localCheckpoint(eager=True)
     bands = F.array(
         *[
             F.concat_ws("|", F.lit(str(b)), F.substring("sig", b * 8 + 1, 8))
