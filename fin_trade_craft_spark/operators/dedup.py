@@ -175,12 +175,48 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
 def minhash_signatures(shingle_sets: DataFrame, id_col: str = "doc_id", num_perm: int = 8) -> DataFrame:
     """k deterministic min-hashes per doc: perm i = min over
     shingles of md5('<i>:'||shingle). String-min over lowercase hex
-    is a total order identical in any engine."""
-    cols = [
-        F.expr(f"array_min(transform(shingles, s -> md5(concat('{i}:', s))))").alias(f"mh{i}")
-        for i in range(num_perm)
-    ]
-    return shingle_sets.select(id_col, *cols)
+    is a total order identical in any engine (Python ``min`` on hex
+    strings ≡ SQL array_min — same lexicographic order over
+    equal-length lowercase hex).
+
+    Arrow-batched kernel with a per-partition SHINGLE-HASH CACHE:
+    each distinct shingle's num_perm md5s are computed once per
+    partition and reused across the docs that share it (near-dup
+    corpora share most of their shingles — that's the premise of the
+    whole operator). The r02 shape (num_perm interpreted
+    array_min(transform(...)) lambdas) re-hashed every shingle
+    OCCURRENCE per permutation and ran interpreted; same output
+    bit-for-bit."""
+    import hashlib
+
+    def fn(batches):
+        import pandas as pd
+
+        cache: dict[str, tuple] = {}
+
+        def hashes(s: str) -> tuple:
+            v = cache.get(s)
+            if v is None:
+                v = tuple(
+                    hashlib.md5(f"{i}:{s}".encode()).hexdigest() for i in range(num_perm)
+                )
+                cache[s] = v
+            return v
+
+        cols = [id_col] + [f"mh{i}" for i in range(num_perm)]
+        for pdf in batches:
+            rows = []
+            for did, shingles in zip(pdf[id_col], pdf["shingles"]):
+                hs = [hashes(s) for s in shingles]
+                rows.append(
+                    (did, *(min(h[i] for h in hs) for i in range(num_perm)))
+                    if hs
+                    else (did, *([None] * num_perm))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = f"{id_col} long, " + ", ".join(f"mh{i} string" for i in range(num_perm))
+    return shingle_sets.select(id_col, "shingles").mapInPandas(fn, schema)
 
 
 def lsh_candidate_pairs(
