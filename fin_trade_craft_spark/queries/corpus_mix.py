@@ -100,6 +100,113 @@ ORDER BY source
 """
 
 
+def mixture_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mixture: turn each source's
+    ``epochs`` (from the same weight math as
+    ``source_mixture_weights``) into a deterministic per-document
+    COPY COUNT — floor(epochs) copies for every doc plus one extra
+    copy for docs whose content-hash fraction falls under
+    frac(epochs). This is the sampler that actually BUILDS the
+    mixed training set (explode(sequence(1, n_copies)) materializes
+    the rows; here the driver-compared output is the per-source
+    accounting: total copies and sampled tokens vs the quota).
+
+    Scale shape: the per-source epoch frame is tiny and broadcast;
+    the copy decision is a pure function of (doc hash, source rate) —
+    no RNG, no shuffle; the accounting aggregate partial-sums
+    map-side. Upsampling epochs stay identical across retries, so a
+    re-run of a failed shard emits the same copies (idempotent
+    materialization)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(T.tokens(F.col("text"))).alias("n_tokens"),
+        F.substring(T.content_hash(F.col("text")), 1, 8).alias("h8"),
+    )
+    per_src = d.groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    raw = F.pow(F.col("total_tokens").cast("double"), F.lit(MIX_ALPHA)).cast(
+        "decimal(28,10)"
+    )
+    w = Window.partitionBy()
+    weight = raw.cast("double") / F.sum(raw).over(w).cast("double")
+    quota = weight * F.lit(float(MIX_TOKEN_BUDGET))
+    eps = per_src.select(
+        "source",
+        (quota / F.col("total_tokens").cast("double")).alias("epochs"),
+        quota.alias("token_quota"),
+    )
+    base = F.floor(F.col("epochs")).cast("bigint")
+    frac = F.col("epochs") - F.floor(F.col("epochs"))
+    thresh = F.lpad(
+        F.lower(F.hex(F.floor(frac * F.lit(float(16**8))).cast("bigint"))), 8, "0"
+    )
+    joined = d.join(F.broadcast(eps), "source").select(
+        "source",
+        "n_tokens",
+        "token_quota",
+        (base + F.when(F.col("h8") < thresh, 1).otherwise(0)).alias("n_copies"),
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_copies").alias("total_copies"),
+            F.sum(F.col("n_copies") * F.col("n_tokens")).alias("sampled_tokens"),
+            F.first("token_quota").alias("token_quota"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_copies",
+            "sampled_tokens",
+            "token_quota",
+            (F.col("sampled_tokens").cast("double") / F.col("token_quota")).alias(
+                "quota_fill_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_MIXTURE_EPOCH_EXPANSION = f"""
+WITH d AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens,
+         substr(md5({_NORM}), 1, 8) AS h8
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM d GROUP BY source
+), raw_t AS (
+  SELECT source, total_tokens,
+         CAST(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS DECIMAL(28,10)) AS raw
+  FROM per_src
+), eps AS (
+  SELECT source,
+         CAST(raw AS DOUBLE) / CAST(SUM(raw) OVER () AS DOUBLE)
+           * {float(MIX_TOKEN_BUDGET)} / CAST(total_tokens AS DOUBLE) AS epochs,
+         CAST(raw AS DOUBLE) / CAST(SUM(raw) OVER () AS DOUBLE)
+           * {float(MIX_TOKEN_BUDGET)} AS token_quota
+  FROM raw_t
+), copies AS (
+  SELECT d.source, d.n_tokens, eps.token_quota,
+         CAST(floor(epochs) AS BIGINT)
+         + CASE WHEN d.h8 < lpad(lower(to_hex(CAST(floor((epochs - floor(epochs))
+                  * {float(16 ** 8)}) AS BIGINT))), 8, '0') THEN 1 ELSE 0 END AS n_copies
+  FROM d JOIN eps ON d.source = eps.source
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_copies) AS BIGINT) AS total_copies,
+       CAST(SUM(n_copies * n_tokens) AS BIGINT) AS sampled_tokens,
+       ANY_VALUE(token_quota) AS token_quota,
+       CAST(SUM(n_copies * n_tokens) AS DOUBLE) / ANY_VALUE(token_quota) AS quota_fill_ratio
+FROM copies
+GROUP BY source
+ORDER BY source
+"""
+
+
 STRATA_CAP = 60  # target docs per language stratum
 
 
@@ -283,9 +390,11 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "vocab_hapax_stats": vocab_hapax_stats,
     "token_entropy": token_entropy,
+    "mixture_epoch_expansion": mixture_epoch_expansion,
 }
 
 ORACLES = {
+    "mixture_epoch_expansion": ORACLE_MIXTURE_EPOCH_EXPANSION,
     "source_mixture_weights": ORACLE_SOURCE_MIXTURE_WEIGHTS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "vocab_hapax_stats": ORACLE_VOCAB_HAPAX_STATS,

@@ -535,7 +535,85 @@ GROUP BY e.qid
 """
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with exact error
+    accounting — the embedding-compression step of a vector-store
+    build (4× smaller, dot products in int8 SIMD at serve time):
+    scale = max|v| / 127, q_i = floor(v_i/scale + 0.5) clamped to
+    [-127, 127] (explicit floor(+0.5) — engines disagree on round()
+    half-rule), error_i = v_i − q_i·scale.
+
+    Reported per vector: the scale, max absolute error (order-free
+    exact max) and the reconstruction MSE via the engine's
+    scaled-integer sum (order-independent double accumulation).
+    All-zero vectors quantize to zeros with scale 0 (guarded).
+
+    Scale shape: pure per-row expressions, no shuffle, no state —
+    a map-only pass over the corpus."""
+    emb = _emb(spark, sf_dir)
+    scale = F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) / 127.0"
+    )
+    d = emb.select("vec_id", "embedding", scale.alias("scale"))
+    q = F.expr(
+        "transform(embedding, x -> CAST(greatest(-127, least(127,"
+        " floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT))"
+    )
+    d = d.withColumn(
+        "q", F.when(F.col("scale") > 0, q).otherwise(F.expr("transform(embedding, x -> CAST(0 AS BIGINT))"))
+    )
+    err2 = F.expr(
+        "CAST(aggregate(zip_with(embedding, q, (x, qi) ->"
+        " CAST(floor(((CAST(x AS DOUBLE) - qi * scale) * (CAST(x AS DOUBLE) - qi * scale))"
+        " * 1e12 + 0.5) AS BIGINT)), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / 1e12"
+    )
+    max_err = F.expr(
+        "aggregate(zip_with(embedding, q, (x, qi) ->"
+        " abs(CAST(x AS DOUBLE) - qi * scale)), CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> greatest(acc, v))"
+    )
+    return d.select(
+        "vec_id",
+        "scale",
+        F.expr("size(q)").alias("dims"),
+        max_err.alias("max_abs_err"),
+        (err2 / F.expr("size(q)")).alias("mse"),
+    ).orderBy("vec_id")
+
+
+ORACLE_EMBEDDING_QUANTIZE_INT8 = """
+WITH d AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           (acc, x) -> greatest(acc, x)) / 127.0 AS scale
+  FROM embeddings
+), qd AS (
+  SELECT vec_id, embedding, scale,
+         CASE WHEN scale > 0 THEN
+           list_transform(embedding, x -> CAST(greatest(-127, least(127,
+             floor(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT))
+         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+  FROM d
+)
+SELECT vec_id, scale,
+       len(q) AS dims,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(1, len(q) + 1),
+           i -> abs(CAST(embedding[i] AS DOUBLE) - q[i] * scale))),
+         (acc, v) -> greatest(acc, v)) AS max_abs_err,
+       CAST(list_sum(list_transform(range(1, len(q) + 1),
+         i -> CAST(floor(((CAST(embedding[i] AS DOUBLE) - q[i] * scale)
+              * (CAST(embedding[i] AS DOUBLE) - q[i] * scale)) * 1e12 + 0.5) AS BIGINT)))
+         AS DOUBLE) / 1e12 / len(q) AS mse
+FROM qd
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
+    "embedding_quantize_int8": embedding_quantize_int8,
     "knn_bruteforce": knn_bruteforce,
     "label_centroids": label_centroids,
     "ivf_assignments": ivf_assignments,
@@ -546,6 +624,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_quantize_int8": ORACLE_EMBEDDING_QUANTIZE_INT8,
     "ann_recall": ORACLE_ANN_RECALL,
     "ivf_search": ORACLE_IVF_SEARCH,
     "knn_bruteforce": ORACLE_KNN_BRUTEFORCE,

@@ -427,9 +427,13 @@ LIMIT 100
 """
 
 
-_REV = F.col("l_extendedprice").cast("decimal(12,2)") * (
-    F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
-)
+def _rev() -> F.Column:
+    # built lazily: Column construction needs an active SparkContext,
+    # and this module must import cleanly before any session exists
+    # (pytest collection, driver import order)
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
 
 
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,7 +452,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_REV).cast("double").alias("revenue"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -658,12 +662,12 @@ def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(smallp), li.l_partkey == smallp.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
-        .filter(F.col("qty") > 40)
+        .filter(F.col("qty") > 20)
         .select("l_suppkey")
         .distinct()
     )
     s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_2", "NATION_5"))
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_8", "NATION_12", "NATION_15", "NATION_20"))
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
         .join(F.broadcast(pq), s.s_suppkey == pq.l_suppkey, "left_semi")
@@ -675,7 +679,7 @@ def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EXCESS_STOCK_SUPPLIERS = """
 SELECT s_name, s_acctbal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
-WHERE n_name IN ('NATION_2', 'NATION_5')
+WHERE n_name IN ('NATION_8', 'NATION_12', 'NATION_15', 'NATION_20')
   AND s_suppkey IN (
     SELECT l_suppkey FROM (
       SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
@@ -684,7 +688,7 @@ WHERE n_name IN ('NATION_2', 'NATION_5')
         AND l_shipdate < TIMESTAMP '1998-01-01'
         AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
       GROUP BY l_suppkey, l_partkey
-    ) WHERE qty > 40
+    ) WHERE qty > 20
   )
 ORDER BY s_name
 """
