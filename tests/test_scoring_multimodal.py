@@ -314,3 +314,53 @@ def test_gbt_probability_rank_order_and_threshold_sensitivity(spark):
     }
     assert surv[0.90] <= surv[0.85] <= surv[0.80]
     assert len(surv[0.85]) > 0
+
+
+def test_png_codec_roundtrip_property():
+    """Property test: encode→decode is the identity for arbitrary
+    8-bit images across all supported channel counts and dims."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from fin_trade_craft_spark.functions import png as P
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        c=st.sampled_from([1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(w, h, c, seed):
+        img = np.random.RandomState(seed).randint(0, 256, (h, w, c), dtype=np.uint8)
+        assert np.array_equal(P.decode_png(P.encode_png(img)), img)
+
+    prop()
+
+
+def test_png_fit_dims_property():
+    """fit_dims never upscales, never exceeds the box, preserves
+    aspect within integer-floor error, and is exact integer math."""
+    from hypothesis import given, settings, strategies as st
+
+    from fin_trade_craft_spark.functions import png as P
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(1, 10_000),
+        h=st.integers(1, 10_000),
+        mw=st.integers(1, 512),
+        mh=st.integers(1, 512),
+    )
+    def prop(w, h, mw, mh):
+        nw, nh = P.fit_dims(w, h, mw, mh)
+        assert 1 <= nw and 1 <= nh
+        assert nw <= max(w, mw) and nh <= max(h, mh)
+        if w <= mw and h <= mh:
+            assert (nw, nh) == (w, h)  # never upscale
+        else:
+            assert nw <= mw and nh <= mh  # fits the box
+            # the limiting axis is fully used
+            assert nw == mw or nh == mh
+
+    prop()

@@ -305,3 +305,23 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     want = sorted((r.user_id, r.view_id, r.click_id) for r in batch.collect())
     assert got == want
+
+
+def test_normalize_event_ts_fail_fast(spark):
+    """Unexpected ts types must raise a descriptive error naming the
+    loaded type, not fall through to confusing query-time epoch math
+    (round-2 ADVICE)."""
+    import pytest
+
+    from fin_trade_craft_spark.sources.catalog import normalize_event_ts
+
+    ok_ntz = spark.sql("SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts")
+    assert dict(normalize_event_ts(ok_ntz).dtypes)["ts"] == "timestamp"
+    ok_long = spark.sql("SELECT CAST(1700000000000000000 AS LONG) AS ts")
+    out = normalize_event_ts(ok_long)
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    # nanos -> micros truncation, exact integer division
+    assert out.collect()[0].ts.microsecond == 0
+    bad = spark.sql("SELECT 'not a time' AS ts")
+    with pytest.raises(TypeError, match="string"):
+        normalize_event_ts(bad)
