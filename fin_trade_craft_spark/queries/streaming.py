@@ -228,11 +228,78 @@ ORDER BY v.user_id, view_id, click_id
 """
 
 
+def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLIDING-window rollup (1h window / 15min slide —
+    every event lands in exactly 4 overlapping windows). The oracle
+    reconstructs Spark's epoch-aligned window assignment
+    independently in SQL: the k-th containing window starts at
+    time_bucket(15min, ts) − k·15min, k ∈ 0..3 (both engines align
+    the 15-minute grid to the epoch midnight)."""
+    ev = _events_stream(spark, sf_dir)
+    rolled = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(rolled, "complete").orderBy("win_start", "event_type")
+
+
+ORACLE_STREAMING_SLIDING_ROLLUP = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP))
+           - k * INTERVAL 15 MINUTE AS win_start,
+         event_type, value
+  FROM events, LATERAL (SELECT unnest(range(0, 4)) AS k)
+)
+SELECT win_start,
+       win_start + INTERVAL 1 HOUR AS win_end,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
+
+
+def streaming_zone_signals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The W18 RSI-zone state machine as a TRUE streaming operator:
+    ``applyInPandasWithState`` holds per-user zone state across
+    micro-batches (the genuinely non-SQL-expressible §2.9 piece —
+    registered rows-only BY DESIGN: its correctness evidence is the
+    cross-micro-batch state test in tests/test_streaming_stateful.py
+    and the batch twin's oracle). Events stand in for the price
+    series: the 30/70 zone machine runs on ``value`` directly, with
+    ``bar = unix_micros(ts)`` as the (unique per user — verified)
+    event-time sort key, so per-batch folding is deterministic."""
+    from ..streaming.stateful_signals import zone_signals_stateful
+
+    ev = _events_stream(spark, sf_dir)
+    bars = ev.select(
+        F.col("user_id").alias("symbol_id"),
+        F.unix_micros("ts").alias("bar"),
+        F.col("value").alias("rsi"),
+    )
+    return _drain(zone_signals_stateful(bars), "append").orderBy("symbol_id", "bar")
+
+
 QUERIES = {
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "streaming_session_stats": streaming_session_stats,
     "streaming_dedup_hashes": streaming_dedup_hashes,
     "streaming_click_attribution": streaming_click_attribution,
+    "streaming_sliding_rollup": streaming_sliding_rollup,
+    "streaming_zone_signals_stateful": streaming_zone_signals_stateful,
 }
 
 ORACLES = {
@@ -240,4 +307,7 @@ ORACLES = {
     "streaming_session_stats": ORACLE_STREAMING_SESSION_STATS,
     "streaming_dedup_hashes": ORACLE_STREAMING_DEDUP_HASHES,
     "streaming_click_attribution": ORACLE_STREAMING_CLICK_ATTRIBUTION,
+    "streaming_sliding_rollup": ORACLE_STREAMING_SLIDING_ROLLUP,
+    # streaming_zone_signals_stateful: rows-only by design (stateful
+    # applyInPandasWithState is not SQL-expressible; see docstring)
 }
