@@ -1003,7 +1003,100 @@ LIMIT 20
 """
 
 
+
+def weighted_avg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 as a driver query (the reference shape is the sentiment
+    weighted-average + HAVING over relevance weights,
+    transform_news_sentiment.py sentiment_agg): per-user weighted
+    average event value with weight = event_id % 10 + 1, keeping
+    only users with >= 20 events. Exact-decimal weighted sum, ONE
+    double divide at the end; map-side partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    wgt = (F.col("event_id") % 10 + 1).cast("decimal(4,0)")
+    wsum = F.sum(F.col("value").cast("decimal(18,2)") * wgt)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            wsum.cast("double").alias("weighted_sum"),
+            F.sum(wgt).cast("bigint").alias("total_weight"),
+        )
+        .filter(F.col("n_events") >= 20)
+        .select(
+            "user_id",
+            "n_events",
+            "weighted_sum",
+            "total_weight",
+            (F.col("weighted_sum") / F.col("total_weight").cast("double")).alias(
+                "weighted_avg"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_WEIGHTED_AVG_HAVING = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(event_id % 10 + 1 AS DECIMAL(4,0))) AS DOUBLE)
+         AS weighted_sum,
+       CAST(SUM(CAST(event_id % 10 + 1 AS DECIMAL(4,0))) AS BIGINT) AS total_weight,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(event_id % 10 + 1 AS DECIMAL(4,0))) AS DOUBLE)
+         / CAST(SUM(CAST(event_id % 10 + 1 AS DECIMAL(4,0))) AS DOUBLE) AS weighted_avg
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) >= 20
+ORDER BY user_id
+"""
+
+
+def lineitem_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 as a driver query: COMPOSITE-KEY equi self-join — each
+    lineitem joined to the next line of the same order on
+    (l_orderkey, l_linenumber + 1), reporting the price step between
+    adjacent lines. One shuffle pair on the composite key; the
+    reference analog is the 3-statement composite-key join in
+    fundamental quality scores (symbol_id, fiscal_date_ending)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price_a"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("b_orderkey"),
+        (F.col("l_linenumber") - 1).alias("b_prev_line"),
+        F.col("l_extendedprice").alias("price_b"),
+    )
+    delta = (
+        F.col("price_b").cast("decimal(18,2)") - F.col("price_a").cast("decimal(18,2)")
+    ).cast("double")
+    return (
+        a.join(
+            b,
+            (a.l_orderkey == b.b_orderkey) & (a.l_linenumber == b.b_prev_line),
+        )
+        .select("l_orderkey", "l_linenumber", "price_a", "price_b", delta.alias("price_step"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+ORACLE_LINEITEM_ADJACENT_PAIRS = """
+SELECT a.l_orderkey, a.l_linenumber,
+       a.l_extendedprice AS price_a,
+       b.l_extendedprice AS price_b,
+       CAST(CAST(b.l_extendedprice AS DECIMAL(18,2))
+            - CAST(a.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_step
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+ORDER BY a.l_orderkey, a.l_linenumber
+"""
+
+
 QUERIES = {
+    "weighted_avg_having": weighted_avg_having,
+    "lineitem_adjacent_pairs": lineitem_adjacent_pairs,
     "pricing_summary": pricing_summary,
     "nation_trade_volume": nation_trade_volume,
     "top_supplier_revenue": top_supplier_revenue,
@@ -1033,6 +1126,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "weighted_avg_having": ORACLE_WEIGHTED_AVG_HAVING,
+    "lineitem_adjacent_pairs": ORACLE_LINEITEM_ADJACENT_PAIRS,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "nation_trade_volume": ORACLE_NATION_TRADE_VOLUME,
     "top_supplier_revenue": ORACLE_TOP_SUPPLIER_REVENUE,
