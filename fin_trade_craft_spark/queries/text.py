@@ -512,11 +512,14 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.tokens(F.col("text")).alias("toks"),
     ).filter(F.expr(f"size(toks) >= {CONTAM_K}"))
     is_eval = F.substring("h", 1, 1).isin("0", "1")
+    # materialize: the tokenize→shingle→explode chain feeds the eval
+    # gram set AND both train-side aggregates — three plan walks
+    # without it (temp-table write at cluster scale, SCALING.md)
     sh = d.select(
         "doc_id",
         is_eval.alias("is_eval"),
         F.explode(T.shingles("toks", CONTAM_K)).alias("g"),
-    )
+    ).localCheckpoint(eager=True)
     eval_g = sh.filter(F.col("is_eval")).select("g").distinct()
     train = sh.filter(~F.col("is_eval"))
     base = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -588,7 +591,13 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     here for cross-engine value parity."""
     d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
     d = d.filter(F.expr(f"size(toks) >= {BOILER_K}"))
-    sh = d.select("doc_id", F.explode(T.shingles("toks", BOILER_K)).alias("g"))
+    # materialize: the tokenize→shingle→explode chain feeds THREE
+    # consumers (gram counts, per-doc base counts, the semi-join
+    # probe) — without this it runs three times. At cluster scale
+    # this is a temp-table write (SCALING.md localCheckpoint note).
+    sh = d.select(
+        "doc_id", F.explode(T.shingles("toks", BOILER_K)).alias("g")
+    ).localCheckpoint(eager=True)
     boiler = (
         sh.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_docs"))
