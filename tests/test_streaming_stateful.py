@@ -65,3 +65,58 @@ def test_state_survives_microbatch_boundary(spark, tmp_path):
         (14, False, True)
     ]
     assert abs(out2[0].signal_strength - 35.0) < 1e-9
+
+
+def test_transformwithstate_twin_matches(spark, tmp_path):
+    """The Spark-4 transformWithStateInPandas form must produce
+    exactly the applyInPandasWithState result on the same two-batch
+    golden series (same fold, same state tuple, different state
+    API). Skipped where the transformWithState runtime dependency
+    (a working google.protobuf) is absent — this container ships a
+    broken protobuf and pip installs are off-limits; the
+    applyInPandasWithState path above is the tested production
+    operator there."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState needs google.protobuf (absent/broken here)")
+    from fin_trade_craft_spark.streaming.stateful_signals import zone_signals_tws
+
+    src = tmp_path / "bars"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt_tws"
+    out = tmp_path / "tws_out"
+
+    def write_file(bars):
+        pdf = pd.DataFrame(
+            [(1, i, float(v)) for i, v in bars], columns=["symbol_id", "bar", "rsi"]
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema("symbol_id long, bar long, rsi double").parquet(
+            str(src)
+        )
+        q = (
+            zone_signals_tws(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(out)).collect()
+
+    write_file(list(enumerate(GOLDEN[:10])))
+    out1 = run()
+    assert [(r.bar, r.buy_signal, r.sell_signal) for r in sorted(out1, key=lambda r: r.bar)] == [
+        (7, True, False)
+    ]
+    write_file(list(enumerate(GOLDEN))[10:])
+    all_out = run()
+    got = sorted((r.bar, r.buy_signal, r.sell_signal) for r in all_out)
+    assert got == [(7, True, False), (14, False, True)]
