@@ -66,6 +66,10 @@ def bench_query_names() -> list[str]:
         "knn_bruteforce",
         "ivf_search",
         "multimodal_metadata",
+        # r03 additions: scan-bound TPC-H shape (pure pushdown cost)
+        # and the real PNG decode->resize->encode codec path
+        "forecast_revenue_change",
+        "image_resize_pixelsum",
         # skew scale-path
         "salted_skew_join",
     ]

@@ -66,6 +66,11 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    if not lines[:, 0].any():
+        # all-filter-0 fast path (our own encoder and many writers):
+        # no unfiltering needed, decode is a single reshape+copy
+        return lines[:, 1:].copy().reshape(h, w, channels)
     img = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     bpp = channels
