@@ -1094,7 +1094,84 @@ ORDER BY a.l_orderkey, a.l_linenumber
 """
 
 
+
+def order_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/F10 as a driver query (the reference shape is the insider
+    transaction-size tier summary): bucketize orders into value
+    tiers, then per-tier counts, exact-decimal value sums and
+    averages, and distinct-customer counts. One hash aggregate with
+    map-side combine; the bucketize is a pure CASE expression."""
+    o = load_table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50_000, "SMALL")
+        .when(F.col("o_totalprice") < 150_000, "MEDIUM")
+        .otherwise("LARGE")
+    )
+    return (
+        o.groupBy(tier.alias("value_tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_value"),
+            davg("o_totalprice").alias("avg_value"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("value_tier")
+    )
+
+
+ORACLE_ORDER_VALUE_TIERS = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'SMALL'
+            WHEN o_totalprice < 150000 THEN 'MEDIUM'
+            ELSE 'LARGE' END AS value_tier,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice)
+         AS avg_value,
+       COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY 1
+ORDER BY value_tier
+"""
+
+
+def null_handling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5/F7 as a driver query: NULL-injection via NULLIF (open
+    orders lose their status), then the three NULL disciplines the
+    reference uses side by side — count of nulls, COALESCE fill to a
+    sentinel, and dropna survivors — reported per priority."""
+    o = load_table(spark, sf_dir, "orders")
+    st = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        o.select("o_orderpriority", st.alias("st"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("st").isNull(), 1).otherwise(0)).alias("n_null"),
+            F.count("st").alias("n_after_dropna"),
+            F.sum(F.when(F.coalesce(F.col("st"), F.lit("X")) == "X", 1).otherwise(0)).alias(
+                "n_filled_sentinel"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_NULL_HANDLING_REPORT = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       SUM(CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END) AS n_null,
+       COUNT(NULLIF(o_orderstatus, 'O')) AS n_after_dropna,
+       SUM(CASE WHEN COALESCE(NULLIF(o_orderstatus, 'O'), 'X') = 'X' THEN 1 ELSE 0 END)
+         AS n_filled_sentinel
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "order_value_tiers": order_value_tiers,
+    "null_handling_report": null_handling_report,
     "weighted_avg_having": weighted_avg_having,
     "lineitem_adjacent_pairs": lineitem_adjacent_pairs,
     "pricing_summary": pricing_summary,
@@ -1126,6 +1203,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "order_value_tiers": ORACLE_ORDER_VALUE_TIERS,
+    "null_handling_report": ORACLE_NULL_HANDLING_REPORT,
     "weighted_avg_having": ORACLE_WEIGHTED_AVG_HAVING,
     "lineitem_adjacent_pairs": ORACLE_LINEITEM_ADJACENT_PAIRS,
     "pricing_summary": ORACLE_PRICING_SUMMARY,
