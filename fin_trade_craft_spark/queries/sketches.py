@@ -62,10 +62,64 @@ def approx_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FREQ_SUPPORT = 0.02  # heavy-hitter threshold (share of token mass)
+
+
+def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters via sketch-then-verify: a single-pass
+    Karp-Papadimitriou-Shenker candidate sweep (``stat.freqItems`` —
+    mergeable, O(1/support) state per partition) guarantees a
+    SUPERSET of every token with share ≥ support; exact counts are
+    then computed ONLY for candidates, and the final filter keeps
+    true heavy hitters. Same approximate-generate → exact-verify
+    pattern as the LSH dedup ladder, which is why this sketch query
+    can carry a full value oracle while the HLL/GK profiles above
+    are rows-only (their outputs are algorithm-specific).
+
+    Scale shape: the candidate list is ≤ 1/support items (driver-
+    side, small BY CONSTRUCTION); the verify pass is a map-side-
+    combinable count over an `isin` filter that prunes the shuffle
+    to candidate tokens only — never a full-vocabulary shuffle."""
+    from ..functions import text as T
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    cands = d.stat.freqItems(["term"], FREQ_SUPPORT).collect()[0][0]
+    total = d.count()
+    share = F.col("n").cast("double") / F.lit(float(total))
+    return (
+        d.filter(F.col("term").isin(list(cands)))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", share)
+        .filter(F.col("n") >= F.lit(FREQ_SUPPORT) * F.lit(float(total)))
+        .orderBy(F.desc("n"), "term")
+    )
+
+
+ORACLE_FREQUENT_TOKENS = f"""
+WITH t AS (
+  SELECT unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents
+), c AS (
+  SELECT term, COUNT(*) AS n FROM t GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c
+)
+SELECT term, n, CAST(n AS DOUBLE) / total AS share
+FROM c, tot
+WHERE n >= {FREQ_SUPPORT} * total
+ORDER BY n DESC, term
+"""
+
+
 QUERIES = {
     "approx_events_profile": approx_events_profile,
     "approx_corpus_profile": approx_corpus_profile,
+    "frequent_tokens": frequent_tokens,
 }
 
-# rows-only by design — see module docstring
-ORACLES: dict[str, str] = {}
+# HLL/GK profiles are rows-only by design (see module docstring);
+# frequent_tokens is exact after verification, hence oracle-checked
+ORACLES: dict[str, str] = {"frequent_tokens": ORACLE_FREQUENT_TOKENS}

@@ -64,3 +64,30 @@ def test_sketches_registered_as_driver_queries(spark):
 def approx_rows_ok(df) -> bool:
     rows = df.collect()
     return len(rows) > 0 and all(r.n_docs > 0 for r in rows)
+
+
+def test_frequent_tokens_superset_guarantee_and_exactness(spark):
+    """freqItems must return a SUPERSET of true heavy hitters (the
+    KPS contract this query's correctness rests on), and the
+    verified output must equal the exactly-computed heavy-hitter
+    set."""
+    from conftest import SF_SMOKE
+
+    from fin_trade_craft_spark.functions import text as T
+    from fin_trade_craft_spark.queries.sketches import FREQ_SUPPORT, frequent_tokens
+    from fin_trade_craft_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_SMOKE, "documents").select(
+        F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    total = d.count()
+    exact = {
+        r.term: r.n
+        for r in d.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r.n >= FREQ_SUPPORT * total
+    }
+    got = {r.term: r.n for r in frequent_tokens(spark, SF_SMOKE).collect()}
+    assert got == exact
+    cands = set(d.stat.freqItems(["term"], FREQ_SUPPORT).collect()[0][0])
+    assert set(exact) <= cands  # superset guarantee
