@@ -323,7 +323,96 @@ WHERE list_sum(list_transform(range(1, 65),
 """.format(bits=_simhash64_sql_bits())
 
 
+
+def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup — the continuously-ingesting
+    production shape: the odd-doc_id half of the corpus plays the
+    NEW batch arriving against the even half as the EXISTING,
+    already-signature-indexed corpus. A new doc's candidates are
+    band collisions with EITHER an existing doc or an EARLIER new
+    doc (first-wins within the batch); exact Jaccard verifies; the
+    doc is ingested iff no verified match ≥ 0.5 exists. Per new doc:
+    match count + the ingest decision.
+
+    Scale shape: at 100 TB the banded-signature frame is a persisted
+    table (TableIO append per ingest) — each batch probes it with a
+    band equi-join and appends its own signatures; the historical
+    corpus is never re-tokenized or re-hashed, and the probe cost is
+    proportional to the BATCH, not the corpus."""
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=True)
+    sigs = D.minhash_signatures(sets, num_perm=8)
+    bands = F.array(
+        *[
+            F.concat_ws("|", F.lit(str(b)), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+            for b in range(4)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("band"))
+    new_side = banded.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("d2"), "band"
+    )
+    prior_side = banded.select(F.col("doc_id").alias("d1"), "band")
+    cands = (
+        new_side.join(prior_side, "band")
+        .filter((F.col("d1") % 2 == 0) | (F.col("d1") < F.col("d2")))
+        .select("d1", "d2")
+        .distinct()
+    )
+    matches = (
+        D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands)
+        .groupBy("d2")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    new_docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    return (
+        new_docs.join(matches, new_docs.doc_id == matches.d2, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_dup_matches"),
+            (F.coalesce("n_matches", F.lit(0)) == 0).alias("ingested"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP_INGEST = f"""
+{_SHINGLE_CTE.rstrip()},
+sigs AS (
+  SELECT doc_id,
+{_MH_COLS}
+  FROM sh_sets
+),
+banded AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b ON a.band = b.band
+  WHERE b.doc_id % 2 = 1 AND (a.doc_id % 2 = 0 OR a.doc_id < b.doc_id)
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_sets),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh_sets),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle
+  WHERE b.doc_id % 2 = 1 AND (a.doc_id % 2 = 0 OR a.doc_id < b.doc_id)
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT d2, COUNT(*) AS n_matches
+  FROM cands JOIN inter USING (d1, d2)
+  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
+  GROUP BY d2
+)
+SELECT doc_id,
+       COALESCE(n_matches, 0) AS n_dup_matches,
+       COALESCE(n_matches, 0) = 0 AS ingested
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) nd
+LEFT JOIN ver ON nd.doc_id = ver.d2
+ORDER BY doc_id
+"""
+
 QUERIES = {
+    "incremental_dedup_ingest": incremental_dedup_ingest,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_verified": dedup_jaccard_verified,
@@ -334,6 +423,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incremental_dedup_ingest": ORACLE_INCREMENTAL_DEDUP_INGEST,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
