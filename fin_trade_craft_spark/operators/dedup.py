@@ -207,7 +207,9 @@ def minhash_signatures(shingle_sets: DataFrame, id_col: str = "doc_id", num_perm
         for pdf in batches:
             rows = []
             for did, shingles in zip(pdf[id_col], pdf["shingles"]):
-                hs = [hashes(s) for s in shingles]
+                # NULL array → NULL mh row, matching the replaced
+                # array_min(transform(...)) expression's semantics
+                hs = [] if shingles is None else [hashes(s) for s in shingles]
                 rows.append(
                     (did, *(min(h[i] for h in hs) for i in range(num_perm)))
                     if hs
@@ -268,7 +270,11 @@ def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     import numpy as np
 
     _HI = frozenset("89abcdef")
-    ws = re.compile(r"\s+")
+    # ASCII whitespace class, NOT r"\s+": Python \s matches Unicode
+    # whitespace (U+00A0, U+2028, …) while Java (Spark regexp_replace)
+    # and RE2 (DuckDB) \s are ASCII-only — a non-ASCII space would
+    # tokenize differently and break signature parity
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def fn(batches):
         import pandas as pd
@@ -290,14 +296,17 @@ def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         from collections import Counter
 
         for pdf in batches:
-            sigs = []
-            for text in pdf[text_col]:
-                toks = ws.sub(" ", (text or "").strip(" ")).split(" ")
+            ids, sigs = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue  # NULL text emitted no row in the exploded shape
+                toks = ws.sub(" ", text.strip(" ")).split(" ")
                 s = np.zeros(n_bits, dtype=np.int64)
                 for t, c in Counter(toks).items():
                     s += c * votes(t)
+                ids.append(did)
                 sigs.append("".join("1" if x > 0 else "0" for x in s))
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sigs})
+            yield pd.DataFrame({id_col: ids, "simhash": sigs})
 
     return docs.select(id_col, text_col).mapInPandas(fn, f"{id_col} long, simhash string")
 

@@ -87,6 +87,11 @@ def knn_bruteforce(
     from pyspark.sql import Window
 
     q_rows = queries.select(id_col, vec_col).collect()  # small by contract
+    if not q_rows:
+        # empty query set → empty result (np.asarray([]) would be 1-D
+        # and crash the axis-1 sums below)
+        spark = corpus.sparkSession
+        return spark.createDataFrame([], "qid long, rank int, nid long, cos_sim double")
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.asarray([np.asarray(r[1], dtype=np.float64) for r in q_rows], dtype=np.float64)
     n2q = np.floor(Q * Q * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12

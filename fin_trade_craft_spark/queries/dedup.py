@@ -340,7 +340,9 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is never re-tokenized or re-hashed, and the probe cost is
     proportional to the BATCH, not the corpus."""
     sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=True)
-    sigs = D.minhash_signatures(sets, num_perm=8)
+    # materialize: the signature kernel feeds BOTH sides of the band
+    # self-join — without this the md5 hashing runs twice
+    sigs = D.minhash_signatures(sets, num_perm=8).localCheckpoint(eager=True)
     bands = F.array(
         *[
             F.concat_ws("|", F.lit(str(b)), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))

@@ -82,10 +82,19 @@ def frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     to candidate tokens only — never a full-vocabulary shuffle."""
     from ..functions import text as T
 
-    d = load_table(spark, sf_dir, "documents").select(
-        F.explode(T.tokens(F.col("text"))).alias("term")
+    # materialize: three actions consume this frame (candidate sweep,
+    # total count, verify aggregate) — don't re-tokenize per action
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        .localCheckpoint(eager=True)
     )
-    cands = d.stat.freqItems(["term"], FREQ_SUPPORT).collect()[0][0]
+    # sweep at HALF the reporting threshold: freqItems guarantees a
+    # superset only of items with share strictly GREATER than its
+    # support, so an item at exactly FREQ_SUPPORT could be swept out
+    # if we probed at FREQ_SUPPORT itself; the verify filter below
+    # (>=) is the single source of truth for the cut
+    cands = d.stat.freqItems(["term"], FREQ_SUPPORT / 2).collect()[0][0]
     total = d.count()
     share = F.col("n").cast("double") / F.lit(float(total))
     return (

@@ -69,7 +69,11 @@ def _drain(stream_df: DataFrame, mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # awaitTermination returns False on timeout without raising —
+        # reading the sink now would silently return PARTIAL results
+        q.stop()
+        raise TimeoutError(f"streaming drain into {name} exceeded 300s")
     return stream_df.sparkSession.table(name)
 
 
@@ -134,14 +138,14 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STREAMING_SESSION_STATS = """
 WITH t AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
     CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
            OR epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
          THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
-  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM t
 )
