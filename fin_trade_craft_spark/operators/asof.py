@@ -46,8 +46,16 @@ def asof_join(
     ``validity`` is an extra boolean Column over the joined row
     (e.g. a bounded lookback window). ``tiebreak`` orders equal
     right_time rows deterministically.
+
+    Column resolution is side-QUALIFIED (``left[...]``/``right[...]``),
+    so ``left_time`` and ``right_time`` may share a name (ts-vs-ts is
+    the natural as-of call); the right-side copy of each ``on`` key
+    is dropped from the output so downstream ``select(key)`` never
+    hits AMBIGUOUS_REFERENCE. A shared time-column NAME does leave
+    two same-named time columns in the output (both values are
+    meaningful) — select them qualified or pre-rename if needed.
     """
-    lt, rt = F.col(left_time), F.col(right_time)
+    lt, rt = left[left_time], right[right_time]
     cond = rt <= lt
     if validity is not None:
         cond = cond & validity
@@ -55,6 +63,8 @@ def asof_join(
         cond = cond & (left[k] == right[k])
 
     joined = left.join(right, cond, how)
+    for k in on:
+        joined = joined.drop(right[k])
     left_key = [left_key] if isinstance(left_key, str) else left_key
     order = [rt.desc_nulls_last()] + list(tiebreak or [])
     w = Window.partitionBy(*[left[k] for k in left_key]).orderBy(*order)

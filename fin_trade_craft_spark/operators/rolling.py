@@ -59,12 +59,17 @@ def rolling_mean(col: Column, w: WindowSpec, n: int, scale: int = 2, min_periods
 def rolling_std(col: Column, w: WindowSpec, n: int, scale: int = 2, min_periods: int | None = None) -> Column:
     """Sample std via exact sum / sum-of-squares (W11). The final
     sqrt((s2 - s²/c)/(c-1)) is a fixed double expression — identical
-    inputs give identical results in any engine."""
+    inputs give identical results in any engine. The variance is
+    clamped at 0: for a CONSTANT window the exact decimal sums are
+    equal but the double subtraction can round to a tiny NEGATIVE
+    (e.g. ten 0.01 values → var = -2.4e-20), where sqrt must give 0,
+    not NaN (any mirroring SQL oracle needs the same GREATEST(var,0)
+    — DuckDB's sqrt of a negative RAISES)."""
     d = _dec(col, 12, scale)
     s = F.sum(d).over(_frame(w, n)).cast("double")
     s2 = F.sum(d * d).over(_frame(w, n)).cast("double")
     c = F.count(col).over(_frame(w, n))
-    var = (s2 - s * s / c) / (c - F.lit(1))
+    var = F.greatest((s2 - s * s / c) / (c - F.lit(1)), F.lit(0.0))
     return _guard(F.sqrt(var), col, w, n, min_periods)
 
 

@@ -72,8 +72,9 @@ class WatermarkLedger:
         )
         existing = self.read().filter(F.col("transform_group") == group).select("symbol_id")
         new = seed.join(existing, "symbol_id", "left_anti")
-        merged = self.read().unionByName(new)
-        self.io.upsert(merged, self.table, ["symbol_id", "transform_group"])
+        # upsert keeps non-colliding old rows itself — passing the
+        # whole ledger back in would scan it twice more for nothing
+        self.io.upsert(new, self.table, ["symbol_id", "transform_group"])
 
     def select_work(
         self, group: str, staleness_hours: float = 168.0, limit: int | None = None,
@@ -82,14 +83,19 @@ class WatermarkLedger:
         """Symbols needing a run: eligible, under the failure cap,
         never-run or stale; stalest first with NULLS FIRST (O2)."""
         now = now or datetime.now(timezone.utc)
-        cutoff = F.lit(now).cast("timestamp") - F.expr(f"INTERVAL {int(staleness_hours)} HOURS")
+        # seconds granularity: int(hours) would silently truncate
+        # fractional staleness (0.5h → 0 → every symbol always stale)
+        cutoff = F.lit(now).cast("timestamp") - F.expr(
+            f"INTERVAL {int(staleness_hours * 3600)} SECONDS"
+        )
         led = self.read().filter(F.col("transform_group") == group)
         work = led.filter(
             (F.col("eligible") == "yes")
             & (F.col("consecutive_failures") < MAX_FAILURES)
             & (F.col("last_successful_run").isNull() | (F.col("last_successful_run") < cutoff))
         ).orderBy(F.col("last_successful_run").asc_nulls_first(), "symbol_id")
-        return work.limit(limit) if limit else work
+        # `is not None`: limit=0 legitimately means "no capacity"
+        return work.limit(limit) if limit is not None else work
 
     def commit_success(self, group: str, ranges: DataFrame, now: datetime | None = None) -> None:
         """Bulk watermark commit from a per-symbol min/max aggregate

@@ -64,9 +64,12 @@ WITH base AS (
 )
 SELECT event_id, user_id, ts, value,
   CASE WHEN c5 >= 5 THEN s5 / c5 END AS sma5,
-  CASE WHEN c10 >= 10 THEN SQRT((ss10 - s10 * s10 / c10) / (c10 - 1)) END AS std10,
+  -- GREATEST(...,0): a constant window's exact sums subtract to a
+  -- tiny NEGATIVE in double (≈ -2e-20) — sqrt must give 0, and
+  -- DuckDB sqrt of a negative RAISES (mirrors rolling.rolling_std)
+  CASE WHEN c10 >= 10 THEN SQRT(GREATEST((ss10 - s10 * s10 / c10) / (c10 - 1), 0)) END AS std10,
   (value - CASE WHEN c10 >= 10 THEN s10 / c10 END)
-    / (CASE WHEN c10 >= 10 THEN SQRT((ss10 - s10 * s10 / c10) / (c10 - 1)) END + 1e-8) AS z10
+    / (CASE WHEN c10 >= 10 THEN SQRT(GREATEST((ss10 - s10 * s10 / c10) / (c10 - 1), 0)) END + 1e-8) AS z10
 FROM base
 """
 
@@ -350,6 +353,12 @@ def rsi_zone_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = ev.select(
         "event_id", "user_id", "ts", signals.rsi_simple(F.col("value"), w, 14).alias("rsi14")
     )
+    # zone_confirmation_signals' documented precondition: drop
+    # null-rsi rows first (the reference dropna-then-iterates). With
+    # warmup-only nulls this is a no-op vs lagging over the full
+    # frame (nulls are a contiguous prefix), but a mid-series null
+    # would otherwise swallow a crossing at the re-warm-up boundary.
+    feat = feat.filter(F.col("rsi14").isNotNull())
     w2 = _w()
     buy, sell = signals.zone_confirmation_signals(F.col("rsi14"), w2)
     out = feat.select(
@@ -366,11 +375,13 @@ def rsi_zone_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_RSI_ZONE_SIGNALS = f"""
-WITH rsi AS ({_RSI_SQL_CTE}), x AS (
+WITH rsi AS ({_RSI_SQL_CTE}), nn AS (
+  SELECT * FROM rsi WHERE rsi14 IS NOT NULL
+), x AS (
   SELECT event_id, user_id, ts, rsi14,
     (LAG(rsi14) OVER w <= 30 AND rsi14 > 30 AND rsi14 < 70) AS buy_signal,
     (LAG(rsi14) OVER w >= 70 AND rsi14 < 70 AND rsi14 > 30) AS sell_signal
-  FROM rsi
+  FROM nn
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id, ts, rsi14, buy_signal, sell_signal,
@@ -510,11 +521,15 @@ def trailing_7d_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir)
-    secs = F.unix_micros(F.col("ts")) / F.lit(1_000_000)
+    # INTEGER microsecond ordering: epoch seconds as double carry
+    # ~2.4e-7 s representation error, enough to flip inclusion of an
+    # event sitting exactly on the 7-day boundary vs the oracle's
+    # exact INTERVAL arithmetic; bigint micros are exact
+    micros = F.unix_micros(F.col("ts"))
     w = (
         Window.partitionBy("user_id")
-        .orderBy(secs.cast("double"))
-        .rangeBetween(-7 * 86_400, 0)
+        .orderBy(micros)
+        .rangeBetween(-7 * 86_400 * 1_000_000, 0)
     )
     return ev.select(
         "user_id",

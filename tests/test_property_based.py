@@ -93,3 +93,34 @@ def test_asof_join_property(spark, left_ts, right_ts, validity):
         cands = [(t, rid) for rid, t in enumerate(right_ts) if t <= lt and lt - t <= validity]
         want = max(cands, key=lambda c: (c[0], c[1]))[1] if cands else None
         assert got.get(i) == want, (left_ts, right_ts, validity, i)
+
+
+def test_asof_join_on_keys_and_shared_time_name(spark):
+    """The advertised `on=[...]` path with BOTH time columns named
+    `ts` (the natural as-of call): side-qualified resolution must
+    join correctly, drop the right-side key copy, and leave the key
+    selectable without AMBIGUOUS_REFERENCE."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from fin_trade_craft_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    trades = spark.createDataFrame(
+        [(1, 10, t("2024-01-01T10:00:05")), (2, 10, t("2024-01-01T10:00:00")),
+         (3, 20, t("2024-01-01T09:00:00"))],
+        "trade_id int, symbol_id int, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [(10, t("2024-01-01T10:00:00"), 100.0), (10, t("2024-01-01T10:00:04"), 101.0),
+         (10, t("2024-01-01T10:00:06"), 999.0), (20, t("2024-01-01T09:30:00"), 50.0)],
+        "symbol_id int, ts timestamp, quote double",
+    )
+    out = asof_join(
+        trades, quotes, on=["symbol_id"], left_time="ts", right_time="ts",
+        left_key="trade_id",
+    )
+    # right-side symbol_id copy dropped -> unambiguous select
+    got = {r.trade_id: r.quote for r in out.select("trade_id", "symbol_id", "quote").collect()}
+    assert got == {1: 101.0, 2: 100.0, 3: None}  # latest quote at-or-before; no future quote
