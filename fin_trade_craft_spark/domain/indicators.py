@@ -118,9 +118,10 @@ def compute_indicators(ohlcv: DataFrame) -> DataFrame:
     hh = minp(close, 14, F.max("high").over(frame(14)))
     ll = minp(close, 14, F.min("low").over(frame(14)))
     cols += [F.when(hh != ll, F.lit(-100.0) * (hh - close) / (hh - ll)).alias("ohlcv_willr_14")]
-    # --- volatility: Bollinger 20,2 population-std (`:296-312`)
+    # --- volatility: Bollinger 20,2 population-std (`:296-312`) —
+    # the band math lives in the second stage (bb_upper/lower gate on
+    # bb_middle's min-period NULL)
     bb_mid = minp(close, 20, F.avg(close).over(frame(20)))
-    bb_std = minp(close, 20, F.stddev_pop(close).over(frame(20)))
     # --- volume (`:315-358`)
     prev_close = F.lag(close).over(w)
     obv_sign = (
@@ -168,8 +169,9 @@ def compute_indicators(ohlcv: DataFrame) -> DataFrame:
     ]
     for n in ATR_PERIODS:
         d2 += [(F.lit(100.0) * safe_div(F.col(f"ohlcv_atr_{n}"), close)).alias(f"ohlcv_atr_{n}_pct")]
-    bb_u = F.col("ohlcv_bb_middle") + 2 * F.stddev_pop(close).over(frame(20))
-    bb_l = F.col("ohlcv_bb_middle") - 2 * F.stddev_pop(close).over(frame(20))
+    bb_sd20 = F.stddev_pop(close).over(frame(20))
+    bb_u = F.col("ohlcv_bb_middle") + 2 * bb_sd20
+    bb_l = F.col("ohlcv_bb_middle") - 2 * bb_sd20
     bb_u = F.when(F.col("ohlcv_bb_middle").isNotNull(), bb_u)
     bb_l = F.when(F.col("ohlcv_bb_middle").isNotNull(), bb_l)
     d2 += [

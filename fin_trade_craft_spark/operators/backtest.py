@@ -103,9 +103,7 @@ def simulate_trades(
         out = []
         strategy = pdf["strategy"].iloc[0] if len(pdf) else None
         symbol = pdf["symbol"].iloc[0] if len(pdf) else None
-        for (ed, ep, sh), (xd, xp, *_), reason in [
-            (t[0], t[1], t[2]) for t in trades
-        ]:
+        for (ed, ep, sh), (xd, xp, *_), reason in trades:
             entry_value = ep * sh
             commission = (entry_value + xp * sh) * commission_pct
             pnl = xp * sh - entry_value - commission
@@ -148,9 +146,14 @@ def backtest_metrics(trades: DataFrame) -> DataFrame:
             (F.count(F.when(F.col("pnl") > 0, 1)) / F.count(F.lit(1))).alias("win_rate"),
             F.sum("pnl").alias("total_pnl"),
             F.avg("pnl_pct").alias("avg_pnl_pct"),
-            (
+            # NULL when there are no losing trades (gross loss = 0):
+            # the explicit guard makes the division-by-zero policy
+            # intentional rather than an accident of non-ANSI mode
+            # (the reference's numpy float division would give inf)
+            F.when(
+                F.abs(F.sum(F.when(F.col("pnl") < 0, F.col("pnl")).otherwise(0.0))) > 0,
                 F.sum(F.when(F.col("pnl") > 0, F.col("pnl")).otherwise(0.0))
-                / F.abs(F.sum(F.when(F.col("pnl") < 0, F.col("pnl")).otherwise(0.0)))
+                / F.abs(F.sum(F.when(F.col("pnl") < 0, F.col("pnl")).otherwise(0.0))),
             ).alias("profit_factor"),
             (F.avg("pnl_pct") / F.stddev_samp("pnl_pct") * F.sqrt(F.lit(252.0))).alias("sharpe"),
             F.min("dd").alias("max_drawdown"),

@@ -44,6 +44,21 @@ MIX_ALPHA = 0.7  # temperature exponent, the multilingual-LM default
 MIX_TOKEN_BUDGET = 1_000_000
 
 
+def _mix_weight_quota():
+    """Shared temperature-mixture weight math over a per-source frame
+    with a ``total_tokens`` column — used by BOTH the weights report
+    and the epoch expansion so the two queries can never
+    desynchronize (see source_mixture_weights for the pow-quantize
+    rationale)."""
+    raw = F.pow(F.col("total_tokens").cast("double"), F.lit(MIX_ALPHA)).cast(
+        "decimal(28,10)"
+    )
+    w = Window.partitionBy()
+    weight = raw.cast("double") / F.sum(raw).over(w).cast("double")
+    quota = weight * F.lit(float(MIX_TOKEN_BUDGET))
+    return weight, quota
+
+
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted source mixing: each source's sampling
     weight is n_tokens^alpha normalized over sources (alpha < 1
@@ -62,12 +77,7 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the normalizing sum would otherwise fold doubles in
     # partition order — quantize pow to a fixed decimal grain and
     # accumulate exactly, then do the divisions in one fixed chain.
-    raw = F.pow(F.col("total_tokens").cast("double"), F.lit(MIX_ALPHA)).cast(
-        "decimal(28,10)"
-    )
-    w = Window.partitionBy()
-    weight = raw.cast("double") / F.sum(raw).over(w).cast("double")
-    quota = weight * F.lit(float(MIX_TOKEN_BUDGET))
+    weight, quota = _mix_weight_quota()
     return per_src.select(
         "source",
         "n_docs",
@@ -126,12 +136,7 @@ def mixture_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = d.groupBy("source").agg(
         F.sum("n_tokens").alias("total_tokens"),
     )
-    raw = F.pow(F.col("total_tokens").cast("double"), F.lit(MIX_ALPHA)).cast(
-        "decimal(28,10)"
-    )
-    w = Window.partitionBy()
-    weight = raw.cast("double") / F.sum(raw).over(w).cast("double")
-    quota = weight * F.lit(float(MIX_TOKEN_BUDGET))
+    weight, quota = _mix_weight_quota()
     eps = per_src.select(
         "source",
         (quota / F.col("total_tokens").cast("double")).alias("epochs"),
@@ -224,12 +229,17 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.least(
         F.lit(1.0), F.lit(float(STRATA_CAP)) / F.count(F.lit(1)).over(n_lang)
     )
-    # rate -> zero-padded 8-nibble hex threshold; md5 prefix < threshold <=> keep
+    # rate -> zero-padded 8-nibble hex threshold; md5 prefix < threshold <=> keep.
+    # rate >= 1.0 keeps EVERYTHING explicitly: floor(1.0 * 16^8) is a
+    # NINE-hex-char value that lpad(..., 8) would TRUNCATE to
+    # '10000000', silently keeping only ~1/16 of a full-keep stratum
+    # (r03 review finding — the oracle shared the same bug, so parity
+    # was green while both engines dropped ~94% of small strata).
     thresh = F.lpad(
         F.lower(F.hex(F.floor(rate * F.lit(float(16**8))).cast("bigint"))), 8, "0"
     )
     h = T.content_hash(F.col("text"))
-    keep = F.substring(h, 1, 8) < thresh
+    keep = (rate >= 1.0) | (F.substring(h, 1, 8) < thresh)
     return d.select(
         "doc_id",
         "lang",
@@ -248,6 +258,7 @@ WITH d AS (
   FROM documents
 )
 SELECT doc_id, lang, source, hash_prefix, sample_rate,
+       sample_rate >= 1.0 OR
        hash_prefix < lpad(lower(to_hex(CAST(floor(sample_rate * {float(16 ** 8)}) AS BIGINT))), 8, '0')
          AS sampled
 FROM d

@@ -77,7 +77,6 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select("doc_id", "lang", *scores.values())
     langs = list(T.LANG_MARKERS)
     best = F.greatest(*[F.col(f"c_{lg}") for lg in langs])
-    pred = F.when(F.lit(False), F.lit(None))
     expr = None
     for lg in langs:  # fixed priority order = deterministic tie-break
         cond = F.col(f"c_{lg}") == best
@@ -126,7 +125,10 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("len_text"),
         nt.alias("n_ws_tokens"),
         bpe.alias("n_bpe_tokens"),
-        (F.length("text") / bpe.cast("double")).alias("chars_per_bpe_token"),
+        # NULL when no BPE runs exist (all-punctuation text): Spark's
+        # non-ANSI /0 gives NULL but DuckDB's ieee division gives inf
+        # — the explicit guard keeps both engines on NULL
+        F.when(bpe > 0, F.length("text") / bpe.cast("double")).alias("chars_per_bpe_token"),
     )
 
 
@@ -134,7 +136,9 @@ ORACLE_TOKEN_STATS = """
 SELECT doc_id, n_chars, length(text) AS len_text,
   len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_ws_tokens,
   len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_bpe_tokens,
-  length(text) / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS DOUBLE) AS chars_per_bpe_token
+  CASE WHEN len(regexp_extract_all(text, '[a-z]+|[0-9]+')) > 0
+       THEN length(text) / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS DOUBLE)
+  END AS chars_per_bpe_token
 FROM documents
 """
 
@@ -144,7 +148,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-permutation MinHash), and a 2-hex-char bucket for grouping."""
     d = _docs(spark, sf_dir).select("doc_id", "text", T.tokens(F.col("text")).alias("toks"))
     full = F.md5(T.normalize_ws(F.col("text")))
-    minsh = F.expr("array_min(transform(" + "array_distinct(transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))))" + ", s -> md5(s)))")
+    minsh = F.array_min(F.transform(T.shingles("toks", 3), lambda s: F.md5(s)))
     return d.filter(F.expr("size(toks) >= 3")).select(
         "doc_id",
         full.alias("content_md5"),

@@ -57,13 +57,19 @@ class TableIO:
         return f"{self.warehouse}/{table.replace('.', '/')}"
 
     def exists(self, table: str) -> bool:
-        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import AnalysisException
 
         try:
             self.spark.read.parquet(self.path(table)).schema
             return True
-        except Exception:
-            return False
+        except AnalysisException as e:
+            # ONLY path-missing means "no table". A transient FS error
+            # or corrupt footer must propagate — swallowing it here
+            # would send upsert() down the overwrite path and destroy
+            # the existing table with just the incoming batch.
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return False
+            raise
 
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
@@ -194,6 +200,8 @@ class TableIO:
             import operator
 
             parts = [tuple(r) for r in df.select(*partition_by).distinct().collect()]
+            if not parts:
+                return  # empty batch: nothing to merge, nothing to touch
             pred = functools.reduce(
                 operator.or_,
                 [
