@@ -52,22 +52,43 @@ def join_fundamentals_to_trades(trades: DataFrame, scores: DataFrame) -> DataFra
     ).drop("f_symbol_id")
 
 
-def prepare_features(df: DataFrame, numeric_cols: list[str], sector_col: str = "sector") -> DataFrame:
+def prepare_features(
+    df: DataFrame,
+    numeric_cols: list[str],
+    sector_col: str = "sector",
+    sectors: list[str] | None = None,
+) -> DataFrame:
     """F7 median fill + F12 one-hot with stable column order
     (trade_success_predictor.py:170-190). Medians are exact
     (percentile 0.5) computed over the batch — one broadcast scalar
     row; sectors one-hot as explicit columns so the feature layout
-    is deterministic for model parity."""
+    is deterministic for model parity.
+
+    Pass ``sectors`` (the TRAINING-time vocabulary) when preparing a
+    scoring batch: deriving it from the current batch would emit a
+    different column set whenever a sector is absent that day, and
+    ``model.transform`` would fail on the missing feature column.
+    NaN is normalized to NULL before the fill — parquet/pandas
+    round-trips deliver NaN, and ``coalesce`` alone would pass it
+    straight into the feature vector (NaN is non-null in Spark)."""
     med = df.agg(
         *[F.expr(f"percentile({c}, 0.5)").alias(f"__med_{c}") for c in numeric_cols]
     )
     out = df.crossJoin(F.broadcast(med))
     for c in numeric_cols:
-        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__med_{c}"), F.lit(0.0)))
+        out = out.withColumn(
+            c,
+            F.coalesce(
+                F.nanvl(F.col(c), F.lit(None).cast("double")),
+                F.col(f"__med_{c}"),
+                F.lit(0.0),
+            ),
+        )
     out = out.drop(*[f"__med_{c}" for c in numeric_cols])
-    sectors = sorted(
-        r[0] for r in df.select(sector_col).distinct().collect() if r[0] is not None
-    )
+    if sectors is None:
+        sectors = sorted(
+            r[0] for r in df.select(sector_col).distinct().collect() if r[0] is not None
+        )
     sec = F.coalesce(F.col(sector_col), F.lit("UNKNOWN"))
     for s_name in [*sectors, "UNKNOWN"]:
         out = out.withColumn(

@@ -64,8 +64,12 @@ def grouped_map(df, keys, fn, schema, num_partitions: int | None = None) -> Data
         if pdf.empty:
             return
         by = keys[0] if len(keys) == 1 else keys
-        outs = [fn(g) for _, g in pdf.groupby(by, sort=False)]
-        yield pd.concat(outs, ignore_index=True)
+        # dropna=False: pandas groupby silently DROPS null-key rows
+        # by default — a null symbol/user would vanish from the
+        # output (and an all-null partition would crash the concat)
+        outs = [fn(g) for _, g in pdf.groupby(by, sort=False, dropna=False)]
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
 
     return df.repartition(n, *keys).mapInPandas(mapper, schema)
 
@@ -85,7 +89,7 @@ def ema_features(
     schema = _out_schema(df, keep, feats)
 
     def fn(pdf):
-        pdf = pdf.sort_values(order).reset_index(drop=True)
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
         out = pdf[keep].copy()
         for n in spans:
             ema = pdf[value].ewm(span=n).mean()
@@ -113,7 +117,7 @@ def macd_features(
     schema = _out_schema(df, keep, feats)
 
     def fn(pdf):
-        pdf = pdf.sort_values(order).reset_index(drop=True)
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
         out = pdf[keep].copy()
         macd = pdf[value].ewm(span=fast).mean() - pdf[value].ewm(span=slow).mean()
         sig = macd.ewm(span=signal).mean()
@@ -141,7 +145,7 @@ def rsi_wilder(
     schema = _out_schema(df, keep, [f"rsi_{length}"])
 
     def fn(pdf):
-        pdf = pdf.sort_values(order).reset_index(drop=True)
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
         out = pdf[keep].copy()
         delta = pdf[value].diff()
         gain = delta.clip(lower=0)
@@ -174,7 +178,7 @@ def atr_features(
     def fn(pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values(order).reset_index(drop=True)
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
         out = pdf[keep].copy()
         prev_close = pdf[close].shift(1)
         tr = pd.concat(

@@ -19,7 +19,12 @@ def pct_rank_avg_ties(part: list[Column | str], value: Column | str) -> Column:
     excluded from the group size. (Spark's rank() would otherwise
     seat nulls first and count them — we subtract the null block.)
     """
-    v = F.col(value) if isinstance(value, str) else value
+    v0 = F.col(value) if isinstance(value, str) else value
+    # pandas rank(pct=True) EXCLUDES NaN (result NaN, not counted in
+    # the denominator); Spark treats NaN as an orderable non-null
+    # value, so normalize NaN → NULL first and rank the nulls-first
+    # frame — true pandas parity for parquet-round-tripped doubles
+    v = F.nanvl(v0, F.lit(None).cast("double"))
     rk = F.rank().over(Window.partitionBy(*part).orderBy(v.asc_nulls_first()))
     ties = F.count(F.lit(1)).over(Window.partitionBy(*part, v))
     n_all = F.count(F.lit(1)).over(Window.partitionBy(*part))

@@ -45,8 +45,14 @@ def rsi_simple(value: Column, w: WindowSpec, n: int = 14, scale: int = 2) -> Col
     avg_gain = F.sum(gain).over(frame).cast("double")
     avg_loss = F.sum(loss).over(frame).cast("double")
     cnt = F.count(d).over(frame)
-    rsi = F.when(avg_loss == 0, F.lit(100.0)).otherwise(
-        F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss)
+    # flat window (gain = loss = 0) is NULL, not 100: the pandas
+    # reference computes rs = 0/0 = NaN there and drops the row —
+    # emitting 100 would read as extreme-overbought and could fire a
+    # spurious crossing when the series resumes moving
+    rsi = (
+        F.when((avg_loss == 0) & (avg_gain > 0), F.lit(100.0))
+        .when(avg_loss == 0, F.lit(None).cast("double"))
+        .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss))
     )
     return F.when(cnt >= n, rsi)
 

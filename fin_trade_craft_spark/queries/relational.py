@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, dsum
+from ..functions.exact import davg, dsum, share_of_total
 from ..sources.catalog import load_table
 
 
@@ -200,8 +200,7 @@ def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform_earnings_call_transcript_eda.py:98-103)."""
     ev = _t(spark, sf_dir, "events")
     cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    total = F.sum("n").over(Window.partitionBy())
-    return cnt.withColumn("pct", F.lit(100.0) * F.col("n") / total).orderBy("event_type")
+    return cnt.withColumn("pct", share_of_total(F.col("n"))).orderBy("event_type")
 
 
 ORACLE_EVENT_TYPE_SHARE = """
@@ -229,9 +228,12 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
     )
     per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("order_rev"))
+    # no broadcast hints: orders is a FACT table and customer scales
+    # with SF — a hard broadcast hint would OOM at the 100 TB target;
+    # AQE picks broadcast at fixture scale on its own
     per_cust = (
         per_order.join(
-            F.broadcast(o.select("o_orderkey", "o_custkey")),
+            o.select("o_orderkey", "o_custkey"),
             per_order.l_orderkey == F.col("o_orderkey"),
             "inner",
         )
@@ -242,7 +244,7 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey, "inner")
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey, "inner")
         .select(F.col("c_custkey").alias("custkey"), "c_name", "revenue", "n_orders")
         .orderBy(F.desc("revenue"), "custkey")
         .limit(10)
@@ -610,9 +612,7 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan joins on (event_type, salt) over 16× more reducers and
     must produce bit-identical results to the plain join (the
     oracle IS the plain join)."""
-    from ..functions.exact import dsum
     from ..operators.skew import salted_join
-    from ..sources.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     dim = ev.groupBy("event_type").agg(
@@ -928,7 +928,9 @@ ORACLE_IDLE_RICH_CUSTOMERS = """
 SELECT c_mktsegment, COUNT(*) AS numcust,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(c_acctbal)
+                    FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
 GROUP BY c_mktsegment

@@ -335,7 +335,9 @@ WITH d AS (
 )
 SELECT event_id, user_id, ts,
   CASE WHEN c >= 14 THEN
-    CASE WHEN sloss = 0 THEN 100.0 ELSE 100.0 - 100.0 / (1.0 + sgain / sloss) END
+    CASE WHEN sloss = 0 AND sgain > 0 THEN 100.0
+         WHEN sloss = 0 THEN NULL
+         ELSE 100.0 - 100.0 / (1.0 + sgain / sloss) END
   END AS rsi14
 FROM g
 """
