@@ -62,11 +62,20 @@ def rolling_std4(col: Column) -> Column:
 
 
 def sector_rank(col: Column) -> Column:
-    return pct_rank_avg_ties([F.col("fiscal_date_ending"), F.col("sector")], col)
+    # NULL sector -> NULL rank: the reference's pandas groupby drops
+    # NaN keys, so symbols missing from company_overview get NaN
+    # ranks, not a rank within a phantom null-sector cross-section
+    return F.when(
+        F.col("sector").isNotNull(),
+        pct_rank_avg_ties([F.col("fiscal_date_ending"), F.col("sector")], col),
+    )
 
 
 def industry_rank(col: Column) -> Column:
-    return pct_rank_avg_ties([F.col("fiscal_date_ending"), F.col("industry")], col)
+    return F.when(
+        F.col("industry").isNotNull(),
+        pct_rank_avg_ties([F.col("fiscal_date_ending"), F.col("industry")], col),
+    )
 
 
 def flag(cond: Column) -> Column:
@@ -103,7 +112,7 @@ def balance_sheet_features(df: DataFrame) -> DataFrame:
         "fbs_balance_sheet_leverage": safe_div(c("total_liabilities"), c("total_assets")),
         "fbs_financial_leverage": safe_div(c("total_assets"), c("total_shareholder_equity")),
         "fbs_interest_coverage_proxy": safe_div(z("ebit"), z("current_debt") + z("long_term_debt")),
-        "fbs_asset_turnover": safe_div(F.coalesce(c("total_revenue"), F.lit(0)), c("total_assets")),
+        "fbs_asset_turnover": safe_div(z("total_revenue"), c("total_assets")),
     }
     df = df.select("*", *[e.alias(n) for n, e in base.items()])
     derived = {

@@ -80,14 +80,21 @@ def macro_features(df: DataFrame, series_col: str, prefix: str, zscore_name: str
     feats[f"{p}rsi_14d"] = F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + rs)
     df = df.select("*", *[e.alias(n) for n, e in feats.items()])
 
-    # slope needs a materialized x position (no nested windows)
-    df = df.withColumn("__x", F.row_number().over(w))
+    # slope needs a materialized x position (no nested windows).
+    # x = cumulative NON-NULL rank, not row_number: pandas drops NaN
+    # then fits over arange(len), so gappy series need the compacted
+    # positions (identical to row_number when the series has no
+    # nulls). precision=18: FRED-scale magnitudes (≥ 1e6) overflow
+    # a decimal(12,6) cast to NULL silently.
+    df = df.withColumn(
+        "__x", F.count(v).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
     from ..operators.rolling import rolling_slope
 
     w2 = Window.partitionBy(series_col).orderBy("date")
     slopes = {
         f"{p}trend_slope_{n}d": rolling_slope(
-            v, F.col("__x"), w2, n, scale=6, min_periods=max(2, n // 2)
+            v, F.col("__x"), w2, n, scale=6, min_periods=max(2, n // 2), precision=18
         )
         for n in (21, 63)
     }

@@ -55,12 +55,16 @@ def build_universe(
     )
     qualifying = qualifying_cash_flow.filter(
         (c("report_type") == "annual")
-        & (c("fiscal_date_ending") >= F.lit("2019-01-01"))
+        & (c("fiscal_date_ending") >= F.add_months(F.lit(ipo_before).cast("date"), -12))
         & (c("fiscal_date_ending") < F.lit(ipo_before))
         & (c("net_income") >= min_net_income)
     ).select("symbol")
     out = eligible.join(qualifying, "symbol", "left_semi").select(
         "symbol", "exchange", "asset_type"
     )
-    uid = universe_id(name, f"{ipo_before}:{min_net_income}:{min_price_rows}")
+    # every selection parameter belongs in the fingerprint — two
+    # universes differing only in min_statements must not collide
+    uid = universe_id(
+        name, f"{ipo_before}:{min_net_income}:{min_price_rows}:{min_statements}"
+    )
     return out.withColumn("universe_id", F.lit(uid)).withColumn("universe_name", F.lit(name))

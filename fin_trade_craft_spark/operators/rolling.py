@@ -80,15 +80,33 @@ def rolling_zscore(col: Column, w: WindowSpec, n: int, scale: int = 2, eps: floa
 
 
 def rolling_slope(
-    col: Column, x: Column, w: WindowSpec, n: int, scale: int = 2, min_periods: int | None = None
+    col: Column,
+    x: Column,
+    w: WindowSpec,
+    n: int,
+    scale: int = 2,
+    min_periods: int | None = None,
+    precision: int = 12,
 ) -> Column:
     """Closed-form OLS slope over the trailing n rows (W13; replaces
     rolling.apply(np.polyfit), transform_economic_indicators.py:
     262-276). ``x`` is an integer position column the caller must
-    materialize in a prior projection (window functions can't nest),
-    e.g. ``row_number().over(w)``. All sums exact."""
-    y = _dec(col, 12, scale)
-    xd = x.cast("decimal(12,0)")
+    materialize in a prior projection (window functions can't nest).
+    All sums exact.
+
+    NULL discipline: the x-sums are masked to rows where ``col`` is
+    non-null, so a null y inside the window never mixes x-sums over
+    all rows with y-sums over fewer rows (which would be no valid
+    regression at all). For pandas dropna-then-polyfit PARITY on
+    gappy series, pass the cumulative NON-NULL rank as ``x``
+    (``F.count(col).over(w.rowsBetween(unboundedPreceding, 0))``) —
+    within any frame those ranks are consecutive, and OLS slope is
+    shift-invariant in x, exactly matching polyfit over the
+    compacted series. ``precision`` sizes the y decimal: the default
+    12 holds |y| < 1e6 at scale 2 — widen for large-magnitude
+    series or the cast goes NULL silently in non-ANSI mode."""
+    y = _dec(col, precision, scale)
+    xd = F.when(col.isNotNull(), x.cast("decimal(12,0)"))
     sx = F.sum(xd).over(_frame(w, n)).cast("double")
     sy = F.sum(y).over(_frame(w, n)).cast("double")
     sxy = F.sum(xd * y).over(_frame(w, n)).cast("double")

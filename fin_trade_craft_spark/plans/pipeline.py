@@ -58,9 +58,15 @@ class TransformPipeline:
         reference (`:204-218`). Any failure is recorded and the
         pipeline continues with the next transform; the caller
         checks results (exit-code-1 analog)."""
-        order = only_groups or [
-            g for g in DEFAULT_GROUP_ORDER if include_market or g != "market"
-        ]
+        if only_groups:
+            # re-sort the caller's selection into dependency order —
+            # running `--only quality fundamentals` verbatim would
+            # compute quality from STALE fundamentals tables
+            known = [g for g in DEFAULT_GROUP_ORDER if g in only_groups]
+            extra = [g for g in only_groups if g not in DEFAULT_GROUP_ORDER]
+            order = known + extra
+        else:
+            order = [g for g in DEFAULT_GROUP_ORDER if include_market or g != "market"]
         results: list[TransformResult] = []
         for group in order:
             for name, fn in self.groups.get(group, []):
@@ -183,6 +189,14 @@ def consistency_check(io: TableIO) -> DataFrame:
                 F.min(datecol).cast("string").alias("min_date"),
                 F.max(datecol).cast("string").alias("max_date"),
             )
+        )
+    if not reports:
+        # fresh warehouse: an empty report, not an IndexError — this
+        # is exactly the --check-only-on-new-install case
+        return io.spark.createDataFrame(
+            [],
+            "table_name string, n_rows long, n_symbols long,"
+            " min_date string, max_date string",
         )
     out = reports[0]
     for r in reports[1:]:

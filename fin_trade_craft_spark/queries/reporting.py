@@ -67,7 +67,7 @@ def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(
             (F.col("success_probability") >= 0.80) & (F.col("overall_quality_score") >= 50)
         )
-        .join(F.broadcast(cust), scored["o_custkey"] == cust["c_custkey"])
+        .join(cust, scored["o_custkey"] == cust["c_custkey"])  # customer scales with SF — no hard broadcast hint; AQE decides
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .select(
             F.col("c_name").alias("symbol"),
@@ -172,6 +172,12 @@ def warehouse_summary(io, tables: list[tuple[str, str | None, str | None]]) -> D
     (table, entity_col, date_col) the warehouse holds and get one
     ordered summary frame."""
     parts = [table_summary(io.read(t), t, e, d) for t, e, d in tables]
+    if not parts:
+        return io.spark.createDataFrame(
+            [],
+            "table_name string, record_count long, unique_entities long,"
+            " earliest_date date, latest_date date, unique_dates long",
+        )
     out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
     return out.orderBy("table_name")
 
