@@ -156,6 +156,13 @@ def daily_agg(raw: DataFrame) -> DataFrame:
         "shares",
         "price_per_share",
         tier_ilike(F.col("insider_title")).alias("tier"),
+        # looser than the detail table's OWNER_RX on purpose: the
+        # reference's AGG re-derives ownership with ILIKE
+        # '%10%%Owner%' (transform_insider_transactions_agg.py:68) —
+        # '10' ANYWHERE before 'Owner' — while its detail table uses
+        # the tight '10%\\s*Owner' pattern, so the two reference
+        # tables can disagree on the same title and this engine
+        # reproduces that disagreement faithfully
         (
             F.upper(F.coalesce(F.col("insider_title"), F.lit(""))).rlike("10.*OWNER")
             | F.upper(F.coalesce(F.col("insider_title"), F.lit(""))).rlike("TEN PERCENT.*OWNER")

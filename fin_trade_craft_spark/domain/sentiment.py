@@ -10,6 +10,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# FIRST-match cascade in the reference's own order
+# (transform_earnings_sentiment_agg.py:59-101). Reference-faithful
+# quirk, deliberately preserved: the bare "President" substring in the
+# csuite bucket fires BEFORE the senior_exec/vp_director buckets, so a
+# spelled-out "…Vice President…" title classifies as csuite (weight
+# 0.40) exactly as the reference's ILIKE '%President%' does — the
+# EVP/SVP/VP entries below only catch abbreviation-only titles.
 ROLE_BUCKETS: list[tuple[str, tuple[str, ...]]] = [
     ("csuite", ("CEO", "Chief Executive", "President and CEO", "Chairman", "Chair",
                 "Chairperson", "President")),

@@ -42,21 +42,36 @@ def tokens(col: Column) -> Column:
 
 
 def word_count(toks_col_name: str, words: tuple[str, ...]) -> Column:
-    """Count of tokens in a fixed word list (stopwords, markers)."""
-    in_list = ", ".join(f"'{w}'" for w in words)
+    """Count of tokens in a fixed word list (stopwords, markers).
+    Words are SQL-escaped, so contractions ("don't") are safe."""
+    in_list = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
     return F.expr(f"size(filter({toks_col_name}, t -> t in ({in_list})))")
 
 
 def type_token_ratio(toks_col_name: str) -> Column:
-    return F.expr(f"size(array_distinct({toks_col_name}))") / F.expr(f"size({toks_col_name})")
+    # NULL-guarded: with legacy sizeOfNull, size(NULL) = -1 and the
+    # ratio would evaluate -1/-1 = 1.0 — a null document would score
+    # as maximally diverse instead of missing
+    return F.expr(
+        f"CASE WHEN {toks_col_name} IS NOT NULL THEN"
+        f" size(array_distinct({toks_col_name})) / CAST(size({toks_col_name}) AS DOUBLE)"
+        " END"
+    )
 
 
 def shingles(toks_col_name: str, k: int = 3) -> Column:
     """Distinct k-gram word shingles (MinHash/Jaccard input).
-    1-based positions to match SQL list semantics."""
+    1-based positions to match SQL list semantics. Arrays shorter
+    than k yield an EMPTY array: without the guard,
+    sequence(1, size-k+1) DESCENDS through 0 for short docs and
+    slice(toks, 0, k) aborts the stage with
+    INVALID_PARAMETER_VALUE.START."""
     return F.expr(
-        f"array_distinct(transform(sequence(1, size({toks_col_name}) - {k - 1}),"
+        f"CASE WHEN size({toks_col_name}) >= {k} THEN"
+        f" array_distinct(transform(sequence(1, size({toks_col_name}) - {k - 1}),"
         f" i -> concat_ws(' ', slice({toks_col_name}, i, {k}))))"
+        f" WHEN {toks_col_name} IS NOT NULL THEN array()"
+        " END"
     )
 
 

@@ -40,6 +40,10 @@ def salted_join(
     right/full joins."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports fact-preserving joins only (inner/left)")
+    if n_salt < 1:
+        # pmod(x, 0) is NULL under non-ANSI mode — the join would
+        # silently return zero rows instead of failing
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt)).cast("int")
     f = fact.withColumn(SALT_COL, salt)
     d = dim.withColumn(SALT_COL, F.explode(F.expr(f"sequence(0, {n_salt - 1})"))).withColumn(

@@ -58,7 +58,10 @@ class TransformPipeline:
         reference (`:204-218`). Any failure is recorded and the
         pipeline continues with the next transform; the caller
         checks results (exit-code-1 analog)."""
-        if only_groups:
+        if only_groups is not None:
+            # [] is a real selection meaning "run nothing" (e.g. --skip
+            # removed every group) — falling back to the default order
+            # would run everything the caller excluded
             # re-sort the caller's selection into dependency order —
             # running `--only quality fundamentals` verbatim would
             # compute quality from STALE fundamentals tables

@@ -58,4 +58,15 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate silently IGNORES builder confs when a session
+    # already exists in the process — re-apply the runtime-settable
+    # ones so explicit arguments (shuffle_partitions, runtime
+    # extra_conf) always take effect; static confs (master, memory)
+    # genuinely cannot change on a live session
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on an existing session — keep going
+    return spark
