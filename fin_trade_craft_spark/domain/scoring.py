@@ -70,7 +70,12 @@ def prepare_features(
     ``model.transform`` would fail on the missing feature column.
     NaN is normalized to NULL before the fill — parquet/pandas
     round-trips deliver NaN, and ``coalesce`` alone would pass it
-    straight into the feature vector (NaN is non-null in Spark)."""
+    straight into the feature vector (NaN is non-null in Spark).
+
+    With a pinned vocabulary, a sector UNSEEN at training time folds
+    into ``sector_UNKNOWN`` rather than encoding as all-zeros: a
+    NULL-only UNKNOWN would leave novel sectors in a silent third
+    state (all dummies 0) the model never observed."""
     med = df.agg(
         *[F.expr(f"percentile({c}, 0.5)").alias(f"__med_{c}") for c in numeric_cols]
     )
@@ -89,7 +94,9 @@ def prepare_features(
         sectors = sorted(
             r[0] for r in df.select(sector_col).distinct().collect() if r[0] is not None
         )
-    sec = F.coalesce(F.col(sector_col), F.lit("UNKNOWN"))
+    sec = F.when(F.col(sector_col).isin(list(sectors)), F.col(sector_col)).otherwise(
+        F.lit("UNKNOWN")
+    )
     for s_name in [*sectors, "UNKNOWN"]:
         out = out.withColumn(
             f"sector_{s_name}", (sec == s_name).cast("int")

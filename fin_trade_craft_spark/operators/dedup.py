@@ -175,50 +175,31 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
 def minhash_signatures(shingle_sets: DataFrame, id_col: str = "doc_id", num_perm: int = 8) -> DataFrame:
     """k deterministic min-hashes per doc: perm i = min over
     shingles of md5('<i>:'||shingle). String-min over lowercase hex
-    is a total order identical in any engine (Python ``min`` on hex
-    strings ≡ SQL array_min — same lexicographic order over
-    equal-length lowercase hex).
+    is a total order identical in any engine (SQL MIN aggregate ≡
+    list_min — same lexicographic order over equal-length lowercase
+    hex), so the output is bit-identical across kernel shapes.
 
-    Arrow-batched kernel with a per-partition SHINGLE-HASH CACHE:
-    each distinct shingle's num_perm md5s are computed once per
-    partition and reused across the docs that share it (near-dup
-    corpora share most of their shingles — that's the premise of the
-    whole operator). The r02 shape (num_perm interpreted
-    array_min(transform(...)) lambdas) re-hashed every shingle
-    OCCURRENCE per permutation and ran interpreted; same output
-    bit-for-bit."""
-    import hashlib
-
-    def fn(batches):
-        import pandas as pd
-
-        cache: dict[str, tuple] = {}
-
-        def hashes(s: str) -> tuple:
-            v = cache.get(s)
-            if v is None:
-                v = tuple(
-                    hashlib.md5(f"{i}:{s}".encode()).hexdigest() for i in range(num_perm)
-                )
-                cache[s] = v
-            return v
-
-        cols = [id_col] + [f"mh{i}" for i in range(num_perm)]
-        for pdf in batches:
-            rows = []
-            for did, shingles in zip(pdf[id_col], pdf["shingles"]):
-                # NULL array → NULL mh row, matching the replaced
-                # array_min(transform(...)) expression's semantics
-                hs = [] if shingles is None else [hashes(s) for s in shingles]
-                rows.append(
-                    (did, *(min(h[i] for h in hs) for i in range(num_perm)))
-                    if hs
-                    else (did, *([None] * num_perm))
-                )
-            yield pd.DataFrame(rows, columns=cols)
-
-    schema = f"{id_col} long, " + ", ".join(f"mh{i} string" for i in range(num_perm))
-    return shingle_sets.select(id_col, "shingles").mapInPandas(fn, schema)
+    Shape: explode the shingle array, evaluate all num_perm md5
+    expressions JVM-side inside whole-stage codegen, then
+    ``groupBy(id).agg(min(...))``. Hash-aggregate map-side partials
+    mean the shuffle carries one num_perm-wide row per (doc,
+    map-partition) — not per shingle occurrence — so the exchange is
+    O(docs), not O(shingle occurrences); that is the 100 TB shape.
+    This replaced two earlier kernels: r02's interpreted
+    ``array_min(transform(...))`` lambdas (re-hashed per occurrence,
+    interpreted eval) and r03's Arrow-batched Python cache kernel
+    (+54% at fixture scale: the per-partition shingle-hash cache
+    only wins when shingle reuse is high, and row-at-a-time Python
+    md5 loses to codegen everywhere else). ``explode_outer`` keeps
+    NULL/empty shingle docs as all-NULL signature rows, matching the
+    previous kernels' semantics (min/array_min ignore NULLs)."""
+    exploded = shingle_sets.select(id_col, F.explode_outer("shingles").alias("sh"))
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"mh{i}")
+            for i in range(num_perm)
+        ]
+    )
 
 
 def lsh_candidate_pairs(

@@ -189,13 +189,20 @@ def resize_images(
 
     Codec resolution per payload (binary-in / binary-out, Arrow
     batches end to end):
-    - PIL importable → ``Image.thumbnail`` (NEAREST) + PNG re-encode.
-    - PNG payload, no PIL → the pure-numpy codec in functions/png.py
-      (8-bit non-interlaced gray/RGB/±alpha; public PNG spec).
-    - anything else (JPEG etc. with no codec in the container) →
-      deterministic RAW passthrough truncated to ``raw_fallback_bytes``
-      with out_format='RAW' and -1 dims, so a mixed corpus flows
-      through instead of failing the batch.
+    - PNG payload → the pure-numpy codec in functions/png.py (8-bit
+      non-interlaced gray/RGB/±alpha; public PNG spec). This path is
+      CANONICAL regardless of PIL availability: its floor-mapped
+      nearest-neighbor + fit_dims math is what the registered value
+      oracle (``image_resize_pixelsum``) pins, and PIL's thumbnail
+      rounds dims and maps source pixels differently — letting PIL
+      take PNGs would flip the oracle red wherever PIL happens to be
+      importable.
+    - non-PNG payload, PIL importable → ``Image.thumbnail`` (NEAREST)
+      + PNG re-encode (JPEG etc. get a real decode when the container
+      has one).
+    - anything else → deterministic RAW passthrough truncated to
+      ``raw_fallback_bytes`` with out_format='RAW' and -1 dims, so a
+      mixed corpus flows through instead of failing the batch.
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -207,6 +214,13 @@ def resize_images(
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(b)
                 try:
+                    if P.is_png(raw):
+                        img = P.decode_png(raw)
+                        nw, nh = P.fit_dims(img.shape[1], img.shape[0], max_w, max_h)
+                        rows.append(
+                            (did, P.encode_png(P.nn_resize(img, nw, nh)), "PNG", nw, nh)
+                        )
+                        continue
                     if _HAS_PIL:  # pragma: no cover - PIL absent here
                         import io
 
@@ -215,13 +229,6 @@ def resize_images(
                         buf = io.BytesIO()
                         im.save(buf, "PNG")
                         rows.append((did, buf.getvalue(), "PNG", im.width, im.height))
-                        continue
-                    if P.is_png(raw):
-                        img = P.decode_png(raw)
-                        nw, nh = P.fit_dims(img.shape[1], img.shape[0], max_w, max_h)
-                        rows.append(
-                            (did, P.encode_png(P.nn_resize(img, nw, nh)), "PNG", nw, nh)
-                        )
                         continue
                 except Exception:
                     pass  # undecodable/unsupported → RAW fallback below

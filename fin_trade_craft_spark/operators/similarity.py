@@ -80,7 +80,14 @@ def knn_bruteforce(
     corpus — top-k of a union is the top-k of local top-ks under the
     same deterministic (cos desc, nid asc) order. (r02 shape was a
     broadcast crossJoin with per-pair interpreted zip_with/aggregate
-    lambdas — same values, ~3× the wall time.)"""
+    lambdas — same values, ~3× the wall time.)
+
+    Degenerate (zero-norm) embeddings: cosine is undefined (0/0), so
+    zero-norm CORPUS vectors are excluded from every candidate set
+    and a zero-norm QUERY returns no neighbors. Without the explicit
+    filter the two stages would disagree — np.lexsort places NaN
+    last (silently dropped from local top-k) while Spark's
+    ``F.desc`` ranks NaN first in the global window."""
     import numpy as np
     import pandas as pd
 
@@ -107,9 +114,12 @@ def knn_bruteforce(
             n2c = np.floor(Cm * Cm * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
             out_q, out_n, out_s = [], [], []
             for j in range(len(qids)):
+                if n2q[j] == 0.0:
+                    continue  # zero-norm query: cosine undefined, no neighbors
                 dots = np.floor(Cm * Q[j] * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
-                cos = dots / (np.sqrt(n2q[j]) * np.sqrt(n2c))
-                mask = ids != qids[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (np.sqrt(n2q[j]) * np.sqrt(n2c))
+                mask = (ids != qids[j]) & (n2c > 0.0)
                 s, nid = cos[mask], ids[mask]
                 order = np.lexsort((nid, -s))[:k]
                 out_q.extend([qids[j]] * len(order))
@@ -157,17 +167,24 @@ def knn_bruteforce_numpy(
     q_rows = queries.select(id_col, vec_col).collect()  # small by contract
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qmat = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qmat = np.where(qnorm > 0, qmat / qnorm, np.nan)
+    q_ok = qnorm[:, 0] > 0
 
     def score(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             cmat = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cmat = np.where(cnorm > 0, cmat / cnorm, np.nan)
             sims = cmat @ qmat.T  # (n_corpus_batch, n_queries)
             out_q, out_n, out_s = [], [], []
             for j in range(len(qids)):
-                mask = ids != qids[j]
+                if not q_ok[j]:
+                    continue  # zero-norm query: cosine undefined, no neighbors
+                mask = (ids != qids[j]) & (cnorm[:, 0] > 0)
                 s, nid = sims[mask, j], ids[mask]
                 # local top-k, ties broken by nid asc (matches the
                 # exact path's deterministic ordering)

@@ -87,9 +87,11 @@ def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from band-bucket collisions, and verification intersects
     only the candidates' shingle arrays (array_intersect) instead
     of a corpus-wide shingle self-join. The shingle-set frame is
-    materialized once — it feeds the signature build AND both
-    verification join branches."""
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=True)
+    materialized once (lazy localCheckpoint: stored at first touch
+    INSIDE the main job — eager would pay an extra scheduling round
+    for a separate materialization job) — it feeds the signature
+    build AND both verification join branches."""
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=False)
     sigs = D.minhash_signatures(sets, num_perm=8)
     cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
     return D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
@@ -104,7 +106,7 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in candidates, the shape that survives 100 TB. (The
     full-corpus variant stays registered as the fixture-scale
     recall oracle; THIS one is the bench headline.)"""
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=True)
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=False)
     sigs = D.minhash_signatures(sets, num_perm=8)
     cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
     return D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
@@ -339,10 +341,10 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     band equi-join and appends its own signatures; the historical
     corpus is never re-tokenized or re-hashed, and the probe cost is
     proportional to the BATCH, not the corpus."""
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=True)
-    # materialize: the signature kernel feeds BOTH sides of the band
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=False)
+    # materialize: the signature build feeds BOTH sides of the band
     # self-join — without this the md5 hashing runs twice
-    sigs = D.minhash_signatures(sets, num_perm=8).localCheckpoint(eager=True)
+    sigs = D.minhash_signatures(sets, num_perm=8).localCheckpoint(eager=False)
     bands = F.array(
         *[
             F.concat_ws("|", F.lit(str(b)), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))

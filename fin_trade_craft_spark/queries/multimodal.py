@@ -59,8 +59,8 @@ WITH d AS (
 )
 SELECT d.doc_id,
        CAST(ceil(blen / 256.0) AS BIGINT) AS n_frames,
-       COALESCE(s.total_energy, 0) AS total_energy,
-       COALESCE(p.energy, 0) AS peak_energy,
+       CAST(COALESCE(s.total_energy, 0) AS BIGINT) AS total_energy,
+       CAST(COALESCE(p.energy, 0) AS BIGINT) AS peak_energy,
        COALESCE(p.j, -1) AS peak_frame
 FROM d
 LEFT JOIN (SELECT doc_id, SUM(energy) AS total_energy FROM fr GROUP BY doc_id) s USING (doc_id)

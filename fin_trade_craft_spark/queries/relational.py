@@ -1161,9 +1161,11 @@ def null_handling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_NULL_HANDLING_REPORT = """
 SELECT o_orderpriority,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null,
        COUNT(NULLIF(o_orderstatus, 'O')) AS n_after_dropna,
-       SUM(CASE WHEN COALESCE(NULLIF(o_orderstatus, 'O'), 'X') = 'X' THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN COALESCE(NULLIF(o_orderstatus, 'O'), 'X') = 'X'
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS n_filled_sentinel
 FROM orders
 GROUP BY o_orderpriority

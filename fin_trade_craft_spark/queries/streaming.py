@@ -34,17 +34,24 @@ from pyspark.sql import functions as F
 from ..streaming.stream_agg import read_events_stream
 
 
-def _stage_dir(sf_dir: str, name: str) -> str:
+def _stage_dir(sf_dir: str, name: str) -> tuple[str, int]:
     """Symlink <sf_dir>/<name>.parquet (file or directory of parts)
-    into a fresh temp dir usable as a file-source stream path."""
+    into a fresh temp dir usable as a file-source stream path.
+    Returns (dir, n_files) so callers can size maxFilesPerTrigger to
+    swallow the whole directory in one micro-batch — parts carry no
+    event-time order, so a multi-micro-batch split could advance the
+    watermark past late rows the batch oracle keeps."""
     src = Path(sf_dir.rstrip("/")) / f"{name}.parquet"
     d = Path(tempfile.mkdtemp(prefix=f"stream_{name}_"))
     if src.is_dir():
-        for i, part in enumerate(sorted(src.glob("*.parquet"))):
+        parts = sorted(src.glob("*.parquet"))
+        for i, part in enumerate(parts):
             (d / f"part_{i}.parquet").symlink_to(part)
+        n = len(parts)
     else:
         (d / f"{name}.parquet").symlink_to(src)
-    return str(d)
+        n = 1
+    return str(d), n
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,7 +60,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir.rstrip('/')}/events.parquet"
     schema = spark.read.parquet(src).schema
-    return read_events_stream(spark, _stage_dir(sf_dir, "events"), schema)
+    staged, n_files = _stage_dir(sf_dir, "events")
+    return read_events_stream(spark, staged, schema, max_files_per_trigger=n_files)
 
 
 def _drain(stream_df: DataFrame, mode: str) -> DataFrame:
@@ -170,9 +178,11 @@ def streaming_dedup_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import content_hash
 
     docs_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").schema
+    staged, n_files = _stage_dir(sf_dir, "documents")
     stream = (
         spark.readStream.schema(docs_schema)
-        .parquet(_stage_dir(sf_dir, "documents"))
+        .option("maxFilesPerTrigger", n_files)
+        .parquet(staged)
         .withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
         .withColumn("content_md5", content_hash(F.col("text")))
     )

@@ -63,11 +63,21 @@ class TableIO:
             self.spark.read.parquet(self.path(table)).schema
             return True
         except AnalysisException as e:
-            # ONLY path-missing means "no table". A transient FS error
-            # or corrupt footer must propagate — swallowing it here
-            # would send upsert() down the overwrite path and destroy
-            # the existing table with just the incoming batch.
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            # Path-missing means "no table"; so does an EMPTY directory
+            # (UNABLE_TO_INFER_SCHEMA — e.g. a crash after mkdir but
+            # before any part file landed in a non-swap write path):
+            # both are recoverable absent-table states. Anything else —
+            # a transient FS error or corrupt footer — must propagate:
+            # swallowing it would send upsert() down the overwrite path
+            # and destroy the existing table with just the incoming
+            # batch.
+            msg = str(e)
+            if (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+                or "Unable to infer schema" in msg
+            ):
                 return False
             raise
 

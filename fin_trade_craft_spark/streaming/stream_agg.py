@@ -23,16 +23,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
-def read_events_stream(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over events-shaped parquet. ts normalization
     is schema-driven (sources.catalog.normalize_event_ts): the caller's
     ``schema`` (from a batch probe of the same files) decides whether
     ts arrives as INT64 nanos, TIMESTAMP_NTZ micros, or TimestampType —
     never a session conf, which could have been set after the schema
-    was captured and disagree with it."""
+    was captured and disagree with it.
+
+    ``max_files_per_trigger`` bounds a micro-batch; oracle-verified
+    queries pass the TOTAL staged file count so the whole directory
+    lands in ONE micro-batch — parquet parts carry no event-time
+    order, so letting AvailableNow split them across micro-batches
+    would let the watermark advance past (and drop) late rows that
+    the batch oracle keeps."""
     from ..sources.catalog import normalize_event_ts
 
-    df = spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
     return normalize_event_ts(df)
 
 

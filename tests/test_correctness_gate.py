@@ -1,0 +1,66 @@
+"""The local gate must be dtype-faithful: DuckDB types a bare
+integer ``SUM(CASE...)`` as HUGEINT (int128), which pandas silently
+coerces but the driver's value hash does not — the r03 failure mode
+(`null_handling_report`, `shipping_delay_modes`).  These tests pin
+that an intentionally uncast SUM goes red under the gate's declared-
+dtype check, and that every registered oracle in the repo stays
+clean under the same check (no Spark needed — DESCRIBE only).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check_correctness import oracle_dtype_issues  # noqa: E402
+
+
+def _types(con, sql):
+    rel = con.sql(sql)
+    return rel.columns, rel.types
+
+
+def test_uncast_sum_fixture_goes_red():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1), (2), (3)) v(x)")
+    cols, types = _types(con, "SELECT SUM(CASE WHEN x > 1 THEN 1 ELSE 0 END) AS n FROM t")
+    fails, _ = oracle_dtype_issues(cols, types)
+    assert fails == ["n:HUGEINT"]
+
+
+def test_cast_sum_fixture_stays_green():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1), (2), (3)) v(x)")
+    cols, types = _types(
+        con, "SELECT CAST(SUM(CASE WHEN x > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n FROM t"
+    )
+    fails, warns = oracle_dtype_issues(cols, types)
+    assert fails == [] and warns == []
+
+
+def test_decimal_output_warns_not_fails():
+    con = duckdb.connect()
+    cols, types = _types(con, "SELECT CAST(1.5 AS DECIMAL(18,2)) AS d")
+    fails, warns = oracle_dtype_issues(cols, types)
+    assert fails == []
+    assert warns == ["d:DECIMAL(18,2)"]
+
+
+def test_all_registered_oracles_are_dtype_clean(duck):
+    """Repo-wide sweep: no oracle may declare a HUGEINT output column.
+    This is exactly the check that would have caught the two r03
+    driver hash-fails before the driver did."""
+    import __spark_entry__ as entrymod
+
+    con = duck
+    bad = {}
+    for name, sql in entrymod.oracle_sql().items():
+        cols, types = _types(con, sql)
+        fails, _ = oracle_dtype_issues(cols, types)
+        if fails:
+            bad[name] = fails
+    assert bad == {}

@@ -180,6 +180,24 @@ def test_add_columns_full_recompute(spark, tmp_path):
     assert sorted(map(tuple, io.read("t").collect())) == got
 
 
+def test_exists_empty_directory_is_no_table(spark, tmp_path):
+    """An EMPTY table directory (crash after mkdir, before any part
+    file) is a recoverable absent-table state: exists() must return
+    False so upsert/append can proceed, instead of wedging on
+    UNABLE_TO_INFER_SCHEMA."""
+    import pathlib
+
+    from fin_trade_craft_spark.sources.io import TableIO
+
+    io = TableIO(spark, str(tmp_path))
+    pathlib.Path(io.path("t")).mkdir(parents=True)
+    assert io.exists("t") is False
+    # and the table is usable from that state
+    io.upsert(spark.createDataFrame([(1, 2.0)], "k int, v double"), "t", keys=["k"])
+    assert io.exists("t") is True
+    assert [tuple(r) for r in io.read("t").collect()] == [(1, 2.0)]
+
+
 def test_compact_small_files(spark, tmp_path):
     from fin_trade_craft_spark.sources.io import TableIO
 

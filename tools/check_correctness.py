@@ -7,7 +7,17 @@ Floats must be bit-identical — the engine's exact-decimal discipline
 makes that achievable; near-misses are reported with max abs diff to
 aid debugging.
 
+The driver's value hash is *declared-dtype* sensitive, but pandas
+canonicalization below coerces integer families to Int64 — which in
+r03 masked two oracles whose bare ``SUM(CASE...)`` DuckDB typed as
+HUGEINT (int128) and the driver hash-failed.  So before comparing we
+now also validate the oracle's declared DuckDB result types: any
+HUGEINT/UHUGEINT output column is a hard FAIL (cast it in the SQL),
+and a DECIMAL output whose Spark twin is a float is a warning.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --lint   # DESCRIBE-only sweep,
+           no Spark: flags HUGEINT/DECIMAL outputs in every oracle
 """
 
 from __future__ import annotations
@@ -42,6 +52,27 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+_BAD_DECLARED = ("HUGEINT", "UHUGEINT", "INT128")
+
+
+def oracle_dtype_issues(columns: list[str], types: list) -> tuple[list[str], list[str]]:
+    """Split declared DuckDB output types into (hard fails, warnings).
+
+    HUGEINT-family columns are hard fails: pandas coerces them to
+    float64/object so the local compare can still pass while the
+    driver's dtype-sensitive hash diverges.  DECIMAL outputs are
+    warnings — the repo discipline is to CAST to DOUBLE explicitly.
+    """
+    fails, warns = [], []
+    for col, t in zip(columns, types):
+        ts = str(t).upper()
+        if any(b in ts for b in _BAD_DECLARED):
+            fails.append(f"{col}:{ts}")
+        elif "DECIMAL" in ts:
+            warns.append(f"{col}:{ts}")
+    return fails, warns
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
     if len(spark_pdf) != len(oracle_pdf):
         return False, f"rowcount spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
@@ -69,15 +100,49 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[bool, st
     return True, "ok"
 
 
+def lint_oracles(sf_dir: str) -> int:
+    """Spark-free sweep: DESCRIBE every oracle on DuckDB and flag
+    declared output dtypes the driver hash would choke on."""
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    from fin_trade_craft_spark.sources.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'")
+    n_fail = 0
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            rel = con.sql(sql)
+            fails, warns = oracle_dtype_issues(rel.columns, rel.types)
+        except Exception as e:
+            print(f"FAIL  {name}: oracle does not bind: {e}")
+            n_fail += 1
+            continue
+        if fails:
+            print(f"FAIL  {name}: driver-hash-unsafe declared dtypes: {fails}")
+            n_fail += 1
+        elif warns:
+            print(f"WARN  {name}: decimal output columns (cast to DOUBLE?): {warns}")
+    print(f"\nlint: {n_fail} oracle(s) with hash-unsafe declared dtypes")
+    return 1 if n_fail else 0
+
+
 def main() -> int:
     sys.path.insert(0, "/root/repo")
+
+    args = [a for a in sys.argv[1:] if a != "--lint"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if "--lint" in sys.argv[1:]:
+        return lint_oracles(sf_dir)
+
     import __spark_entry__ as entrymod
 
     from fin_trade_craft_spark.session import get_spark
     from fin_trade_craft_spark.sources.catalog import TABLES
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    only = set(args[1:])
 
     spark = get_spark("correctness-check", shuffle_partitions=8)
     con = duckdb.connect()
@@ -102,11 +167,19 @@ def main() -> int:
             n_weak += 1
             continue
         try:
-            odf = con.execute(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            dtype_fails, dtype_warns = oracle_dtype_issues(rel.columns, rel.types)
+            odf = rel.df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
             continue
+        if dtype_fails:
+            print(f"FAIL  {name}: driver-hash-unsafe declared dtypes: {dtype_fails}")
+            n_fail += 1
+            continue
+        if dtype_warns:
+            print(f"WARN  {name}: decimal output columns: {dtype_warns}")
         ok, msg = compare(sdf, odf)
         status = "PASS" if ok else "FAIL"
         print(f"{status}  {name}: rows={len(sdf)} {msg if not ok else ''} [{time.time()-t0:.1f}s]")
