@@ -100,13 +100,15 @@ class ZoneSignalProcessor(StatefulProcessor):
     ``applyInPandasWithState``) with an explicit named ValueState —
     the shape that also unlocks TTL, timers, and state-schema
     evolution on a production stream. Same fold, same state tuple,
-    same output schema as ``zone_signals_stateful``; the two are
-    differentially tested against each other AND against the batch
-    de-stated twin. Runtime note: transformWithState's Python
-    driver-worker needs a working ``google.protobuf``; where that
-    dependency is absent (this container ships a broken protobuf and
-    installs are off-limits) the differential test self-skips and
-    ``zone_signals_stateful`` is the production path."""
+    same output schema as ``zone_signals_stateful``; the processor
+    is differentially tested against the golden series by driving
+    its StatefulProcessor contract directly with an in-memory
+    ValueState (tests/test_streaming_stateful.py). Runtime note:
+    transformWithState's Python driver-worker needs a working
+    ``google.protobuf``; where that dependency is absent (this
+    container ships none and installs are off-limits) the runtime
+    wire-up cannot execute and ``zone_signals_stateful`` is the
+    production path — the processor itself stays fully covered."""
 
     def init(self, handle) -> None:
         self.state = handle.getValueState("zone", STATE_SCHEMA)

@@ -67,56 +67,67 @@ def test_state_survives_microbatch_boundary(spark, tmp_path):
     assert abs(out2[0].signal_strength - 35.0) < 1e-9
 
 
-def test_transformwithstate_twin_matches(spark, tmp_path):
-    """The Spark-4 transformWithStateInPandas form must produce
-    exactly the applyInPandasWithState result on the same two-batch
-    golden series (same fold, same state tuple, different state
-    API). Skipped where the transformWithState runtime dependency
-    (a working google.protobuf) is absent — this container ships a
-    broken protobuf and pip installs are off-limits; the
-    applyInPandasWithState path above is the tested production
-    operator there."""
-    import pytest
+class _FakeValueState:
+    """In-memory stand-in for the transformWithState ValueState
+    handle (exists/get/update contract)."""
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("transformWithState needs google.protobuf (absent/broken here)")
-    from fin_trade_craft_spark.streaming.stateful_signals import zone_signals_tws
+    def __init__(self):
+        self._v = None
 
-    src = tmp_path / "bars"
-    src.mkdir()
-    ckpt = tmp_path / "ckpt_tws"
-    out = tmp_path / "tws_out"
+    def exists(self) -> bool:
+        return self._v is not None
 
-    def write_file(bars):
+    def get(self):
+        return self._v
+
+    def update(self, v) -> None:
+        self._v = v
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_transformwithstate_processor_matches_golden():
+    """The Spark-4 ZoneSignalProcessor twin, driven directly through
+    its StatefulProcessor contract (init → handleInputRows per
+    micro-batch) with an in-memory ValueState: the same two-batch
+    golden split must reproduce the applyInPandasWithState result
+    (BUY@7 in batch 1, SELL@14 in batch 2, state carried between).
+
+    The full transformWithStateInPandas runtime wire-up needs a
+    working ``google.protobuf`` in the Python worker, which this
+    container does not ship (and installs are off-limits) — but the
+    twin's only code beyond that wire-up is this processor, so
+    driving it through the same contract the runtime uses keeps the
+    twin fully covered without an environment-conditional skip."""
+    from fin_trade_craft_spark.streaming.stateful_signals import ZoneSignalProcessor
+
+    proc = ZoneSignalProcessor()
+    proc.init(_FakeHandle())
+
+    def batch(bars):
         pdf = pd.DataFrame(
             [(1, i, float(v)) for i, v in bars], columns=["symbol_id", "bar", "rsi"]
         )
-        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(src))
+        outs = list(proc.handleInputRows((1,), iter([pdf]), None))
+        return pd.concat(outs, ignore_index=True)
 
-    def run():
-        stream = spark.readStream.schema("symbol_id long, bar long, rsi double").parquet(
-            str(src)
-        )
-        q = (
-            zone_signals_tws(stream)
-            .writeStream.format("parquet")
-            .option("path", str(out))
-            .outputMode("append")
-            .option("checkpointLocation", str(ckpt))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        return spark.read.parquet(str(out)).collect()
-
-    write_file(list(enumerate(GOLDEN[:10])))
-    out1 = run()
-    assert [(r.bar, r.buy_signal, r.sell_signal) for r in sorted(out1, key=lambda r: r.bar)] == [
+    out1 = batch(list(enumerate(GOLDEN[:10])))
+    assert [tuple(r) for r in out1[["bar", "buy_signal", "sell_signal"]].itertuples(index=False)] == [
         (7, True, False)
     ]
-    write_file(list(enumerate(GOLDEN))[10:])
-    all_out = run()
-    got = sorted((r.bar, r.buy_signal, r.sell_signal) for r in all_out)
-    assert got == [(7, True, False), (14, False, True)]
+    assert abs(out1["signal_strength"].iloc[0] - 31.0) < 1e-9
+
+    # state must have carried: batch 2 starts inside the overbought
+    # dwell; losing prev_rsi/in_high would suppress the SELL
+    out2 = batch(list(enumerate(GOLDEN))[10:])
+    assert [tuple(r) for r in out2[["bar", "buy_signal", "sell_signal"]].itertuples(index=False)] == [
+        (14, False, True)
+    ]
+    assert abs(out2["signal_strength"].iloc[0] - 35.0) < 1e-9
+    proc.close()
