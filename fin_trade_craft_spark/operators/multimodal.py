@@ -181,6 +181,62 @@ def sample_video_frames(df: DataFrame, frame_bytes: int = 512, every_n: int = 4)
     return df.mapInPandas(fn, FRAME_SAMPLE_SCHEMA)
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def ahash_images(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Perceptual average-hash (aHash) over PNG payloads: decode →
+    8×8 floor-mapped nearest-neighbor downsample → threshold each
+    cell against the 8×8 mean → 64-bit signature (bit y*8+x set when
+    cell*64 >= total, i.e. cell >= mean without ever leaving integer
+    arithmetic). Color images reduce to integer luma
+    ((299R + 587G + 114B) // 1000) first.
+
+    The signature is returned as a SIGNED 64-bit long (two's
+    complement), so downstream band extraction ``(sig >> 16*i) &
+    0xFFFF`` and ``bit_count(a ^ b)`` Hamming are plain JVM integer
+    expressions — identical semantics in Spark and ANSI engines.
+
+    Scale shape: one Arrow-batched mapInPandas stage, no shuffle —
+    hashing is embarrassingly parallel; pair-finding on top of it is
+    the caller's banded join (see queries/multimodal.py
+    image_ahash_near_dupes)."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import png as P
+
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[bin_col]):
+                img = P.decode_png(bytes(b))
+                if img.ndim == 3 and img.shape[2] >= 3:
+                    # integer luma; alpha (if any) ignored
+                    r, g, bl = (img[..., i].astype(np.int64) for i in range(3))
+                    gray = (299 * r + 587 * g + 114 * bl) // 1000
+                else:
+                    # 2-D gray, or (h, w, 1)/(h, w, 2) gray(+alpha)
+                    gray = (img if img.ndim == 2 else img[..., 0]).astype(np.int64)
+                h, w = gray.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                cells = gray[np.ix_(ys, xs)]
+                bits = (cells * 64 >= cells.sum()).flatten()  # row-major y*8+x
+                sig_u = (bits.astype(np.uint64) << shifts).sum(dtype=np.uint64)
+                rows.append((int(did), int(sig_u.astype(np.int64)), w, h))
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
+
+    return df.mapInPandas(fn, AHASH_SCHEMA)
+
+
 def resize_images(
     df: DataFrame, max_w: int = 256, max_h: int = 256, raw_fallback_bytes: int = 1024
 ) -> DataFrame:

@@ -396,8 +396,67 @@ ORDER BY doc_id
 """
 
 
+def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum assignment: within each language, rank
+    documents by token count and cut them into 4 equal-frequency
+    curriculum stages (short → long), then report each stage's
+    document count and token range — the bucketing a
+    shortest-first / sequence-length-warmup training schedule
+    consumes.
+
+    Determinism: NTILE over a TOTAL order (n_tokens, doc_id) — the
+    tie-break by unique doc_id makes stage assignment a pure
+    function of the data, identical across engines and parallelism.
+
+    Scale shape: one shuffle on ``lang`` for the window (languages
+    are few but large — at 100 TB per-lang partitions would skew, so
+    production would swap NTILE for a two-pass quantile-cut:
+    approx percentiles per lang broadcast back as stage bounds;
+    same output contract, no single-partition sort). The per-stage
+    rollup rides the window's partitioning — no second shuffle."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        # bigint up front so min/max/sum dtypes match the oracle's
+        # BIGINT len()/aggregates without per-column casts
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    staged = d.withColumn("stage", F.ntile(4).over(w).cast("bigint"))
+    return (
+        staged.groupBy("lang", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("stage_tokens"),
+        )
+        .orderBy("lang", "stage")
+    )
+
+
+ORACLE_LENGTH_CURRICULUM_BUCKETS = f"""
+WITH d AS (
+  SELECT doc_id, lang, len({_TOKS}) AS n_tokens FROM documents
+), staged AS (
+  SELECT lang, n_tokens,
+         NTILE(4) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS stage
+  FROM d
+)
+SELECT lang, stage,
+       COUNT(*) AS n_docs,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens
+FROM staged
+GROUP BY lang, stage
+ORDER BY lang, stage
+"""
+
+
 QUERIES = {
     "source_mixture_weights": source_mixture_weights,
+    "length_curriculum_buckets": length_curriculum_buckets,
     "stratified_sample": stratified_sample,
     "vocab_hapax_stats": vocab_hapax_stats,
     "token_entropy": token_entropy,
@@ -405,6 +464,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "length_curriculum_buckets": ORACLE_LENGTH_CURRICULUM_BUCKETS,
     "mixture_epoch_expansion": ORACLE_MIXTURE_EPOCH_EXPANSION,
     "source_mixture_weights": ORACLE_SOURCE_MIXTURE_WEIGHTS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,

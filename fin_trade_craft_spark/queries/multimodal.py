@@ -177,14 +177,168 @@ ORDER BY doc_id
 """
 
 
+AHASH_MAX_HAMMING = 6
+
+
+def image_ahash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image deduplication, end to end on REAL pixel
+    data: synthesize a deterministic gradient PNG per document
+    (consecutive doc_id triples share a base pattern, each member
+    perturbed by a tiny per-member noise term — planted near-dups),
+    aHash the DECODED bytes (operators/multimodal.ahash_images),
+    then find near-duplicate pairs with a pigeonhole band join —
+    two 64-bit signatures within Hamming ≤ 6 must agree exactly on
+    at least one of four 16-bit bands, so candidates come from 4
+    band-value equi-joins, never an all-pairs scan — and verify
+    candidates with exact ``bit_count(a ^ b)``.
+
+    Because every pixel derives from doc_id by integer math and the
+    whole aHash pipeline (floor-NN 8×8, mean threshold) stays in
+    integers, the SQL oracle reproduces the signatures bit-for-bit
+    from doc_id alone — a wrong decode, resample or threshold flips
+    the value hash.
+
+    Scale shape: hash = map-only; candidates = 4 equi-joins keyed
+    by (band_idx, band_value) with distinct-pair dedup; verify =
+    O(candidates). Identical shape to simhash_hamming_pairs, which
+    covers text — this is its image twin."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import ahash_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        from ..functions import png as P
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p, m = did // 3, did % 3
+                sx, sy = 1 + p % 251, 1 + (p * 7) % 241
+                base = (p * 97) % 256
+                w, h = 16 + p % 49, 16 + (p * 7) % 49
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                noise = m * ((x * 7 + y * 13) % 5 == 0)
+                img = ((x * sx + y * sy + base + noise) % 256).astype(np.uint8)
+                rows.append((did, P.encode_png(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(make, "doc_id long, payload binary")
+    sigs = ahash_images(payloads).select("doc_id", "ahash")
+    bands = sigs.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    (F.shiftright("ahash", 16 * i).bitwiseAND(F.lit(65535))).alias(
+                        "band_val"
+                    ),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "ahash", "b.band_idx", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= AHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Mirrors the synth + aHash integer math exactly: source pixel at
+# 8x8 cell (y, x) is ((x*w)//8, (y*h)//8); bit set iff cell*64 >=
+# total; signature assembled as HUGEINT then wrapped to signed i64.
+ORACLE_IMAGE_AHASH_NEAR_DUPES = f"""
+WITH d AS (
+  SELECT doc_id, doc_id // 3 AS p, doc_id % 3 AS m FROM documents
+), dims AS (
+  SELECT doc_id, m,
+         1 + p % 251 AS sx, 1 + (p * 7) % 241 AS sy,
+         (p * 97) % 256 AS base,
+         16 + p % 49 AS w, 16 + (p * 7) % 49 AS h
+  FROM d
+), px AS (
+  SELECT doc_id, y, x,
+         (((x * w) // 8) * sx + ((y * h) // 8) * sy + base
+          + m * (CASE WHEN (((x * w) // 8) * 7 + ((y * h) // 8) * 13) % 5 = 0
+                      THEN 1 ELSE 0 END)) % 256 AS v
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, 8)) AS y),
+       LATERAL (SELECT unnest(range(0, 8)) AS x)
+), tot AS (
+  SELECT doc_id, y, x, v, SUM(v) OVER (PARTITION BY doc_id) AS total FROM px
+), bits AS (
+  SELECT doc_id, y * 8 + x AS pos,
+         CASE WHEN v * 64 >= total THEN 1 ELSE 0 END AS bit
+  FROM tot
+), bandv AS (
+  -- 16-bit unsigned band values: what (sig >> 16*i) & 65535 yields
+  -- on the signed signature for every band including the top one
+  SELECT doc_id, pos // 16 AS band_idx,
+         CAST(SUM(bit * (1 << (pos % 16))) AS BIGINT) AS band_val
+  FROM bits GROUP BY doc_id, pos // 16
+), sig AS (
+  -- reassemble the signed i64: top band's sign bit folds in as
+  -- (b3 - 2^16) * 2^48 when set (two's complement, no overflow)
+  SELECT doc_id, CAST(SUM(
+           CASE band_idx
+             WHEN 0 THEN band_val
+             WHEN 1 THEN band_val * 65536
+             WHEN 2 THEN band_val * 4294967296
+             ELSE (band_val - CASE WHEN band_val >= 32768 THEN 65536 ELSE 0 END)
+                  * 281474976710656
+           END) AS BIGINT) AS ahash
+  FROM bandv GROUP BY doc_id
+), bands AS (
+  SELECT b.doc_id, s.ahash, b.band_idx, b.band_val
+  FROM bandv b JOIN sig s USING (doc_id)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.ahash AS ha, b.ahash AS hb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {AHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
+    "image_ahash_near_dupes": image_ahash_near_dupes,
     "audio_frame_energy": audio_frame_energy,
     "video_frame_sample": video_frame_sample,
     "image_resize_pixelsum": image_resize_pixelsum,
 }
 ORACLES = {
     "multimodal_metadata": ORACLE_MULTIMODAL_METADATA,
+    "image_ahash_near_dupes": ORACLE_IMAGE_AHASH_NEAR_DUPES,
     "audio_frame_energy": ORACLE_AUDIO_FRAME_ENERGY,
     "video_frame_sample": ORACLE_VIDEO_FRAME_SAMPLE,
     "image_resize_pixelsum": ORACLE_IMAGE_RESIZE_PIXELSUM,

@@ -781,8 +781,209 @@ ORDER BY cnt DESC, aggregate_title
 """
 
 
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the Spark 4 VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then
+    multiple typed accesses (``variant_get`` as bigint AND as
+    string) without re-parsing the JSON text per access — the
+    at-scale answer to repeated ``get_json_object`` calls, which
+    each re-tokenize the string (``json_props_stats`` is the legacy
+    twin of this query; same table, same rollup).
+
+    Scale shape: parse + typed access are JVM expressions inside
+    whole-stage codegen; one shuffle for the event_type rollup with
+    map-side partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    ks = F.variant_get(v, "$.k", "string")
+    return (
+        ev.select("event_type", k.alias("k"), F.length(ks).cast("bigint").alias("klen"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.count_distinct(F.col("k")).alias("k_distinct"),
+            F.sum((F.col("k") % 2 == 0).cast("bigint")).alias("n_even"),
+            F.max("klen").alias("klen_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VARIANT_PROPS_STATS = """
+WITH t AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         length(json_extract_string(props, '$.k')) AS klen
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       COUNT(DISTINCT k) AS k_distinct,
+       CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+       MAX(klen) AS klen_max
+FROM t
+WHERE k IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-proxy quality
+    filter of a training-data pipeline: fit unigram probabilities on
+    the corpus itself, then score each document by its mean token
+    log10-probability (degenerate/boilerplate docs score HIGH —
+    their tokens are corpus-frequent; noise scores LOW). Also
+    reports the rarest-token corpus count per doc (an OOV-ishness
+    signal).
+
+    Determinism: the per-doc (term, c_doc, c_corpus) triples are
+    sorted by term and folded sequentially (F.aggregate), fixing the
+    double-accumulation order at any parallelism; compared columns
+    round to 9 decimals in both engines (libm log10 last-ulp
+    policy, same as token_entropy).
+
+    Scale shape: two hash aggregates — (doc, term) then (term) —
+    both partial-aggregating map-side; the doc×term → term join
+    shuffles on term (vocab is Zipf-skewed, but the corpus-count
+    side is one row per term, so AQE's skew split handles the heavy
+    grams); the scalar corpus total rides a 1-row broadcast cross
+    join, never a driver collect."""
+    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    term_doc = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c_d"))
+    )
+    corpus = term_doc.groupBy("term").agg(F.sum("c_d").alias("c_t"))
+    total = corpus.agg(F.sum("c_t").alias("n_corpus"))
+    per_doc = (
+        term_doc.join(corpus, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_d").alias("n_tokens"),
+            F.count(F.lit(1)).alias("doc_vocab"),
+            F.min("c_t").alias("rarest_count"),
+            F.array_sort(F.collect_list(F.struct("term", "c_d", "c_t"))).alias("terms"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    n = F.col("n_corpus").cast("double")
+    fold = F.aggregate(
+        F.col("terms"),
+        F.lit(0.0),
+        lambda acc, s: acc + s["c_d"].cast("double") * F.log10(s["c_t"].cast("double") / n),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "doc_vocab",
+        "rarest_count",
+        F.round(fold / F.col("n_tokens").cast("double"), 9).alias("avg_logprob10"),
+    ).orderBy("doc_id")
+
+
+ORACLE_UNIGRAM_LOGPROB_SCORES = f"""
+WITH term AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), td AS (
+  SELECT doc_id, term, COUNT(*) AS c_d FROM term GROUP BY doc_id, term
+), corpus AS (
+  SELECT term, CAST(SUM(c_d) AS BIGINT) AS c_t FROM td GROUP BY term
+), total AS (
+  SELECT CAST(SUM(c_t) AS BIGINT) AS n_corpus FROM corpus
+), per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c_d) AS BIGINT) AS n_tokens,
+         COUNT(*) AS doc_vocab,
+         MIN(c_t) AS rarest_count,
+         list_sort(list(struct_pack(term := term, c_d := c_d, c_t := c_t))) AS terms
+  FROM td JOIN corpus USING (term)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, doc_vocab, rarest_count,
+       ROUND(
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(terms,
+               s -> CAST(s['c_d'] AS DOUBLE)
+                    * log10(CAST(s['c_t'] AS DOUBLE) / n_corpus))),
+           (acc, x) -> acc + x) / n_tokens, 9) AS avg_logprob10
+FROM per_doc, total
+ORDER BY doc_id
+"""
+
+
+FUZZY_TITLE_LEN = 32
+FUZZY_BLOCK_LEN = 8
+FUZZY_MAX_EDITS = 3
+
+
+def fuzzy_title_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching — the entity-resolution /
+    near-identical-title shape: normalize a 32-char title key,
+    generate candidate pairs ONLY within 8-char-prefix blocks
+    (candidate generation is the blocking key's job, same role LSH
+    bands play for Jaccard), then verify with exact Levenshtein ≤ 3.
+    Pairs differing inside the first 8 chars are out of scope by
+    definition — standard blocking semantics, traded for never
+    running the O(n²) all-pairs edit distance.
+
+    Scale shape: a self-equi-join on the block key (shuffle both
+    sides on an 8-char string); block populations are bounded by
+    construction on real title data (here ≤4 at sf0.1) — a skewed
+    block (common prefix like 'the ') would get a secondary
+    blocking key appended, not a bigger join."""
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lower(F.substring(T.normalize_ws(F.col("text")), 1, FUZZY_TITLE_LEN)).alias(
+            "title"
+        ),
+    ).withColumn("blk", F.substring("title", 1, FUZZY_BLOCK_LEN))
+    a, b = t.alias("a"), t.alias("b")
+    lev = F.levenshtein(F.col("a.title"), F.col("b.title"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.cast("int").alias("edit_distance"),
+            (lev == 0).alias("is_exact"),
+        )
+        .filter(F.col("edit_distance") <= FUZZY_MAX_EDITS)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_FUZZY_TITLE_MATCHES = f"""
+WITH t AS (
+  SELECT doc_id,
+         lower(substr({_NORM}, 1, {FUZZY_TITLE_LEN})) AS title
+  FROM documents
+), b AS (
+  SELECT doc_id, title, substr(title, 1, {FUZZY_BLOCK_LEN}) AS blk FROM t
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(levenshtein(x.title, y.title) AS INT) AS edit_distance,
+       levenshtein(x.title, y.title) = 0 AS is_exact
+FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+WHERE levenshtein(x.title, y.title) <= {FUZZY_MAX_EDITS}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "transcript_title_share": transcript_title_share,
+    "variant_props_stats": variant_props_stats,
+    "unigram_logprob_scores": unigram_logprob_scores,
+    "fuzzy_title_matches": fuzzy_title_matches,
     "doc_quality_scores": doc_quality_scores,
     "doc_repetition_filter": doc_repetition_filter,
     "train_eval_split": train_eval_split,
@@ -801,6 +1002,9 @@ QUERIES = {
 
 ORACLES = {
     "transcript_title_share": ORACLE_TRANSCRIPT_TITLE_SHARE,
+    "variant_props_stats": ORACLE_VARIANT_PROPS_STATS,
+    "unigram_logprob_scores": ORACLE_UNIGRAM_LOGPROB_SCORES,
+    "fuzzy_title_matches": ORACLE_FUZZY_TITLE_MATCHES,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "doc_quality_scores": ORACLE_DOC_QUALITY_SCORES,
     "doc_repetition_filter": ORACLE_DOC_REPETITION_FILTER,
