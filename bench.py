@@ -52,6 +52,12 @@ def bench_query_names() -> list[str]:
         "doc_repetition_filter",
         "doc_chunks",
         "json_props_stats",
+        # r04: VARIANT twin of json_props_stats (parse-once binary
+        # encoding vs per-access string re-parse), unigram-LM
+        # perplexity-proxy scoring, perceptual-hash image dedup
+        "variant_props_stats",
+        "unigram_logprob_scores",
+        "image_ahash_near_dupes",
         "eval_contamination",
         "boilerplate_ngrams",
         "tfidf_top_terms",

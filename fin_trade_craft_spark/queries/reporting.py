@@ -202,12 +202,48 @@ def _summary_oracle() -> str:
 ORACLE_DATABASE_SUMMARY = _summary_oracle()
 
 
+K_ANON_THRESHOLD = 5
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance operator: k-anonymity audit over a
+    quasi-identifier tuple — every (nationality, market-segment)
+    equivalence class with its population, flagged when it falls
+    below k=5 (classes a release would have to suppress or
+    generalize). The per-class rows are what a generalization
+    planner consumes; the flag is the release gate.
+
+    Scale shape: one hash aggregate on the QI tuple with map-side
+    partial counts — the class count is bounded by the QI domain
+    (|nations| x |segments|), so the result is tiny no matter the
+    input size."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("is_suppressed", F.col("class_size") < K_ANON_THRESHOLD)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+ORACLE_K_ANONYMITY_REPORT = f"""
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS class_size,
+       COUNT(*) < {K_ANON_THRESHOLD} AS is_suppressed
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 QUERIES = {
     "daily_screener": daily_screener,
     "database_summary": database_summary,
+    "k_anonymity_report": k_anonymity_report,
 }
 
 ORACLES = {
     "daily_screener": ORACLE_DAILY_SCREENER,
     "database_summary": ORACLE_DATABASE_SUMMARY,
+    "k_anonymity_report": ORACLE_K_ANONYMITY_REPORT,
 }

@@ -771,6 +771,96 @@ GROUP BY 1, 2
 """
 
 
+def event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour distribution-drift monitor — the data-quality
+    tripwire of a streaming ingest pipeline: for each hour, the
+    total-variation distance between the event-type mix of this
+    hour and the previous one. TVD is computed over the types
+    PRESENT IN BOTH hours (inner join on type — appearing/vanishing
+    types are a schema-level alert, not a mix-drift signal).
+
+    Exactness: TVD = Σ|c_a·N_b − c_b·N_a| / (2·N_a·N_b) keeps the
+    numerator in pure integers; at bench scales every intermediate
+    is < 2^53, so the one double division is exact in both engines
+    (rounded to 9dp per the repo policy). At 100 TB the products
+    would ride DECIMAL(38) instead — same expression, wider type.
+
+    Scale shape: one hash aggregate on (hour, type); the
+    consecutive-hour self-join keys on (type, hour) against an
+    aggregate that is |hours|·|types| rows — negligible next to the
+    raw scan regardless of input size."""
+    ev = _events(spark, sf_dir)
+    cnt = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("hour").agg(F.sum("c").alias("n"))
+    a, b = cnt.alias("a"), cnt.alias("b")
+    ta, tb = tot.alias("ta"), tot.alias("tb")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("b.hour") == F.col("a.hour") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .join(F.broadcast(ta), F.col("ta.hour") == F.col("a.hour"))
+        .join(F.broadcast(tb), F.col("tb.hour") == F.col("b.hour"))
+        .select(
+            F.col("a.hour").alias("hour"),
+            F.col("a.c").alias("c_a"),
+            F.col("b.c").alias("c_b"),
+            F.col("ta.n").alias("n_curr"),
+            F.col("tb.n").alias("n_prev"),
+        )
+    )
+    return (
+        pairs.groupBy("hour", "n_curr", "n_prev")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(
+                F.abs(F.col("c_a") * F.col("n_prev") - F.col("c_b") * F.col("n_curr"))
+            ).alias("tvd_num"),
+        )
+        .select(
+            "hour",
+            "n_types",
+            "n_curr",
+            "n_prev",
+            F.round(
+                F.col("tvd_num").cast("double")
+                / (2.0 * F.col("n_curr").cast("double") * F.col("n_prev").cast("double")),
+                9,
+            ).alias("tvd"),
+        )
+        .orderBy("hour")
+    )
+
+
+ORACLE_EVENT_MIX_DRIFT = """
+WITH cnt AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT hour, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY hour
+), pairs AS (
+  SELECT a.hour AS hour, a.c AS c_a, b.c AS c_b, ta.n AS n_curr, tb.n AS n_prev
+  FROM cnt a
+  JOIN cnt b ON a.event_type = b.event_type
+            AND b.hour = a.hour - INTERVAL 1 HOUR
+  JOIN tot ta ON ta.hour = a.hour
+  JOIN tot tb ON tb.hour = b.hour
+)
+SELECT hour,
+       COUNT(*) AS n_types,
+       n_curr, n_prev,
+       ROUND(CAST(SUM(ABS(c_a * n_prev - c_b * n_curr)) AS DOUBLE)
+             / (2.0 * n_curr * n_prev), 9) AS tvd
+FROM pairs
+GROUP BY hour, n_curr, n_prev
+ORDER BY hour
+"""
+
+
 QUERIES = {
     "rolling_user_features": rolling_user_features,
     "lag_lead_returns": lag_lead_returns,
@@ -791,6 +881,7 @@ QUERIES = {
     "vwap_trailing_5d": vwap_trailing_5d,
     "user_retention_cohorts": user_retention_cohorts,
     "event_funnel": event_funnel,
+    "event_mix_drift": event_mix_drift,
 }
 
 ORACLES = {
@@ -813,4 +904,5 @@ ORACLES = {
     "vwap_trailing_5d": ORACLE_VWAP_TRAILING_5D,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
+    "event_mix_drift": ORACLE_EVENT_MIX_DRIFT,
 }

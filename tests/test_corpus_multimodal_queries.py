@@ -19,7 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from tools.check_correctness import compare  # noqa: E402
 
-from fin_trade_craft_spark.queries import corpus_mix, multimodal  # noqa: E402
+from fin_trade_craft_spark.queries import corpus_mix, multimodal, reporting  # noqa: E402
 
 from conftest import SF_SMOKE  # noqa: E402
 
@@ -37,6 +37,15 @@ def test_corpus_mix_vs_oracle(spark, duck, name):
 def test_multimodal_vs_oracle(spark, duck, name):
     sdf = multimodal.QUERIES[name](spark, SF_SMOKE).toPandas()
     odf = duck.execute(multimodal.ORACLES[name]).df()
+    assert len(sdf) > 0, f"{name}: empty result"
+    ok, msg = compare(sdf, odf)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(reporting.QUERIES) & set(reporting.ORACLES)))
+def test_reporting_vs_oracle(spark, duck, name):
+    sdf = reporting.QUERIES[name](spark, SF_SMOKE).toPandas()
+    odf = duck.execute(reporting.ORACLES[name]).df()
     assert len(sdf) > 0, f"{name}: empty result"
     ok, msg = compare(sdf, odf)
     assert ok, f"{name}: {msg}"
