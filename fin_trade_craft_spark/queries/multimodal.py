@@ -103,15 +103,24 @@ def image_resize_pixelsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle from doc_id alone — so a wrong filter, resample
     mapping, or encoder bug flips the value hash.
 
-    Scale shape: three Arrow-batched mapInPandas stages, zero
-    shuffles, zero collects — pure per-partition pipeline, linear in
-    corpus size."""
+    Scale shape: three Arrow-batched mapInPandas stages and zero
+    collects. The one repartition exists ONLY because payloads are
+    synthesized from doc_id here: a bare-id projection scans a few
+    KB, so the file source yields 1-2 input splits and the codec
+    stages would run near-serial (measured: the sf1 bench entry).
+    Spreading the 8-byte ids across the session's cores costs ~ms;
+    a real image corpus has byte-heavy payload splits and needs no
+    such step."""
     import numpy as np
     import pandas as pd
 
     from ..operators.multimodal import resize_images
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def make(batches):
         from ..functions import png as P
@@ -201,13 +210,20 @@ def image_ahash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: hash = map-only; candidates = 4 equi-joins keyed
     by (band_idx, band_value) with distinct-pair dedup; verify =
     O(candidates). Identical shape to simhash_hamming_pairs, which
-    covers text — this is its image twin."""
+    covers text — this is its image twin. The doc_id repartition
+    exists only because payloads are synthesized from the id (see
+    image_resize_pixelsum: a bare-id scan is 1-2 input splits and
+    would serialize the codec stages)."""
     import numpy as np
     import pandas as pd
 
     from ..operators.multimodal import ahash_images
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def make(batches):
         from ..functions import png as P

@@ -307,8 +307,33 @@ def streaming_zone_signals_stateful(spark: SparkSession, sf_dir: str) -> DataFra
     return _drain(zone_signals_stateful(bars), "append").orderBy("symbol_id", "bar")
 
 
+def streaming_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of queries/windows.event_mix_drift — the
+    drift tripwire wired the way production runs it: the STREAM
+    maintains the windowed per-(hour, type) counts incrementally
+    (the only input-sized work); the hour-over-hour total-variation
+    post-stage runs on the drained aggregate, which is
+    |hours|·|types| rows no matter how much raw traffic flowed.
+    Same integer-numerator TVD, same oracle as the batch twin."""
+    from .windows import tvd_drift_from_counts
+
+    ev = _events_stream(spark, sf_dir)
+    rolled = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("win.start").alias("hour"), "event_type", "c")
+    )
+    return tvd_drift_from_counts(_drain(rolled, "complete"))
+
+
+# identical contract to the batch twin — one source of truth
+from .windows import ORACLE_EVENT_MIX_DRIFT as ORACLE_STREAMING_MIX_DRIFT  # noqa: E402
+
+
 QUERIES = {
     "streaming_hourly_rollup": streaming_hourly_rollup,
+    "streaming_mix_drift": streaming_mix_drift,
     "streaming_session_stats": streaming_session_stats,
     "streaming_dedup_hashes": streaming_dedup_hashes,
     "streaming_click_attribution": streaming_click_attribution,
@@ -318,6 +343,7 @@ QUERIES = {
 
 ORACLES = {
     "streaming_hourly_rollup": ORACLE_STREAMING_HOURLY_ROLLUP,
+    "streaming_mix_drift": ORACLE_STREAMING_MIX_DRIFT,
     "streaming_session_stats": ORACLE_STREAMING_SESSION_STATS,
     "streaming_dedup_hashes": ORACLE_STREAMING_DEDUP_HASHES,
     "streaming_click_attribution": ORACLE_STREAMING_CLICK_ATTRIBUTION,

@@ -918,6 +918,61 @@ ORDER BY doc_id
 """
 
 
+QUALITY_LABEL_THRESHOLD = 75.0
+
+
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based curation — the FineWeb/DCLM-style classifier
+    filtering stage: weak-label the corpus with the heuristic
+    quality score (≥75 → good; ~60/40 split on this data), train a
+    logistic-regression quality classifier on the cheap per-doc
+    features (token count, stopword ratio, type-token ratio, mean
+    token length), then score EVERY document and keep p(good) ≥ 0.5.
+
+    Registered rows-only BY DESIGN: distributed LBFGS training is
+    iterative and not SQL-expressible; correctness evidence is the
+    pytest contract (agreement with the weak label, probability
+    monotonicity vs the quality score) — same policy as the sketch
+    and EWM families.
+
+    Scale shape: training aggregates gradients via treeAggregate
+    (map-side partial sums, log(n) combine depth); the fitted model
+    is a handful of coefficients broadcast into a codegen'd scoring
+    expression — scoring is map-only. In production the trainer
+    would fit on a hash-sampled slice (train_eval_split) and score
+    the full corpus; here both run on the same frame to keep the
+    query self-contained."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    feats = doc_quality_scores(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        "stop_ratio",
+        "ttr",
+        "avg_token_len",
+        "quality_score",
+    )
+    labeled = feats.withColumn(
+        "label", (F.col("quality_score") >= QUALITY_LABEL_THRESHOLD).cast("double")
+    )
+    va = VectorAssembler(
+        inputCols=["n_tokens", "stop_ratio", "ttr", "avg_token_len"],
+        outputCol="features",
+    )
+    assembled = va.transform(labeled)
+    model = LogisticRegression(maxIter=25, regParam=0.01).fit(assembled)
+    scored = model.transform(assembled)
+    p_good = vector_to_array(F.col("probability")).getItem(1)
+    return scored.select(
+        "doc_id",
+        F.col("label").cast("boolean").alias("label_weak"),
+        F.round(p_good, 6).alias("p_good"),
+        (p_good >= 0.5).alias("kept"),
+    ).orderBy("doc_id")
+
+
 FUZZY_TITLE_LEN = 32
 FUZZY_BLOCK_LEN = 8
 FUZZY_MAX_EDITS = 3
@@ -984,6 +1039,8 @@ QUERIES = {
     "variant_props_stats": variant_props_stats,
     "unigram_logprob_scores": unigram_logprob_scores,
     "fuzzy_title_matches": fuzzy_title_matches,
+    # rows-only by design: iterative LBFGS training isn't SQL
+    "quality_classifier_filter": quality_classifier_filter,
     "doc_quality_scores": doc_quality_scores,
     "doc_repetition_filter": doc_repetition_filter,
     "train_eval_split": train_eval_split,

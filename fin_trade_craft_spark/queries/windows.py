@@ -16,7 +16,7 @@ design point: feature count scales without extra shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
@@ -771,6 +771,62 @@ GROUP BY 1, 2
 """
 
 
+def tvd_drift_from_counts(cnt: DataFrame) -> DataFrame:
+    """TVD post-stage shared by the batch and streaming drift
+    monitors: given per-(hour, event_type) counts ``c``, compute the
+    hour-over-hour total-variation distance. Runs on the already-
+    aggregated frame (|hours|·|types| rows), so in the streaming
+    twin the only input-sized work is the windowed count the stream
+    maintains incrementally."""
+    prev_hour = F.col("hour") - F.expr("INTERVAL 1 HOUR")
+    # lag-with-guard instead of a consecutive-hour self-join: the
+    # previous row per type counts only when it IS the previous hour
+    # (missing (hour, type) combos stay excluded — identical
+    # semantics to the oracle's b.hour = a.hour - 1h inner join, one
+    # shuffle less, and immune to self-join attribute ambiguity on
+    # drained streaming sinks)
+    wt = Window.partitionBy("event_type").orderBy("hour")
+    lagged = cnt.select(
+        "hour",
+        F.col("c").alias("c_a"),
+        F.when(F.lag("hour").over(wt) == prev_hour, F.lag("c").over(wt)).alias("c_b"),
+    ).filter(F.col("c_b").isNotNull())
+    tot = cnt.groupBy("hour").agg(F.sum("c").alias("n"))
+    wh = Window.orderBy("hour")
+    # t_hour alias: both branches descend from the same `cnt` node
+    # (for a drained memory sink they expose the SAME attribute ids),
+    # and a name-based self-join on `hour` trips Catalyst's
+    # conflicting-reference check — the rename gives the right side
+    # a fresh output attribute
+    tots = tot.select(
+        F.col("hour").alias("t_hour"),
+        F.col("n").alias("n_curr"),
+        F.when(F.lag("hour").over(wh) == prev_hour, F.lag("n").over(wh)).alias("n_prev"),
+    ).filter(F.col("n_prev").isNotNull())
+    pairs = lagged.join(F.broadcast(tots), F.col("hour") == F.col("t_hour")).drop("t_hour")
+    return (
+        pairs.groupBy("hour", "n_curr", "n_prev")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(
+                F.abs(F.col("c_a") * F.col("n_prev") - F.col("c_b") * F.col("n_curr"))
+            ).alias("tvd_num"),
+        )
+        .select(
+            "hour",
+            "n_types",
+            "n_curr",
+            "n_prev",
+            F.round(
+                F.col("tvd_num").cast("double")
+                / (2.0 * F.col("n_curr").cast("double") * F.col("n_prev").cast("double")),
+                9,
+            ).alias("tvd"),
+        )
+        .orderBy("hour")
+    )
+
+
 def event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-over-hour distribution-drift monitor — the data-quality
     tripwire of a streaming ingest pipeline: for each hour, the
@@ -793,46 +849,7 @@ def event_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.groupBy("hour").agg(F.sum("c").alias("n"))
-    a, b = cnt.alias("a"), cnt.alias("b")
-    ta, tb = tot.alias("ta"), tot.alias("tb")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("b.hour") == F.col("a.hour") - F.expr("INTERVAL 1 HOUR")),
-        )
-        .join(F.broadcast(ta), F.col("ta.hour") == F.col("a.hour"))
-        .join(F.broadcast(tb), F.col("tb.hour") == F.col("b.hour"))
-        .select(
-            F.col("a.hour").alias("hour"),
-            F.col("a.c").alias("c_a"),
-            F.col("b.c").alias("c_b"),
-            F.col("ta.n").alias("n_curr"),
-            F.col("tb.n").alias("n_prev"),
-        )
-    )
-    return (
-        pairs.groupBy("hour", "n_curr", "n_prev")
-        .agg(
-            F.count(F.lit(1)).alias("n_types"),
-            F.sum(
-                F.abs(F.col("c_a") * F.col("n_prev") - F.col("c_b") * F.col("n_curr"))
-            ).alias("tvd_num"),
-        )
-        .select(
-            "hour",
-            "n_types",
-            "n_curr",
-            "n_prev",
-            F.round(
-                F.col("tvd_num").cast("double")
-                / (2.0 * F.col("n_curr").cast("double") * F.col("n_prev").cast("double")),
-                9,
-            ).alias("tvd"),
-        )
-        .orderBy("hour")
-    )
+    return tvd_drift_from_counts(cnt)
 
 
 ORACLE_EVENT_MIX_DRIFT = """
