@@ -361,6 +361,26 @@ SELECT rank, d1, d2, cos_sim FROM (
 
 
 N_SRP_BITS = 32
+SRP_BANDS = 4
+SRP_TARGET_BUCKET = 16
+
+
+def srp_band_width(n_vecs: int) -> int:
+    """Adaptive LSH band width: wide enough that a RANDOM pair's
+    band-collision probability keeps expected bucket populations
+    ~SRP_TARGET_BUCKET, so candidate count stays ~linear in the
+    corpus instead of a constant fraction of all n² pairs (with a
+    fixed 8-bit band, random collisions alone are b/2^8 ≈ 1.6% of
+    every pair — quadratic cost at scale; this was measured, not
+    hypothetical: sf0.1→sf1 candidate growth was ~100×).
+
+    floor(8) keeps all fixtures ≤ sf0.1 on the historical 4×8/32-bit
+    layout (bit-identical results, bench comparable); both engines
+    derive the width from the same COUNT via IEEE log2, which is
+    exact on powers of two, so the boundary is deterministic."""
+    import math
+
+    return max(8, math.ceil(math.log2(max(n_vecs, 1) / SRP_TARGET_BUCKET)))
 _HI_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
@@ -373,15 +393,28 @@ def srp_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the 100 TB candidate-generation path for
     ``embedding_near_dupes``: the all-pairs O(n²) verifier shrinks
-    to an equi-join on band values (~1.5%% of pairs at fixture
-    scale), and only survivors pay the exact-cosine dot product.
+    to an equi-join on band values, and only survivors pay the
+    exact-cosine dot product. Band width ADAPTS to corpus size
+    (``srp_band_width``) so random-collision candidates stay
+    ~linear; at ≤ sf0.1 the layout is the historical 4×8/32-bit one.
     Projections use integer accumulation (scaled values × ±1), so
-    signatures are bit-identical at any parallelism."""
+    signatures are bit-identical at any parallelism.
+
+    Honest semantics note: with isotropic d=64 embeddings the
+    population of cos ≥ 0.35 pairs is ITSELF Θ(n²) (a random pair
+    clears 0.35 with probability ~3e-3), so any sub-quadratic
+    candidate scheme necessarily trades recall on that tail — the
+    production near-dup setting is high similarity (≥0.9), where
+    banding recall is high and the true-pair population is
+    corpus-linear. The fixture threshold stays 0.35 to keep the
+    verify stage non-trivially exercised."""
     import hashlib
 
     import numpy as np
 
     emb = _emb(spark, sf_dir)
+    w_band = srp_band_width(emb.count())
+    n_bits = SRP_BANDS * w_band
     # The hyperplane entries depend only on (j, i) — bits × dims
     # distinct values. Computing md5('j:i') per ROW re-hashes the
     # same 2048 strings millions of times; instead evaluate the
@@ -392,7 +425,7 @@ def srp_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             [
                 1 if hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0] in _HI_NIBBLES else -1
-                for j in range(N_SRP_BITS)
+                for j in range(n_bits)
             ]
             for i in range(dims)
         ],
@@ -429,8 +462,8 @@ def srp_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     bands = F.array(
         *[
-            F.concat_ws("|", F.lit(str(b)), F.substring("sig", b * 8 + 1, 8))
-            for b in range(4)
+            F.concat_ws("|", F.lit(str(b)), F.substring("sig", b * w_band + 1, w_band))
+            for b in range(SRP_BANDS)
         ]
     )
     banded = sigs.select("vec_id", F.explode(bands).alias("band"))
@@ -452,7 +485,13 @@ def srp_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SRP_LSH_NEAR_DUPES = """
-WITH ex AS (
+WITH wb AS (
+  -- adaptive band width, same formula both engines: IEEE log2 is
+  -- exact on powers of two, so the ceil boundary is deterministic
+  SELECT GREATEST(8, CAST(ceil(log2(COUNT(*) / 16.0)) AS BIGINT)) AS w
+  FROM embeddings
+),
+ex AS (
   SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
   FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
 ),
@@ -461,7 +500,7 @@ sums AS (
          SUM(CAST(floor(v * 1e12 + 0.5) AS BIGINT) *
              (CASE WHEN substr(md5(j || ':' || i), 1, 1) IN ('8','9','a','b','c','d','e','f')
                    THEN 1 ELSE -1 END)) AS s
-  FROM ex, LATERAL (SELECT unnest(range(0, 32)) AS j)
+  FROM ex, wb, LATERAL (SELECT unnest(range(0, 4 * wb.w)) AS j)
   GROUP BY vec_id, j
 ),
 sigs AS (
@@ -469,8 +508,8 @@ sigs AS (
   FROM sums GROUP BY vec_id
 ),
 banded AS (
-  SELECT vec_id, b || '|' || substr(sig, b * 8 + 1, 8) AS band
-  FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS b)
+  SELECT vec_id, b || '|' || substr(sig, CAST(b * wb.w + 1 AS INT), CAST(wb.w AS INT)) AS band
+  FROM sigs, wb, LATERAL (SELECT unnest(range(0, 4)) AS b)
 ),
 cands AS (
   SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
