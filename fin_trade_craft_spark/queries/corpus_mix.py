@@ -454,9 +454,70 @@ ORDER BY lang, stage
 """
 
 
+N_NEGATIVES = 3
+
+
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive /
+    embedding-model training: give every document K=3 in-language
+    negatives by ordering docs on a content-independent
+    pseudo-random rank (md5 of the id) and taking the next K in
+    rank order — uniform-ish, reproducible across runs/engines/
+    retries (no RNG state), and never an all-pairs join. The last K
+    docs per language get fewer negatives (LEAD runs off the
+    partition edge) — documented contract, callers that need exactly
+    K wrap around with a second pass over the partition head.
+
+    Scale shape: one shuffle per language window; the rank is
+    uniform, so partitions are balanced regardless of how doc_ids
+    were assigned. At 100 TB, lang partitions would be salted into
+    rank ranges (any consistent order is a valid sampler) so no
+    language needs a single-partition sort."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("rk")
+    )
+    w = Window.partitionBy("lang").orderBy("rk")
+    # windows materialize BEFORE the generator (posexplode can't
+    # contain window expressions)
+    leads = d.select(
+        "doc_id",
+        "lang",
+        *[F.lead("doc_id", j).over(w).alias(f"n{j}") for j in range(1, N_NEGATIVES + 1)],
+    )
+    negs = F.array(*[F.col(f"n{j}") for j in range(1, N_NEGATIVES + 1)])
+    ex = leads.select("doc_id", "lang", F.posexplode(negs).alias("neg_rank", "neg_id"))
+    return (
+        ex.filter(F.col("neg_id").isNotNull())
+        .select("doc_id", "lang", (F.col("neg_rank") + 1).alias("neg_rank"), "neg_id")
+        .orderBy("doc_id", "neg_rank")
+    )
+
+
+ORACLE_CONTRASTIVE_NEGATIVES = f"""
+WITH d AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS rk FROM documents
+), l AS (
+  -- leads computed BEFORE the 1->K expansion (a window over the
+  -- expanded relation would step across the same doc's copies)
+  SELECT doc_id, lang,
+         {', '.join(f"LEAD(doc_id, {j}) OVER (PARTITION BY lang ORDER BY rk) AS n{j}" for j in range(1, N_NEGATIVES + 1))}
+  FROM d
+), ex AS (
+  SELECT doc_id, lang, j AS neg_rank,
+         CASE j {' '.join(f"WHEN {j} THEN n{j}" for j in range(1, N_NEGATIVES + 1))} END AS neg_id
+  FROM l, LATERAL (SELECT unnest(range(1, {N_NEGATIVES + 1})) AS j)
+)
+SELECT doc_id, lang, CAST(neg_rank AS INT) AS neg_rank, neg_id
+FROM ex
+WHERE neg_id IS NOT NULL
+ORDER BY doc_id, neg_rank
+"""
+
+
 QUERIES = {
     "source_mixture_weights": source_mixture_weights,
     "length_curriculum_buckets": length_curriculum_buckets,
+    "contrastive_negatives": contrastive_negatives,
     "stratified_sample": stratified_sample,
     "vocab_hapax_stats": vocab_hapax_stats,
     "token_entropy": token_entropy,
@@ -464,6 +525,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "contrastive_negatives": ORACLE_CONTRASTIVE_NEGATIVES,
     "length_curriculum_buckets": ORACLE_LENGTH_CURRICULUM_BUCKETS,
     "mixture_epoch_expansion": ORACLE_MIXTURE_EPOCH_EXPANSION,
     "source_mixture_weights": ORACLE_SOURCE_MIXTURE_WEIGHTS,

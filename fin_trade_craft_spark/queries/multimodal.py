@@ -195,11 +195,13 @@ def image_ahash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (consecutive doc_id triples share a base pattern, each member
     perturbed by a tiny per-member noise term — planted near-dups),
     aHash the DECODED bytes (operators/multimodal.ahash_images),
-    then find near-duplicate pairs with a pigeonhole band join —
-    two 64-bit signatures within Hamming ≤ 6 must agree exactly on
-    at least one of four 16-bit bands, so candidates come from 4
-    band-value equi-joins, never an all-pairs scan — and verify
-    candidates with exact ``bit_count(a ^ b)``.
+    then find near-duplicate pairs with a banded join: candidates
+    are pairs agreeing exactly on ≥1 of four 16-bit bands (the
+    pigeonhole GUARANTEE covers Hamming ≤ 3; distances 4-6 are
+    caught at high recall — a miss needs the flipped bits spread
+    across all 4 bands — same contract as simhash_hamming_pairs),
+    then verified with exact ``bit_count(a ^ b)``; never an
+    all-pairs scan.
 
     Because every pixel derives from doc_id by integer math and the
     whole aHash pipeline (floor-NN 8×8, mean threshold) stays in

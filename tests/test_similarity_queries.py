@@ -58,3 +58,19 @@ def test_knn_numpy_matches_exact_path(spark):
         exact[["qid", "rank", "nid"]], fast[["qid", "rank", "nid"]]
     )
     assert (exact["cos_sim"] - fast["cos_sim"]).abs().max() < 1e-9
+
+
+def test_srp_band_width_adapts():
+    """Width floors at 8 through every local fixture (historical
+    4x8/32-bit layout preserved bit-for-bit) and grows with the
+    corpus so expected bucket populations stay ~constant."""
+    from fin_trade_craft_spark.queries.similarity import srp_band_width
+
+    assert srp_band_width(0) == 8
+    assert srp_band_width(500) == 8     # sf0.001 / sf0.01
+    assert srp_band_width(2000) == 8    # sf0.1
+    assert srp_band_width(20_000) == 11  # sf1 replica
+    assert srp_band_width(2_000_000) == 17
+    # exact power-of-two boundary is deterministic (IEEE log2 exact)
+    assert srp_band_width(16 * 2**10) == 10
+    assert srp_band_width(16 * 2**10 + 1) == 11
