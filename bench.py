@@ -60,6 +60,8 @@ def bench_query_names() -> list[str]:
         "image_ahash_near_dupes",
         "eval_contamination",
         "boilerplate_ngrams",
+        # r04: span-level substring dedup (maximal duplicated extents)
+        "duplicate_spans",
         "tfidf_top_terms",
         # candidate-bounded exact-Jaccard tier: the full-corpus
         # quadratic variant (dedup_ngram_jaccard) stays an oracle

@@ -650,6 +650,96 @@ FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
 """
 
 
+DUPSPAN_K = 8
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring extraction — the suffix-array
+    substring-dedup shape of Lee et al., *Deduplicating Training
+    Data Makes Language Models Better* (2021), approximated with
+    fixed-K rolling windows: every K-token window that occurs
+    anywhere else in the corpus (another document, or another
+    position in the same document) marks its start position as
+    duplicated; overlapping/abutting duplicated windows then merge
+    (gaps-and-islands) into maximal spans. Output is the span list
+    a span-level deduper would actually cut: (doc, start, length,
+    window count). Distinct from ``boilerplate_ngrams`` (per-doc
+    shared-gram *fractions*) — this recovers the *extents*.
+
+    Scale shape: positional windows explode per doc (JVM exprs, no
+    Python); duplicate detection is one shuffle keyed on the gram
+    (a window count — same shuffle a groupBy+join would pay, minus
+    the join); island merge is one shuffle on doc_id whose sort
+    feeds both the lag and the running sum; the final per-island
+    agg is bounded by span count. At 100 TB the gram string would
+    ride as xxhash64(gram) to shrink the shuffle (collision odds
+    ~n²/2⁶⁴); kept as the string here for cross-engine value
+    parity — same note as boilerplate_ngrams."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    d = d.filter(F.expr(f"size(toks) >= {DUPSPAN_K}"))
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {DUPSPAN_K - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {DUPSPAN_K})))"
+            )
+        ).alias("idx", "g"),
+    ).select("doc_id", (F.col("idx") + 1).cast("long").alias("pos"), "g")
+    dup = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+    )
+    w_d = Window.partitionBy("doc_id").orderBy("pos")
+    # windows at p and q overlap or abut iff q <= p + K: same island
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(w_d) <= DUPSPAN_K, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    isl = dup.withColumn("b", brk).withColumn("island", F.sum("b").over(w_d))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + DUPSPAN_K).alias("span_len"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_windows")
+    )
+
+
+ORACLE_DUPLICATE_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), t AS (
+  SELECT doc_id, toks FROM d WHERE len(toks) >= {DUPSPAN_K}
+), grams AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+         array_to_string(list_slice(toks, p, p + {DUPSPAN_K - 1}), ' ') AS g
+  FROM t, unnest(range(1, len(toks) - {DUPSPAN_K} + 2)) AS r(p)
+), dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS cnt FROM grams
+  ) WHERE cnt >= 2
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {DUPSPAN_K} THEN 0 ELSE 1 END AS b
+  FROM dup
+), isl AS (
+  SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       MAX(pos) - MIN(pos) + {DUPSPAN_K} AS span_len,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
 TFIDF_TOP = 3
 
 
@@ -1054,10 +1144,12 @@ QUERIES = {
     "doc_prep_pipeline": doc_prep_pipeline,
     "eval_contamination": eval_contamination,
     "boilerplate_ngrams": boilerplate_ngrams,
+    "duplicate_spans": duplicate_spans,
     "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLES = {
+    "duplicate_spans": ORACLE_DUPLICATE_SPANS,
     "transcript_title_share": ORACLE_TRANSCRIPT_TITLE_SHARE,
     "variant_props_stats": ORACLE_VARIANT_PROPS_STATS,
     "unigram_logprob_scores": ORACLE_UNIGRAM_LOGPROB_SCORES,

@@ -67,3 +67,39 @@ def test_contamination_flags_subset():
     df = con.execute(ORACLE_EVAL_CONTAMINATION).df()
     assert ((df["contamination_frac"] > 0.05) == df["is_contaminated"]).all()
     con.close()
+
+
+def test_duplicate_spans_planted_extents(spark, tmp_path):
+    """Planted corpus with known duplicated extents: a 16-token
+    cross-doc copy must merge its 9 overlapping duplicated windows
+    into ONE maximal span with the exact start/length in BOTH docs;
+    an intra-doc 8-token repeat must yield two single-window spans;
+    a fully-unique doc must not appear."""
+    from fin_trade_craft_spark.queries.text import DUPSPAN_K, duplicate_spans
+
+    assert DUPSPAN_K == 8, "planted extents below assume K=8"
+    shared = [f"s{i}" for i in range(16)]          # the cross-doc copy
+    d1 = [f"a{i}" for i in range(4)] + shared + [f"b{i}" for i in range(10)]
+    d2 = [f"c{i}" for i in range(2)] + shared + [f"d{i}" for i in range(3)]
+    rep = [f"x{i}" for i in range(8)]
+    d3 = rep + [f"u{i}" for i in range(5)] + rep   # intra-doc repeat
+    d4 = [f"z{i}" for i in range(30)]              # unique
+    rows = [
+        (1, " ".join(d1)), (2, " ".join(d2)), (3, " ".join(d3)), (4, " ".join(d4)),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_len, r.n_windows)
+        for r in duplicate_spans(spark, str(tmp_path)).collect()
+    )
+    # d1: copy occupies positions 5..20 -> dup window starts 5..13
+    # d2: copy occupies positions 3..18 -> dup window starts 3..11
+    # d3: identical windows at 1 and 14, gap 13 > K -> two islands
+    assert got == [
+        (1, 5, 16, 9),
+        (2, 3, 16, 9),
+        (3, 1, 8, 1),
+        (3, 14, 8, 1),
+    ]
