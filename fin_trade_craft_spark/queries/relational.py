@@ -1173,7 +1173,76 @@ ORDER BY o_orderpriority
 """
 
 
+INC_CUTOFF = "2000-01-01"
+
+
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance — the 100 TB shape
+    where a (month, priority) revenue rollup is NEVER recomputed
+    from the full fact table: orders before the cutoff play the
+    PERSISTED aggregate state (sum + count per group), orders after
+    it play the newly-arrived batch; the refreshed view is the
+    algebraic merge (sum-of-sums, sum-of-counts) of state and batch
+    partials. The oracle is the full recompute over all orders —
+    hash equality proves merge ≡ recompute, which is exactly the
+    invariant an incremental pipeline must preserve.
+
+    Correctness discipline: the state carries EXACT DECIMAL sums
+    (cast to double only in the final projection) so the merge is
+    associative to the bit — state stores sums and counts, never
+    averages, because averages don't merge. Scale shape: each side
+    is one hash aggregate with map-side partials; the merge
+    re-shuffles only the (tiny) per-group state rows, proportional
+    to group count, not fact rows. In production the state side is
+    a TableIO-persisted table and only the batch agg runs per
+    refresh (same ledger pattern as plans/watermarks.py)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderdate",
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("order_month", "o_orderpriority").agg(
+            F.sum(dec).alias("rev_state"), F.count(F.lit(1)).alias("n_state")
+        )
+
+    state = partial(o.filter(F.col("o_orderdate") < F.lit(INC_CUTOFF)))
+    # null-safe complement: a NULL date must land in exactly one side
+    # or merge ≠ recompute (no nulls in the test data, but the
+    # invariant shouldn't depend on that)
+    batch = partial(
+        o.filter((F.col("o_orderdate") >= F.lit(INC_CUTOFF)) | F.col("o_orderdate").isNull())
+    )
+    merged = (
+        state.unionByName(batch)
+        .groupBy("order_month", "o_orderpriority")
+        .agg(F.sum("rev_state").alias("rev_dec"), F.sum("n_state").alias("n_orders"))
+    )
+    return merged.select(
+        "order_month",
+        "o_orderpriority",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        "n_orders",
+        (F.col("rev_dec").cast("double") / F.col("n_orders")).alias("avg_order_value"),
+    )
+
+
+ORACLE_INCREMENTAL_ROLLUP_MAINTENANCE = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+FROM orders
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "incremental_rollup_maintenance": incremental_rollup_maintenance,
     "order_value_tiers": order_value_tiers,
     "null_handling_report": null_handling_report,
     "weighted_avg_having": weighted_avg_having,
@@ -1207,6 +1276,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incremental_rollup_maintenance": ORACLE_INCREMENTAL_ROLLUP_MAINTENANCE,
     "order_value_tiers": ORACLE_ORDER_VALUE_TIERS,
     "null_handling_report": ORACLE_NULL_HANDLING_REPORT,
     "weighted_avg_having": ORACLE_WEIGHTED_AVG_HAVING,

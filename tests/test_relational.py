@@ -42,3 +42,54 @@ def test_registry_consistency():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs), "oracle without query"
     assert len(qs) > 0
+
+
+def test_incremental_rollup_multi_batch_associativity(spark):
+    """The state merge must be associative: folding the fact table
+    in as THREE successive batches (two different cutover splits)
+    must produce the bit-identical view the registered two-batch
+    query produces — averages recomputed from merged sums, never
+    merged directly."""
+    from pyspark.sql import functions as F
+
+    from fin_trade_craft_spark.queries.relational import (
+        _t,
+        incremental_rollup_maintenance,
+    )
+
+    o = _t(spark, SF_SMOKE, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderdate",
+    )
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def partial(df):
+        return df.groupBy("order_month", "o_orderpriority").agg(
+            F.sum(dec).alias("rev_state"), F.count(F.lit(1)).alias("n_state")
+        )
+
+    b1 = partial(o.filter(F.col("o_orderdate") < "1997-06-01"))
+    b2 = partial(
+        o.filter((F.col("o_orderdate") >= "1997-06-01") & (F.col("o_orderdate") < "2000-06-01"))
+    )
+    b3 = partial(o.filter(F.col("o_orderdate") >= "2000-06-01"))
+    # fold left: ((b1 + b2) + b3), re-aggregating between folds
+    acc = b1
+    for nxt in (b2, b3):
+        acc = (
+            acc.unionByName(nxt)
+            .groupBy("order_month", "o_orderpriority")
+            .agg(F.sum("rev_state").alias("rev_state"), F.sum("n_state").alias("n_state"))
+        )
+    three = acc.select(
+        "order_month",
+        "o_orderpriority",
+        F.col("rev_state").cast("double").alias("revenue"),
+        F.col("n_state").alias("n_orders"),
+        (F.col("rev_state").cast("double") / F.col("n_state")).alias("avg_order_value"),
+    ).toPandas()
+    two = incremental_rollup_maintenance(spark, SF_SMOKE).toPandas()
+    ok, msg = compare(three, two)
+    assert ok, msg
