@@ -743,6 +743,103 @@ FROM j
 """
 
 
+def linear_interpolation_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-calendar gap fill with LINEAR interpolation — the
+    two-sided twin of ``calendar_gap_fill``'s LOCF: interior gaps
+    take prev + (next − prev) · Δt/ΔT between the bracketing
+    observations (pandas ``interpolate(method='time')`` semantics
+    on a daily grid). Both brackets always exist because the spine
+    spans exactly [min(date), max(date)] per user — the first and
+    last spine days are observed by construction.
+
+    Scale shape: identical to the LOCF twin — one shuffle on
+    user_id, then TWO ordered window passes over the same
+    partitioning (a forward last-ignorenulls carrying the (date,
+    value) of the previous observation, a backward first-ignorenulls
+    carrying the next); the interpolation itself is a pure
+    projection. The carried pair rides ONE struct column per
+    direction so each direction is a single window function, not
+    two passes."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("date")
+    ).agg(dsum("value").alias("day_value"))
+    rng = daily.groupBy("user_id").agg(F.min("date").alias("d0"), F.max("date").alias("d1"))
+    spine = rng.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("date")
+    )
+    j = spine.join(daily, ["user_id", "date"], "left")
+    obs = F.when(F.col("day_value").isNotNull(), F.struct("date", "day_value"))
+    wb = Window.partitionBy("user_id").orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy("user_id").orderBy("date").rowsBetween(0, Window.unboundedFollowing)
+    j = j.select(
+        "user_id",
+        "date",
+        "day_value",
+        F.last(obs, ignorenulls=True).over(wb).alias("prev_obs"),
+        F.first(obs, ignorenulls=True).over(wf).alias("next_obs"),
+    )
+    frac = F.datediff(F.col("date"), F.col("prev_obs.date")).cast("double") / F.datediff(
+        F.col("next_obs.date"), F.col("prev_obs.date")
+    ).cast("double")
+    lerp = F.col("prev_obs.day_value") + (
+        F.col("next_obs.day_value") - F.col("prev_obs.day_value")
+    ) * frac
+    return j.select(
+        "user_id",
+        "date",
+        F.col("day_value").alias("raw_value"),
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .otherwise(lerp)
+        .alias("interp_value"),
+        F.col("day_value").isNull().alias("was_interpolated"),
+    )
+
+
+ORACLE_LINEAR_INTERPOLATION_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS date,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+), rng AS (
+  SELECT user_id, MIN(date) AS d0, MAX(date) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                              CAST(d1 AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS DATE) AS date
+  FROM rng
+), j AS (
+  SELECT s.user_id, s.date, d.day_value
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.date = d.date
+), br AS (
+  SELECT user_id, date, day_value,
+         LAST_VALUE(CASE WHEN day_value IS NOT NULL THEN date END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_date,
+         LAST_VALUE(day_value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+         FIRST_VALUE(CASE WHEN day_value IS NOT NULL THEN date END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY date
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_date,
+         FIRST_VALUE(day_value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY date
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val
+  FROM j
+)
+SELECT user_id, date, day_value AS raw_value,
+       CASE WHEN day_value IS NOT NULL THEN day_value
+            ELSE prev_val + (next_val - prev_val) *
+                 (CAST(date_diff('day', prev_date, date) AS DOUBLE) /
+                  CAST(date_diff('day', prev_date, next_date) AS DOUBLE))
+       END AS interp_value,
+       day_value IS NULL AS was_interpolated
+FROM br
+"""
+
+
 def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per (user, day), one count column per event_type —
     the declarative form of the reference's 30-column manual
@@ -895,6 +992,7 @@ QUERIES = {
     "trailing_7d_user_value": trailing_7d_user_value,
     "events_pivot_daily": events_pivot_daily,
     "calendar_gap_fill": calendar_gap_fill,
+    "linear_interpolation_fill": linear_interpolation_fill,
     "vwap_trailing_5d": vwap_trailing_5d,
     "user_retention_cohorts": user_retention_cohorts,
     "event_funnel": event_funnel,
@@ -918,6 +1016,7 @@ ORACLES = {
     "trailing_7d_user_value": ORACLE_TRAILING_7D_USER_VALUE,
     "events_pivot_daily": ORACLE_EVENTS_PIVOT_DAILY,
     "calendar_gap_fill": ORACLE_CALENDAR_GAP_FILL,
+    "linear_interpolation_fill": ORACLE_LINEAR_INTERPOLATION_FILL,
     "vwap_trailing_5d": ORACLE_VWAP_TRAILING_5D,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
