@@ -254,6 +254,61 @@ class TableIO:
             df = df.withColumn(name, expr)
         self._stage_and_swap(df, table, None)
 
+    def zorder_rewrite(self, table: str, cols: list[str], n_files: int) -> None:
+        """OPTIMIZE ZORDER BY on plain parquet: rewrite the table
+        range-partitioned + sorted on the Morton key of ``cols`` so
+        each file covers a compact hyper-rectangle of the z-column
+        space and ``read_pruned`` can skip most files for a range
+        predicate on ANY z-column (see operators/zorder.py for why
+        a linear sort can't). Commits through the same atomic
+        stage-and-swap protocol as every full rewrite."""
+        from ..operators.zorder import zorder_layout
+
+        df = zorder_layout(self.read(table), cols, n_files)
+        self._stage_and_swap(df, table, None)
+
+    def file_stats(self, table: str, cols: list[str]) -> DataFrame:
+        """Per-FILE min/max manifest for ``cols`` — the Delta/Iceberg
+        data-skipping statistics, materialized by scanning here; at
+        write time in a real pipeline (the write path already has the
+        rows in hand, so the manifest is free). One row per file:
+        this is metadata-scale output no matter the table size.
+
+        Parquet footers already carry these stats, but Spark only
+        exploits them per ROW GROUP after scheduling a task per
+        file; a file-level manifest prunes the file LIST, which is
+        what saves scheduling + open cost on a 100k-file table."""
+        df = self.read(table).select(F.input_file_name().alias("file"), *cols)
+        aggs = [
+            f
+            for c in cols
+            for f in (F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"))
+        ]
+        return df.groupBy("file").agg(*aggs)
+
+    def read_pruned(self, table: str, col: str, lo, hi) -> tuple[DataFrame, int, int]:
+        """Range read with manifest-driven file skipping: scan ONLY
+        files whose [min, max] envelope intersects [lo, hi], then
+        re-apply the exact predicate (stats admit false positives,
+        never false negatives — NULL-stats files are kept). Returns
+        (rows, files_scanned, files_total) so callers — and tests —
+        can see the skipping. The manifest collect is one row per
+        file (the same bounded driver contract as a Delta log
+        replay)."""
+        stats = self.file_stats(table, [col]).collect()
+        keep = [
+            r["file"]
+            for r in stats
+            if r[f"min_{col}"] is None
+            or r[f"max_{col}"] is None
+            or not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+        ]
+        if not keep:
+            empty = self.read(table).filter(F.lit(False))
+            return empty, 0, len(stats)
+        pred = F.col(col).between(F.lit(lo), F.lit(hi))
+        return self.spark.read.parquet(*keep).filter(pred), len(keep), len(stats)
+
     def compact(self, table: str, target_partitions: int, partition_by: list[str] | None = None) -> int:
         """Small-file compaction: rewrite the table at a target file
         count. Incremental appends (S6) and streaming sinks
