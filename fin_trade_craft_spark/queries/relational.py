@@ -1241,8 +1241,161 @@ GROUP BY 1, 2
 """
 
 
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots — the Delta
+    CDF / Iceberg-changelog shape: full-outer join the OLD and NEW
+    versions on the natural key and emit one row per change with
+    ``change_type`` ∈ {insert, delete, update} (unchanged rows drop
+    out). Snapshots are carved deterministically from ``orders``:
+    OLD omits keys ≡ 3 (mod 10) — those become inserts; NEW omits
+    keys ≡ 7 (mod 10) — those become deletes; NEW re-prices keys
+    ≡ 0 (mod 5) — those become updates.
+
+    Scale shape: ONE full-outer sort-merge join on the key (both
+    sides shuffle once; with bucketed layout or Delta CDF the
+    shuffle disappears entirely); the change classification is a
+    pure projection. No skew risk — the key is unique per side."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("old_status"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 10 != 7)
+        .select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("new_status"),
+            # +10.0 (not a percentage round-trip): IEEE double add is
+            # bit-identical across engines; round(x*1.1, 2) is not
+            F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(10.0))
+            .otherwise(F.col("o_totalprice"))
+            .alias("new_price"),
+        )
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_price").isNull(), F.lit("insert"))
+        .when(F.col("new_price").isNull(), F.lit("delete"))
+        .when(
+            (F.col("old_price") != F.col("new_price"))
+            | (F.col("old_status") != F.col("new_status")),
+            F.lit("update"),
+        )
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select("o_orderkey", "change_type", "old_price", "new_price")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus AS old_status, o_totalprice AS old_price
+  FROM orders WHERE o_orderkey % 10 <> 3
+), new AS (
+  SELECT o_orderkey, o_orderstatus AS new_status,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+              ELSE o_totalprice END AS new_price
+  FROM orders WHERE o_orderkey % 10 <> 7
+), j AS (
+  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         old_status, old_price, new_status, new_price
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN old_price IS NULL THEN 'insert'
+            WHEN new_price IS NULL THEN 'delete'
+            WHEN old_price <> new_price OR old_status <> new_status THEN 'update'
+       END AS change_type,
+       old_price, new_price
+FROM j
+WHERE (CASE WHEN old_price IS NULL THEN 'insert'
+            WHEN new_price IS NULL THEN 'delete'
+            WHEN old_price <> new_price OR old_status <> new_status THEN 'update'
+       END) IS NOT NULL
+"""
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema — the
+    data-quality gate a warehouse runs after every load: for each
+    child→parent relationship, total child rows, orphan rows
+    (child key with no parent), and null-key rows. One output row
+    per relationship, stacked with unionByName (A8 idiom).
+
+    Scale shape: each relationship is a LEFT ANTI join from the
+    fact to the (broadcast-sized) parent key set — no fact-side
+    shuffle when the parent fits a broadcast, which dim tables do
+    by definition. Counts are map-side-partial aggregates."""
+    checks = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    outs = []
+    for rel, child, ck, parent, pk in checks:
+        c = _t(spark, sf_dir, child)
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias(ck)).distinct()
+        orphans = (
+            c.filter(F.col(ck).isNotNull())
+            .join(F.broadcast(p), ck, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        base = c.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col(ck).isNull(), 1)).alias("n_null_keys"),
+        )
+        outs.append(
+            base.crossJoin(orphans).select(
+                F.lit(rel).alias("relationship"), "n_rows", "n_null_keys", "n_orphans"
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+ORACLE_FK_INTEGRITY_AUDIT = """
+SELECT 'lineitem.l_orderkey->orders' AS relationship,
+       (SELECT COUNT(*) FROM lineitem) AS n_rows,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS n_null_keys,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NULL),
+       (SELECT COUNT(*) FROM customer WHERE c_nationkey IS NOT NULL
+          AND c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL))
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       (SELECT COUNT(*) FROM supplier),
+       (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NULL),
+       (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NOT NULL
+          AND s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL))
+UNION ALL
+SELECT 'nation.n_regionkey->region',
+       (SELECT COUNT(*) FROM nation),
+       (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NULL),
+       (SELECT COUNT(*) FROM nation WHERE n_regionkey IS NOT NULL
+          AND n_regionkey NOT IN (SELECT r_regionkey FROM region WHERE r_regionkey IS NOT NULL))
+"""
+
+
 QUERIES = {
     "incremental_rollup_maintenance": incremental_rollup_maintenance,
+    "snapshot_diff": snapshot_diff,
+    "fk_integrity_audit": fk_integrity_audit,
     "order_value_tiers": order_value_tiers,
     "null_handling_report": null_handling_report,
     "weighted_avg_having": weighted_avg_having,
@@ -1277,6 +1430,8 @@ QUERIES = {
 
 ORACLES = {
     "incremental_rollup_maintenance": ORACLE_INCREMENTAL_ROLLUP_MAINTENANCE,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "fk_integrity_audit": ORACLE_FK_INTEGRITY_AUDIT,
     "order_value_tiers": ORACLE_ORDER_VALUE_TIERS,
     "null_handling_report": ORACLE_NULL_HANDLING_REPORT,
     "weighted_avg_having": ORACLE_WEIGHTED_AVG_HAVING,

@@ -840,6 +840,91 @@ FROM br
 """
 
 
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build — compress a per-day
+    attribute history into validity intervals: per user, the daily
+    activity tier (low/mid/high by fixed day-value thresholds)
+    collapses into runs of equal tier; each run becomes one SCD2 row
+    with ``effective_from`` (first day at the tier),
+    ``effective_to`` (day before the next run starts — NULL on the
+    open current run), ``is_current``, and the number of observed
+    days backing it. This is the dimension-table maintenance shape
+    every warehouse load runs.
+
+    Scale shape: one shuffle on user_id; the change-detection lag,
+    the run numbering (running sum), and the effective_to lead all
+    reuse that single sort. The per-run aggregate shuffles only
+    run-count rows."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("date")
+    ).agg(dsum("value").alias("day_value"))
+    tier = (
+        F.when(F.col("day_value") < 50.0, "low")
+        .when(F.col("day_value") < 200.0, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("user_id").orderBy("date")
+    d = daily.select("user_id", "date", tier.alias("tier"))
+    chg = F.when(F.lag("tier").over(w) == F.col("tier"), 0).otherwise(1)
+    d = d.withColumn("chg", chg)
+    d = d.withColumn(
+        "version", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = d.groupBy("user_id", "version", "tier").agg(
+        F.min("date").alias("effective_from"), F.count(F.lit(1)).alias("n_days")
+    )
+    wv = Window.partitionBy("user_id").orderBy("effective_from")
+    nxt = F.lead("effective_from").over(wv)
+    return runs.select(
+        "user_id",
+        "version",
+        "tier",
+        "effective_from",
+        F.date_sub(nxt, 1).alias("effective_to"),
+        nxt.isNull().alias("is_current"),
+        "n_days",
+    )
+
+
+ORACLE_SCD2_BUILD = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS date,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+), tiers AS (
+  SELECT user_id, date,
+         CASE WHEN day_value < 50.0 THEN 'low'
+              WHEN day_value < 200.0 THEN 'mid'
+              ELSE 'high' END AS tier
+  FROM daily
+), chg AS (
+  SELECT user_id, date, tier,
+         CASE WHEN LAG(tier) OVER (PARTITION BY user_id ORDER BY date) = tier
+              THEN 0 ELSE 1 END AS chg
+  FROM tiers
+), ver AS (
+  SELECT user_id, date, tier,
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY date
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+  FROM chg
+), runs AS (
+  SELECT user_id, version, tier,
+         MIN(date) AS effective_from, COUNT(*) AS n_days
+  FROM ver GROUP BY user_id, version, tier
+)
+SELECT user_id, version, tier, effective_from,
+       CAST(LEAD(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from)
+            - INTERVAL 1 DAY AS DATE) AS effective_to,
+       LEAD(effective_from) OVER (PARTITION BY user_id ORDER BY effective_from)
+         IS NULL AS is_current,
+       n_days
+FROM runs
+"""
+
+
 def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per (user, day), one count column per event_type —
     the declarative form of the reference's 30-column manual
@@ -993,6 +1078,7 @@ QUERIES = {
     "events_pivot_daily": events_pivot_daily,
     "calendar_gap_fill": calendar_gap_fill,
     "linear_interpolation_fill": linear_interpolation_fill,
+    "scd2_build": scd2_build,
     "vwap_trailing_5d": vwap_trailing_5d,
     "user_retention_cohorts": user_retention_cohorts,
     "event_funnel": event_funnel,
@@ -1017,6 +1103,7 @@ ORACLES = {
     "events_pivot_daily": ORACLE_EVENTS_PIVOT_DAILY,
     "calendar_gap_fill": ORACLE_CALENDAR_GAP_FILL,
     "linear_interpolation_fill": ORACLE_LINEAR_INTERPOLATION_FILL,
+    "scd2_build": ORACLE_SCD2_BUILD,
     "vwap_trailing_5d": ORACLE_VWAP_TRAILING_5D,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
