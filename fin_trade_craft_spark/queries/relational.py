@@ -1392,10 +1392,139 @@ SELECT 'nation.n_regionkey->region',
 """
 
 
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse of the A1 pivot: a wide
+    per-priority metrics row (orders, revenue, max price) melts
+    into tidy (priority, metric, value) triples via the native
+    ``DataFrame.unpivot`` (Spark ≥3.4; compiles to a single
+    Expand node — one pass, no union of self-scans). The oracle is
+    the portable UNION ALL formulation.
+
+    Scale shape: the melt itself is map-only (Expand multiplies
+    rows without a shuffle); the only shuffle is the upstream
+    grouped aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "revenue", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+ORACLE_UNPIVOT_METRICS = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         MAX(o_totalprice) AS max_price
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'revenue', revenue FROM wide
+UNION ALL
+SELECT o_orderpriority, 'max_price', max_price FROM wide
+"""
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling over ``orders`` — the stats a
+    warehouse collects after every load (and what an optimizer's
+    CBO consumes): per column, row count, null count, exact
+    distinct count, and for numeric columns min/max/mean as
+    doubles. One row per column, stacked (A8 idiom).
+
+    Scale shape: ONE aggregate pass over the table computes every
+    column's stats together (count/min/max are map-side partials;
+    the exact distincts expand the aggregate — at 100 TB you'd
+    swap them for HLL sketches, which queries/sketches.py already
+    provides; exact is kept here for the value oracle). The stack
+    is driver-side literal assembly of one aggregate row — no
+    per-column re-scan."""
+    o = _t(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    all_cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in all_cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"dist_{c}"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"max_{c}"),
+            (dsum(F.col(c)) / F.count(c)).alias(f"mean_{c}"),
+        ]
+    stats = o.agg(*aggs)
+    rows = []
+    for c in all_cols:
+        is_num = c in num_cols
+        rows.append(
+            stats.select(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                (F.col(f"min_{c}") if is_num else F.lit(None).cast("double")).alias("min_value"),
+                (F.col(f"max_{c}") if is_num else F.lit(None).cast("double")).alias("max_value"),
+                (F.col(f"mean_{c}") if is_num else F.lit(None).cast("double")).alias("mean_value"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), rows)
+
+
+ORACLE_COLUMN_PROFILE = """
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS nulls_k,
+         COUNT(DISTINCT o_orderkey) AS dist_k,
+         COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS nulls_c,
+         COUNT(DISTINCT o_custkey) AS dist_c,
+         COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS nulls_s,
+         COUNT(DISTINCT o_orderstatus) AS dist_s,
+         COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS nulls_p,
+         COUNT(DISTINCT o_totalprice) AS dist_p,
+         COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS nulls_pr,
+         COUNT(DISTINCT o_orderpriority) AS dist_pr,
+         CAST(MIN(o_orderkey) AS DOUBLE) AS min_k,
+         CAST(MAX(o_orderkey) AS DOUBLE) AS max_k,
+         CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_orderkey) AS mean_k,
+         CAST(MIN(o_custkey) AS DOUBLE) AS min_c,
+         CAST(MAX(o_custkey) AS DOUBLE) AS max_c,
+         CAST(SUM(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_custkey) AS mean_c,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS min_p,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS max_p,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS mean_p
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_name, n_rows, nulls_k AS n_nulls, dist_k AS n_distinct,
+       min_k AS min_value, max_k AS max_value, mean_k AS mean_value FROM s
+UNION ALL
+SELECT 'o_custkey', n_rows, nulls_c, dist_c, min_c, max_c, mean_c FROM s
+UNION ALL
+SELECT 'o_orderstatus', n_rows, nulls_s, dist_s, NULL, NULL, NULL FROM s
+UNION ALL
+SELECT 'o_totalprice', n_rows, nulls_p, dist_p, min_p, max_p, mean_p FROM s
+UNION ALL
+SELECT 'o_orderpriority', n_rows, nulls_pr, dist_pr, NULL, NULL, NULL FROM s
+"""
+
+
 QUERIES = {
     "incremental_rollup_maintenance": incremental_rollup_maintenance,
     "snapshot_diff": snapshot_diff,
     "fk_integrity_audit": fk_integrity_audit,
+    "unpivot_metrics": unpivot_metrics,
+    "column_profile": column_profile,
     "order_value_tiers": order_value_tiers,
     "null_handling_report": null_handling_report,
     "weighted_avg_having": weighted_avg_having,
@@ -1432,6 +1561,8 @@ ORACLES = {
     "incremental_rollup_maintenance": ORACLE_INCREMENTAL_ROLLUP_MAINTENANCE,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "fk_integrity_audit": ORACLE_FK_INTEGRITY_AUDIT,
+    "unpivot_metrics": ORACLE_UNPIVOT_METRICS,
+    "column_profile": ORACLE_COLUMN_PROFILE,
     "order_value_tiers": ORACLE_ORDER_VALUE_TIERS,
     "null_handling_report": ORACLE_NULL_HANDLING_REPORT,
     "weighted_avg_having": ORACLE_WEIGHTED_AVG_HAVING,
