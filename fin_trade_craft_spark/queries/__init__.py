@@ -28,6 +28,7 @@ _MODULES: list[str] = [
     "corpus_mix",
     "dedup",
     "similarity",
+    "graph",
     "pandas_islands",
     "fin_domain",
     "multimodal",
