@@ -49,9 +49,15 @@ from pyspark.sql import functions as F
 
 
 class TableIO:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(self, spark: SparkSession, warehouse: str, retain_history: int = 0):
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
+        # retain_history=N keeps the last N pre-rewrite table images
+        # (Delta time-travel semantics on plain parquet): every
+        # full-rewrite commit (_stage_and_swap) RETAINS the replaced
+        # copy as a numbered version instead of deleting it. 0 = off
+        # (the default, and the pre-existing behavior).
+        self.retain_history = retain_history
 
     def path(self, table: str) -> str:
         return f"{self.warehouse}/{table.replace('.', '/')}"
@@ -85,6 +91,11 @@ class TableIO:
         return self.spark.read.parquet(self.path(table))
 
     def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        if self.retain_history > 0 and self.exists(table):
+            # versioned CTAS: route through the commit protocol so
+            # the replaced image is retained like any other rewrite
+            self._stage_and_swap(df, table, partition_by)
+            return
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -149,7 +160,16 @@ class TableIO:
         if os.path.exists(final):
             os.rename(final, old)
         os.rename(tmp, final)
-        self._rm(old)
+        if self.retain_history > 0 and os.path.exists(old):
+            # retain the pre-image as a version instead of dropping
+            # it. The move happens AFTER commit: a crash here loses
+            # at most this one history entry, never the live table,
+            # and recover_table's "cleaned" path stays correct.
+            os.makedirs(self._hist_dir(table), exist_ok=True)
+            os.rename(old, f"{self._hist_dir(table)}/v{self._next_version(table):08d}")
+            self._prune_history(table)
+        else:
+            self._rm(old)
 
     def recover_table(self, table: str) -> str:
         """Finish or undo a swap interrupted by a crash, from on-disk
@@ -253,6 +273,65 @@ class TableIO:
         for name, expr in exprs.items():
             df = df.withColumn(name, expr)
         self._stage_and_swap(df, table, None)
+
+    # ---------------------------------------------------- time travel
+    def _hist_dir(self, table: str) -> str:
+        return f"{self.path(table)}.__hist"
+
+    def _versions(self, table: str) -> list[int]:
+        import os
+
+        hd = self._hist_dir(table)
+        if not os.path.isdir(hd):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(hd) if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def _next_version(self, table: str) -> int:
+        vs = self._versions(table)
+        return (vs[-1] + 1) if vs else 1
+
+    def _prune_history(self, table: str) -> None:
+        vs = self._versions(table)
+        for v in vs[: max(0, len(vs) - self.retain_history)]:
+            self._rm(f"{self._hist_dir(table)}/v{v:08d}")
+
+    def history(self, table: str) -> list[int]:
+        """Retained version ids, oldest first (Delta DESCRIBE HISTORY
+        analog). Version ids are monotone commit counters — pruning
+        never renumbers survivors."""
+        return self._versions(table)
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Time-travel read of a retained pre-image (VERSION AS OF)."""
+        import os
+
+        p = f"{self._hist_dir(table)}/v{version:08d}"
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"version {version} of {table} not retained (have {self._versions(table)})"
+            )
+        return self.spark.read.parquet(p)
+
+    def restore(self, table: str, version: int) -> None:
+        """RESTORE TABLE ... VERSION AS OF: make the retained version
+        the live table again through the normal commit protocol (so
+        the replaced current state is itself retained — restore is
+        undoable)."""
+        self._stage_and_swap(self.read_version(table, version), table, None)
+
+    def vacuum(self, table: str, keep_last: int = 0) -> int:
+        """Drop retained versions beyond the newest ``keep_last``.
+        Returns how many were removed. (The live table is never
+        touched — exactly Delta's VACUUM contract.)"""
+        vs = self._versions(table)
+        drop = vs[: max(0, len(vs) - keep_last)]
+        for v in drop:
+            self._rm(f"{self._hist_dir(table)}/v{v:08d}")
+        if not self._versions(table):
+            self._rm(self._hist_dir(table))
+        return len(drop)
 
     def zorder_rewrite(self, table: str, cols: list[str], n_files: int) -> None:
         """OPTIMIZE ZORDER BY on plain parquet: rewrite the table

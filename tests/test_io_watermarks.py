@@ -257,3 +257,52 @@ def test_options_schema_registry_roundtrip(spark, io):
     bad = df.drop("delta").withColumn("strike", df.strike.cast("double"))
     with _pytest.raises(ValueError, match="schema mismatch"):
         SC.validate(bad, table)
+
+
+def test_time_travel_retain_read_restore_vacuum(spark, tmp_path):
+    """Versioned TableIO: every full-rewrite commit retains the
+    pre-image; read_version time-travels; restore is itself a
+    versioned commit (undoable); vacuum prunes; retain_history=0
+    keeps the legacy no-history behavior."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fin_trade_craft_spark.sources.io import TableIO
+
+    io = TableIO(spark, str(tmp_path), retain_history=2)
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    io.overwrite(v1, "t")                      # fresh create: no pre-image
+    assert io.history("t") == []
+    io.overwrite(v1.withColumn("s", F.upper("s")), "t")   # retains v1
+    io.add_columns("t", {"flag": F.col("k") > 1})         # retains v2
+    assert io.history("t") == [1, 2]
+    assert sorted(r.s for r in io.read_version("t", 1).collect()) == ["a", "b"]
+    assert sorted(r.s for r in io.read_version("t", 2).collect()) == ["A", "B"]
+    assert "flag" in io.read("t").columns
+
+    io.restore("t", 1)                         # retains v3 (the flag table)
+    assert sorted(r.s for r in io.read("t").collect()) == ["a", "b"]
+    # retention=2: v1 pruned when v3 arrived, survivors keep their ids
+    assert io.history("t") == [2, 3]
+    assert "flag" in io.read_version("t", 3).columns       # restore is undoable
+
+    try:
+        io.read_version("t", 1)
+        raise AssertionError("pruned version must not be readable")
+    except FileNotFoundError:
+        pass
+
+    assert io.vacuum("t", keep_last=1) == 1
+    assert io.history("t") == [3]
+    assert io.vacuum("t") == 1
+    assert io.history("t") == []
+    assert not os.path.exists(io._hist_dir("t"))
+    assert sorted(r.s for r in io.read("t").collect()) == ["a", "b"]  # live untouched
+
+    legacy = TableIO(spark, str(tmp_path / "w2"))
+    legacy.overwrite(v1, "t")
+    legacy.overwrite(v1, "t")
+    legacy.add_columns("t", {"z": F.lit(1)})
+    assert legacy.history("t") == []
+    assert not os.path.exists(legacy._hist_dir("t"))
