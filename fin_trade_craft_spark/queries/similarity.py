@@ -651,7 +651,135 @@ ORDER BY vec_id
 """
 
 
+SQ8_M = 20  # quantized-candidate pool per query before exact re-rank
+
+
+def sq8_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN: asymmetric SQ8 search — score FLOAT
+    queries against the int8-quantized corpus (the 4×-smaller serve
+    copy ``embedding_quantize_int8`` builds), take the top-M
+    candidate pool per query by the approximate dot product, then
+    exact-cosine re-rank only that pool to the final top-5. This is
+    the standard two-tier vector-store read path (FAISS SQ8 + ADC
+    refine): the full corpus is touched only in compressed form;
+    exact math runs on M rows per query.
+
+    All arithmetic is the repo's order-independent fixed-point
+    discipline (floor(x·1e12 + 0.5) summed as BIGINT) so both the
+    candidate SELECTION and the re-rank are bit-identical across
+    engines. Scale shape: the 10-row query side broadcasts and the
+    corpus streams map-only through quantize+score (never shuffled);
+    the two top-k windows act on M-bounded per-query rows."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    scale = F.expr(
+        "aggregate(cvec, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) / 127.0"
+    )
+    corpus = emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("cvec"))
+    corpus = corpus.withColumn("cscale", scale)
+    corpus = corpus.withColumn(
+        "cdeq",
+        F.when(
+            F.col("cscale") > 0,
+            F.expr(
+                "transform(cvec, x -> CAST(greatest(-127, least(127,"
+                " floor(CAST(x AS DOUBLE) / cscale + 0.5))) AS BIGINT) * cscale)"
+            ),
+        ).otherwise(F.expr("transform(cvec, x -> CAST(0.0 AS DOUBLE))")),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pairs = corpus.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("nid"))
+    fx = "CAST(floor(({expr}) * 1e12 + 0.5) AS BIGINT)"
+    approx = F.expr(
+        "CAST(aggregate(zip_with(qvec, cdeq, (x, y) -> "
+        + fx.format(expr="CAST(x AS DOUBLE) * y")
+        + "), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE) / 1e12"
+    )
+    cand = pairs.select("qid", "nid", "qvec", "cvec", approx.alias("approx_dot"))
+    wa = Window.partitionBy("qid").orderBy(F.desc("approx_dot"), F.asc("nid"))
+    cand = cand.withColumn("arank", F.row_number().over(wa)).filter(F.col("arank") <= SQ8_M)
+    dot = F.expr(
+        "CAST(aggregate(zip_with(qvec, cvec, (x, y) -> "
+        + fx.format(expr="CAST(x AS DOUBLE) * CAST(y AS DOUBLE)")
+        + "), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE) / 1e12"
+    )
+
+    def n2(col: str) -> F.Column:
+        return F.expr(
+            f"CAST(aggregate(transform({col}, x -> "
+            + fx.format(expr="CAST(x AS DOUBLE) * CAST(x AS DOUBLE)")
+            + "), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE) / 1e12"
+        )
+
+    scored = cand.select(
+        "qid",
+        "nid",
+        "approx_dot",
+        (dot / (F.sqrt(n2("qvec")) * F.sqrt(n2("cvec")))).alias("cos_sim"),
+    )
+    we = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "rank", "nid", "cos_sim", "approx_dot")
+    )
+
+
+ORACLE_SQ8_RERANK_SEARCH = f"""
+WITH cq AS (
+  SELECT vec_id AS nid, embedding AS cvec,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           (acc, x) -> greatest(acc, x)) / 127.0 AS cscale
+  FROM embeddings
+), cd AS (
+  SELECT nid, cvec,
+         CASE WHEN cscale > 0 THEN
+           list_transform(cvec, x -> CAST(greatest(-127, least(127,
+             floor(CAST(x AS DOUBLE) / cscale + 0.5))) AS BIGINT) * cscale)
+         ELSE list_transform(cvec, x -> CAST(0.0 AS DOUBLE)) END AS cdeq
+  FROM cq
+), qs AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {N_QUERIES}
+), ap AS (
+  SELECT qid, nid, qvec, cvec,
+         CAST(list_sum(list_transform(range(1, len(qvec) + 1),
+           i -> CAST(floor((CAST(qvec[i] AS DOUBLE) * cdeq[i]) * 1e12 + 0.5) AS BIGINT)))
+           AS DOUBLE) / 1e12 AS approx_dot
+  FROM qs, cd WHERE qid <> nid
+), cand AS (
+  SELECT * FROM (
+    SELECT qid, nid, qvec, cvec, approx_dot,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx_dot DESC, nid) AS arank
+    FROM ap
+  ) WHERE arank <= {SQ8_M}
+), ex AS (
+  SELECT qid, nid, approx_dot,
+         (CAST(list_sum(list_transform(range(1, len(qvec) + 1),
+            i -> CAST(floor((CAST(qvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)))
+            AS DOUBLE) / 1e12)
+         / (SQRT(CAST(list_sum(list_transform(range(1, len(qvec) + 1),
+              i -> CAST(floor((CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)))
+              AS DOUBLE) / 1e12)
+            * SQRT(CAST(list_sum(list_transform(range(1, len(cvec) + 1),
+              i -> CAST(floor((CAST(cvec[i] AS DOUBLE) * CAST(cvec[i] AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)))
+              AS DOUBLE) / 1e12)) AS cos_sim
+  FROM cand
+)
+SELECT qid, rank, nid, cos_sim, approx_dot FROM (
+  SELECT qid, nid, cos_sim, approx_dot,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+  FROM ex
+) WHERE rank <= 5
+"""
+
+
 QUERIES = {
+    "sq8_rerank_search": sq8_rerank_search,
     "embedding_quantize_int8": embedding_quantize_int8,
     "knn_bruteforce": knn_bruteforce,
     "label_centroids": label_centroids,
@@ -663,6 +791,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sq8_rerank_search": ORACLE_SQ8_RERANK_SEARCH,
     "embedding_quantize_int8": ORACLE_EMBEDDING_QUANTIZE_INT8,
     "ann_recall": ORACLE_ANN_RECALL,
     "ivf_search": ORACLE_IVF_SEARCH,

@@ -74,3 +74,25 @@ def test_srp_band_width_adapts():
     # exact power-of-two boundary is deterministic (IEEE log2 exact)
     assert srp_band_width(16 * 2**10) == 10
     assert srp_band_width(16 * 2**10 + 1) == 11
+
+
+def test_sq8_rerank_recall_vs_exact(spark):
+    """The quantized candidate tier must not lose real neighbors:
+    recall@5 of sq8_rerank_search vs the exact brute-force top-5
+    must be ≥0.8 (int8 error is ~1e-2 on unit-ish vectors — far
+    below typical neighbor gaps; M=20 absorbs boundary swaps)."""
+    from fin_trade_craft_spark.queries.similarity import (
+        knn_bruteforce,
+        sq8_rerank_search,
+    )
+
+    exact = knn_bruteforce(spark, SF_SMOKE).toPandas()
+    sq8 = sq8_rerank_search(spark, SF_SMOKE).toPandas()
+    hits = tot = 0
+    for qid, grp in exact.groupby("qid"):
+        truth = set(grp["nid"])
+        got = set(sq8[sq8["qid"] == qid]["nid"])
+        hits += len(truth & got)
+        tot += len(truth)
+    assert tot > 0
+    assert hits / tot >= 0.8, f"recall@5 {hits/tot:.2f}"
