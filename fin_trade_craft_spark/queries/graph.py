@@ -115,5 +115,107 @@ SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
             ELSE 0.0 END AS clustering_coeff
 """
 
-QUERIES = {"graph_triangle_stats": graph_triangle_stats}
-ORACLES = {"graph_triangle_stats": ORACLE_GRAPH_TRIANGLE_STATS}
+PR_ITERS = 5
+PR_DAMP = 0.85
+
+
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the (undirected) co-purchase
+    graph — the iterative-algorithm shape (label propagation, SimRank,
+    embedding propagation all share it) expressed as a deterministic
+    unrolled loop with a full value oracle: 5 synchronous iterations,
+    damping 0.85, PR₀ = 1/N.
+
+    Bit-exactness across engines: each iteration's neighbor sum uses
+    the repo's fixed-point discipline (floor(x·1e12+0.5) accumulated
+    as BIGINT) so the reduction is order-independent — the one thing
+    a naive double sum can't give you on a shuffled graph. The
+    undirected graph has no dangling nodes (degree ≥ 1 by
+    construction), so no dangling-mass term.
+
+    Scale shape: per iteration, one shuffle joining ranks to edges
+    on src plus one hash aggregate on dst — the canonical Pregel
+    round as DataFrame ops. The rank frame (|V| rows) is the only
+    state carried between rounds; at 100 TB you'd checkpoint it
+    every few rounds to truncate lineage (same note as
+    connected_components, operators/dedup.py)."""
+    e = _edges(spark, sf_dir)
+    # undirected: materialize both directions once
+    edges = (
+        e.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionByName(e.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()  # bounded driver scalar: |V|
+    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("pr"))
+    fx = "CAST(floor((contrib) * 1e12 + 0.5) AS BIGINT)"
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("contrib"))
+        )
+        summed = contribs.groupBy("dst").agg(
+            (F.sum(F.expr(fx)).cast("double") / F.lit(1e12)).alias("s")
+        )
+        ranks = summed.select(
+            F.col("dst").alias("src"),
+            (F.lit((1.0 - PR_DAMP) / n_nodes) + F.lit(PR_DAMP) * F.col("s")).alias("pr"),
+        )
+    return ranks.join(deg, "src").select(
+        F.col("src").alias("p"), F.col("pr").alias("pagerank"), "deg"
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank oracle — generated, since 5
+    hand-written iteration CTEs would be pure repetition."""
+    head = f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+), e0 AS (
+  SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= {MIN_CO_ORDERS}
+), edges AS (
+  SELECT p1 AS src, p2 AS dst FROM e0 UNION ALL SELECT p2, p1 FROM e0
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), nn AS (
+  SELECT COUNT(*) AS n FROM deg
+), r0 AS (
+  SELECT src, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM deg
+)"""
+    body = ""
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        body += f""", c{i} AS (
+  SELECT e.dst,
+         CAST(SUM(CAST(floor((r.pr / d.deg) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS s
+  FROM edges e JOIN {prev} r ON e.src = r.src JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT dst AS src,
+         CAST({(1.0 - PR_DAMP)!r} AS DOUBLE) / (SELECT n FROM nn)
+           + CAST({PR_DAMP!r} AS DOUBLE) * s AS pr
+  FROM c{i}
+)"""
+        prev = f"r{i}"
+    tail = f"""
+SELECT r.src AS p, r.pr AS pagerank, d.deg
+FROM {prev} r JOIN deg d ON r.src = d.src
+"""
+    return head + body + tail
+
+
+ORACLE_PAGERANK_COPURCHASE = _pagerank_oracle()
+
+QUERIES = {
+    "graph_triangle_stats": graph_triangle_stats,
+    "pagerank_copurchase": pagerank_copurchase,
+}
+ORACLES = {
+    "graph_triangle_stats": ORACLE_GRAPH_TRIANGLE_STATS,
+    "pagerank_copurchase": ORACLE_PAGERANK_COPURCHASE,
+}

@@ -46,3 +46,21 @@ def test_triangle_count_planted(spark, tmp_path):
     assert (got.n_nodes, got.n_edges, got.n_triangles) == (3, 3, 1)
     assert got.avg_degree == 2.0
     assert got.clustering_coeff == 1.0
+
+
+def test_pagerank_mass_and_symmetry(spark, tmp_path):
+    """On the planted symmetric triangle: total PageRank mass is
+    conserved (no dangling nodes) and symmetric nodes score equal
+    1/3 exactly at every iteration."""
+    rows = []
+    for ok_ in (100, 101):
+        for pk in (1, 2, 3):
+            rows.append((ok_, pk))
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = graph.pagerank_copurchase(spark, str(tmp_path)).collect()
+    prs = {r.p: r.pagerank for r in got}
+    assert set(prs) == {1, 2, 3}
+    assert abs(sum(prs.values()) - 1.0) < 1e-9
+    assert len({round(v, 12) for v in prs.values()}) == 1
