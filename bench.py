@@ -80,6 +80,12 @@ def bench_query_names() -> list[str]:
         "image_resize_pixelsum",
         # skew scale-path
         "salted_skew_join",
+        # r04 late: compressed-domain ANN re-rank, CDC diff, SCD2
+        # dimension build, iterative PageRank (Pregel-round shape)
+        "sq8_rerank_search",
+        "snapshot_diff",
+        "scd2_build",
+        "pagerank_copurchase",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -331,7 +331,45 @@ def streaming_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .windows import ORACLE_EVENT_MIX_DRIFT as ORACLE_STREAMING_MIX_DRIFT  # noqa: E402
 
 
+def streaming_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard — complete-mode per-user running totals
+    (the unbounded aggregation only complete/update modes can hold),
+    drained AvailableNow and ranked to a top-10 AFTER the drain: the
+    rank is a view over the maintained state, recomputed per emit,
+    which is exactly how a live leaderboard serves (the stream
+    maintains |users| rows of state; ranking state is never itself
+    streamed). Deterministic tie-break on user_id; oracle is the
+    batch GROUP BY + rank."""
+    from pyspark.sql import Window
+
+    ev = _events_stream(spark, sf_dir)
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    drained = _drain(totals, "complete")
+    w = Window.orderBy(F.desc("total_spend"), F.asc("user_id"))
+    return (
+        drained.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "user_id", "total_spend", "n_events")
+    )
+
+
+ORACLE_STREAMING_TOP_SPENDERS = """
+SELECT rank, user_id, total_spend, n_events FROM (
+  SELECT user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+         COUNT(*) AS n_events,
+         ROW_NUMBER() OVER (ORDER BY CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) DESC,
+                            user_id) AS rank
+  FROM events GROUP BY user_id
+) WHERE rank <= 10
+"""
+
+
 QUERIES = {
+    "streaming_top_spenders": streaming_top_spenders,
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "streaming_mix_drift": streaming_mix_drift,
     "streaming_session_stats": streaming_session_stats,
@@ -342,6 +380,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_top_spenders": ORACLE_STREAMING_TOP_SPENDERS,
     "streaming_hourly_rollup": ORACLE_STREAMING_HOURLY_ROLLUP,
     "streaming_mix_drift": ORACLE_STREAMING_MIX_DRIFT,
     "streaming_session_stats": ORACLE_STREAMING_SESSION_STATS,
