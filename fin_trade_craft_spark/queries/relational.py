@@ -1519,12 +1519,112 @@ SELECT 'o_orderpriority', n_rows, nulls_pr, dist_pr, NULL, NULL, NULL FROM s
 """
 
 
+def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) over parts — minimize retail
+    price, maximize size: the multi-objective shortlist query
+    (cheapest part at every size level nothing strictly beats).
+    Algorithm is the textbook sort-scan: order by (price asc, size
+    desc), keep a row iff its size strictly exceeds the running max
+    size of every STRICTLY cheaper-or-better predecessor — one
+    ordered pass, no O(n²) dominance join. Exact (price, size)
+    duplicates collapse to the min partkey first so 'keep' is
+    well-defined under ties.
+
+    The oracle runs the IDENTICAL window recurrence, so parity is
+    by construction. Scale shape: the global sort-scan is one
+    total-order window — at 100 TB you'd grid-partition the price
+    axis and prune whole cells dominated by another cell's corner
+    point before the scan; the per-cell pass is unchanged."""
+    p = _t(spark, sf_dir, "part")
+    dedup = (
+        p.groupBy("p_retailprice", "p_size")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+    )
+    w = (
+        Window.orderBy(F.asc("p_retailprice"), F.desc("p_size"), F.asc("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = dedup.select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.max("p_size").over(w).alias("runmax_size"),
+    )
+    return (
+        scanned.filter(
+            F.col("runmax_size").isNull() | (F.col("p_size") > F.col("runmax_size"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+ORACLE_PARETO_FRONT_PARTS = """
+WITH dedup AS (
+  SELECT p_retailprice, p_size, MIN(p_partkey) AS p_partkey
+  FROM part GROUP BY p_retailprice, p_size
+), scanned AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         MAX(p_size) OVER (ORDER BY p_retailprice ASC, p_size DESC, p_partkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax_size
+  FROM dedup
+)
+SELECT p_partkey, p_retailprice, p_size
+FROM scanned
+WHERE runmax_size IS NULL OR p_size > runmax_size
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the sequence-modeling prep stage (session path
+    analysis, next-event prediction features): count (prev_type →
+    next_type) transitions along each user's (ts, event_id) order,
+    then row-normalize into transition probabilities.
+
+    Scale shape: one shuffle on user_id for the lag, then a hash
+    aggregate on the (tiny) type-pair key; the row normalization is
+    a window over |types|² rows — constants, regardless of input
+    size."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wrow).cast("double")).alias("p"),
+    )
+
+
+ORACLE_EVENT_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), cnt AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM cnt
+"""
+
+
 QUERIES = {
     "incremental_rollup_maintenance": incremental_rollup_maintenance,
     "snapshot_diff": snapshot_diff,
     "fk_integrity_audit": fk_integrity_audit,
     "unpivot_metrics": unpivot_metrics,
     "column_profile": column_profile,
+    "pareto_front_parts": pareto_front_parts,
+    "event_transition_matrix": event_transition_matrix,
     "order_value_tiers": order_value_tiers,
     "null_handling_report": null_handling_report,
     "weighted_avg_having": weighted_avg_having,
@@ -1563,6 +1663,8 @@ ORACLES = {
     "fk_integrity_audit": ORACLE_FK_INTEGRITY_AUDIT,
     "unpivot_metrics": ORACLE_UNPIVOT_METRICS,
     "column_profile": ORACLE_COLUMN_PROFILE,
+    "pareto_front_parts": ORACLE_PARETO_FRONT_PARTS,
+    "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
     "order_value_tiers": ORACLE_ORDER_VALUE_TIERS,
     "null_handling_report": ORACLE_NULL_HANDLING_REPORT,
     "weighted_avg_having": ORACLE_WEIGHTED_AVG_HAVING,

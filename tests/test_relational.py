@@ -93,3 +93,32 @@ def test_incremental_rollup_multi_batch_associativity(spark):
     two = incremental_rollup_maintenance(spark, SF_SMOKE).toPandas()
     ok, msg = compare(three, two)
     assert ok, msg
+
+
+def test_pareto_front_dominance_properties(spark, duck):
+    """Skyline soundness + completeness at sf0.001: no kept point is
+    dominated by ANY point in the table, and every non-kept
+    (price, size) combo is dominated by some kept point."""
+    from fin_trade_craft_spark.queries.relational import pareto_front_parts
+
+    kept = pareto_front_parts(spark, SF_SMOKE).toPandas()
+    allp = duck.execute(
+        "SELECT p_retailprice AS price, p_size AS size FROM part"
+    ).df()
+
+    def dominated(price, size, others):
+        m = (
+            (others["price"] <= price)
+            & (others["size"] >= size)
+            & ((others["price"] < price) | (others["size"] > size))
+        )
+        return bool(m.any())
+
+    kp = kept.rename(columns={"p_retailprice": "price", "p_size": "size"})
+    for _, r in kp.iterrows():
+        assert not dominated(r["price"], r["size"], allp), r
+    uniq = allp.drop_duplicates()
+    for _, r in uniq.iterrows():
+        in_front = ((kp["price"] == r["price"]) & (kp["size"] == r["size"])).any()
+        if not in_front:
+            assert dominated(r["price"], r["size"], kp), r
