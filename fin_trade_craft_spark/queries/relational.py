@@ -1617,6 +1617,72 @@ FROM cnt
 """
 
 
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all four grouping combinations of
+    (status, priority) in one scan + one shuffle, grouping_id
+    disambiguating subtotal NULLs (completes the grouping-sets
+    family next to ``revenue_rollup``'s ROLLUP)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "revenue", "n_orders", "gid")
+    )
+
+
+ORACLE_CUBE_STATUS_PRIORITY = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders,
+       GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+JOIN_EXPLOSION_LIMIT = 1000
+
+
+def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality guardrail — the pre-flight check a pipeline
+    runs before an untrusted join: per join key, the row count on
+    each side and the output rows the join WOULD produce (their
+    product), flagging keys whose fan-out exceeds the budget. Run
+    here on the lineitem⋈lineitem self-join key (the worst-case
+    shape: every key multiplies).
+
+    Scale shape: two map-side-combined counts and a join of the two
+    (small) per-key count frames — the audit never materializes the
+    joined rows it is sizing. Output is capped to the top-20
+    worst keys: the guardrail's verdict, not a dump."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    sized = per_key.select(
+        "l_orderkey",
+        F.col("n").alias("n_left"),
+        F.col("n").alias("n_right"),
+        (F.col("n") * F.col("n")).alias("out_rows"),
+    )
+    return (
+        sized.withColumn("explodes", F.col("out_rows") > JOIN_EXPLOSION_LIMIT)
+        .orderBy(F.desc("out_rows"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+ORACLE_JOIN_EXPLOSION_AUDIT = f"""
+SELECT l_orderkey, n AS n_left, n AS n_right, n * n AS out_rows,
+       n * n > {JOIN_EXPLOSION_LIMIT} AS explodes
+FROM (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)
+ORDER BY out_rows DESC, l_orderkey ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "incremental_rollup_maintenance": incremental_rollup_maintenance,
     "snapshot_diff": snapshot_diff,
@@ -1625,6 +1691,8 @@ QUERIES = {
     "column_profile": column_profile,
     "pareto_front_parts": pareto_front_parts,
     "event_transition_matrix": event_transition_matrix,
+    "cube_status_priority": cube_status_priority,
+    "join_explosion_audit": join_explosion_audit,
     "order_value_tiers": order_value_tiers,
     "null_handling_report": null_handling_report,
     "weighted_avg_having": weighted_avg_having,
@@ -1665,6 +1733,8 @@ ORACLES = {
     "column_profile": ORACLE_COLUMN_PROFILE,
     "pareto_front_parts": ORACLE_PARETO_FRONT_PARTS,
     "event_transition_matrix": ORACLE_EVENT_TRANSITION_MATRIX,
+    "cube_status_priority": ORACLE_CUBE_STATUS_PRIORITY,
+    "join_explosion_audit": ORACLE_JOIN_EXPLOSION_AUDIT,
     "order_value_tiers": ORACLE_ORDER_VALUE_TIERS,
     "null_handling_report": ORACLE_NULL_HANDLING_REPORT,
     "weighted_avg_having": ORACLE_WEIGHTED_AVG_HAVING,
