@@ -124,3 +124,105 @@ def test_asof_join_on_keys_and_shared_time_name(spark):
     # right-side symbol_id copy dropped -> unambiguous select
     got = {r.trade_id: r.quote for r in out.select("trade_id", "symbol_id", "quote").collect()}
     assert got == {1: 101.0, 2: 100.0, 3: None}  # latest quote at-or-before; no future quote
+
+
+@SETTINGS
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=5), min_size=8, max_size=60),
+    data=st.data(),
+)
+def test_duplicate_spans_property(spark, tmp_path_factory, tokens, data):
+    """duplicate_spans vs a brute-force python model on random
+    small-alphabet corpora (alphabet 6 forces real window
+    collisions): same maximal spans, exactly."""
+    from fin_trade_craft_spark.queries.text import DUPSPAN_K, duplicate_spans
+
+    n_docs = data.draw(st.integers(min_value=1, max_value=3))
+    docs = [tokens] + [
+        data.draw(
+            st.lists(st.integers(min_value=0, max_value=5), min_size=8, max_size=60)
+        )
+        for _ in range(n_docs - 1)
+    ]
+    texts = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+
+    # brute-force model
+    from collections import Counter
+
+    grams = Counter()
+    pos = {}
+    for i, toks in enumerate(docs):
+        pos[i] = []
+        for p in range(len(toks) - DUPSPAN_K + 1):
+            g = tuple(toks[p : p + DUPSPAN_K])
+            grams[g] += 1
+            pos[i].append((p + 1, g))
+    want = set()
+    for i, plist in pos.items():
+        dup = [p for p, g in plist if grams[g] >= 2]
+        run = []
+        for p in dup:
+            if run and p - run[-1] <= DUPSPAN_K:
+                run.append(p)
+            else:
+                if run:
+                    want.add((i, run[0], run[-1] + DUPSPAN_K - run[0], len(run)))
+                run = [p]
+        if run:
+            want.add((i, run[0], run[-1] + DUPSPAN_K - run[0], len(run)))
+
+    d = tmp_path_factory.mktemp("dupspan")
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_len, r.n_windows)
+        for r in duplicate_spans(spark, str(d)).collect()
+    }
+    assert got == want, (docs, got, want)
+
+
+@SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=20)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_zorder_key_locality_property(spark, pts):
+    """Morton-key order property on random points: the key must be
+    a bijection of the bit-interleave (verified against the
+    hand-computed interleave for every point at 8-bit scale over
+    the exact [0, 20]² domain is not exact — so instead verify the
+    INVARIANT that sorting by zorder_key groups equal points
+    together and distinct points with equal keys cannot exist when
+    the domain is exactly representable)."""
+    from fin_trade_craft_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    )
+    got = df.select("x", "y", zorder_key(df, ["x", "y"], bits_per_col=8)).collect()
+    lo_x, hi_x = min(p[0] for p in pts), max(p[0] for p in pts)
+    lo_y, hi_y = min(p[1] for p in pts), max(p[1] for p in pts)
+
+    def scale(v, lo, hi):
+        if hi == lo:
+            return 0
+        import math
+
+        return min(255, max(0, math.floor((v - lo) / (hi - lo) * 255)))
+
+    def morton(a, b):
+        out = 0
+        for i in range(8):
+            out |= ((a >> i) & 1) << (2 * i + 1)
+            out |= ((b >> i) & 1) << (2 * i)
+        return out
+
+    for r in got:
+        want = morton(scale(r.x, lo_x, hi_x), scale(r.y, lo_y, hi_y))
+        assert r["__zkey"] == want, (r.x, r.y, pts)
