@@ -368,7 +368,40 @@ SELECT rank, user_id, total_spend, n_events FROM (
 """
 
 
+def streaming_segment_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC dimension enrichment — the most common
+    production streaming shape: the event stream broadcast-joins
+    the (batch) customer dimension per micro-batch, then maintains
+    per-(market segment, event type) running totals. The static
+    side is planned as a broadcast into each micro-batch, so the
+    stream is never shuffled for the join — only for its own
+    aggregation state. Oracle: the identical batch join+rollup."""
+    from ..sources.catalog import load_table
+
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), "user_id")
+    rolled = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return _drain(rolled, "complete").orderBy("c_mktsegment", "event_type")
+
+
+ORACLE_STREAMING_SEGMENT_ACTIVITY = """
+SELECT c_mktsegment, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+ORDER BY c_mktsegment, event_type
+"""
+
+
 QUERIES = {
+    "streaming_segment_activity": streaming_segment_activity,
     "streaming_top_spenders": streaming_top_spenders,
     "streaming_hourly_rollup": streaming_hourly_rollup,
     "streaming_mix_drift": streaming_mix_drift,
@@ -380,6 +413,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "streaming_segment_activity": ORACLE_STREAMING_SEGMENT_ACTIVITY,
     "streaming_top_spenders": ORACLE_STREAMING_TOP_SPENDERS,
     "streaming_hourly_rollup": ORACLE_STREAMING_HOURLY_ROLLUP,
     "streaming_mix_drift": ORACLE_STREAMING_MIX_DRIFT,
