@@ -1683,8 +1683,53 @@ LIMIT 20
 """
 
 
+def rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-navigation cascade — the warehouse pattern where
+    each coarser rollup is built from the NEXT FINER rollup, never
+    from the fact table: daily revenue from orders, monthly from
+    the daily frame, quarterly from the monthly frame. The oracle
+    aggregates straight from the facts, so the hash match proves
+    the cascade loses nothing — the invariant that lets a 100 TB
+    warehouse serve quarter queries from a million-row monthly
+    table instead of re-scanning facts.
+
+    Exactness: revenue stays DECIMAL through every cascade level
+    (doubles would drift re-aggregating) and is cast once in the
+    final projection. Scale shape: the fact scan happens ONCE (the
+    daily agg); each further level aggregates the previous level's
+    output — row counts shrink ~30× per step."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    monthly = daily.groupBy(F.trunc("day", "month").alias("month")).agg(
+        F.sum("rev").alias("rev"), F.sum("n").alias("n")
+    )
+    quarterly = monthly.groupBy(F.trunc("month", "quarter").alias("quarter")).agg(
+        F.sum("rev").alias("rev"), F.sum("n").alias("n")
+    )
+    return quarterly.select(
+        "quarter",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("n").alias("n_orders"),
+    )
+
+
+ORACLE_ROLLUP_CASCADE = """
+SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "incremental_rollup_maintenance": incremental_rollup_maintenance,
+    "rollup_cascade": rollup_cascade,
     "snapshot_diff": snapshot_diff,
     "fk_integrity_audit": fk_integrity_audit,
     "unpivot_metrics": unpivot_metrics,
@@ -1727,6 +1772,7 @@ QUERIES = {
 
 ORACLES = {
     "incremental_rollup_maintenance": ORACLE_INCREMENTAL_ROLLUP_MAINTENANCE,
+    "rollup_cascade": ORACLE_ROLLUP_CASCADE,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "fk_integrity_audit": ORACLE_FK_INTEGRITY_AUDIT,
     "unpivot_metrics": ORACLE_UNPIVOT_METRICS,
