@@ -925,6 +925,85 @@ FROM runs
 """
 
 
+def ols_beta_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group OLS — regress each user's event value
+    on its sequence index (the per-entity trend fit a factor
+    pipeline runs across millions of entities): β = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²), α = ȳ − βx̄, plus R². One window pass assigns
+    the index, one hash aggregate per user computes the five
+    sufficient statistics; the algebra is a projection. No
+    iteration, no matrix library — normal equations in exprs.
+
+    Exactness: x is a small exact integer and y rides the
+    fixed-point trick (floor(y·1e6+0.5) as BIGINT per term), so
+    every Σ is order-independent and the derived doubles are
+    bit-identical across engines. Groups with a degenerate variance
+    (single row) yield NULL β. Scale shape: shuffle on user_id for
+    the index window, map-side-partial aggregate, tiny output."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        (F.row_number().over(w) - 1).alias("x"),
+        F.col("value").alias("y"),
+    )
+    # fixed-point y terms: y ≤ ~500 with 2 decimals — 1e6 scaling is
+    # exact for y, x·y (x < ~1e4) and y² products
+    fy = F.expr("CAST(floor(y * 1e6 + 0.5) AS BIGINT)")
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        (F.sum(fy).cast("double") / F.lit(1e6)).alias("sy"),
+        (F.sum(F.col("x") * fy).cast("double") / F.lit(1e6)).alias("sxy"),
+        (
+            F.sum(F.expr("CAST(floor(y * y * 1e6 + 0.5) AS BIGINT)")).cast("double")
+            / F.lit(1e6)
+        ).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    den = n * F.col("sxx") - (F.col("sx") * F.col("sx")).cast("double")
+    beta = F.when(den != 0, (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den)
+    alpha = F.col("sy") / n - beta * (F.col("sx").cast("double") / n)
+    ss_tot = F.col("syy") - F.col("sy") * F.col("sy") / n
+    ss_num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    r2 = F.when(
+        (den != 0) & (ss_tot != 0), (ss_num * ss_num) / (den * (n * ss_tot))
+    )
+    return s.select("user_id", "n", beta.alias("beta"), alpha.alias("alpha"), r2.alias("r2"))
+
+
+ORACLE_OLS_BETA_PER_USER = """
+WITH d AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS x,
+         value AS y
+  FROM events
+), s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+         CAST(SUM(CAST(floor(y * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+         CAST(SUM(x * CAST(floor(y * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sxy,
+         CAST(SUM(CAST(floor(y * y * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS syy
+  FROM d GROUP BY user_id
+)
+SELECT user_id, n,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx * sx AS DOUBLE) <> 0 THEN
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx * sx AS DOUBLE)) END AS beta,
+       sy / CAST(n AS DOUBLE)
+         - (CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx * sx AS DOUBLE) <> 0 THEN
+              (CAST(n AS DOUBLE) * sxy - sx * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx * sx AS DOUBLE)) END)
+           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS alpha,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx * sx AS DOUBLE) <> 0
+             AND syy - sy * sy / CAST(n AS DOUBLE) <> 0 THEN
+         ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+           / ((CAST(n AS DOUBLE) * sxx - CAST(sx * sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * (syy - sy * sy / CAST(n AS DOUBLE)))) END AS r2
+FROM s
+"""
+
+
 def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per (user, day), one count column per event_type —
     the declarative form of the reference's 30-column manual
@@ -1079,6 +1158,7 @@ QUERIES = {
     "calendar_gap_fill": calendar_gap_fill,
     "linear_interpolation_fill": linear_interpolation_fill,
     "scd2_build": scd2_build,
+    "ols_beta_per_user": ols_beta_per_user,
     "vwap_trailing_5d": vwap_trailing_5d,
     "user_retention_cohorts": user_retention_cohorts,
     "event_funnel": event_funnel,
@@ -1104,6 +1184,7 @@ ORACLES = {
     "calendar_gap_fill": ORACLE_CALENDAR_GAP_FILL,
     "linear_interpolation_fill": ORACLE_LINEAR_INTERPOLATION_FILL,
     "scd2_build": ORACLE_SCD2_BUILD,
+    "ols_beta_per_user": ORACLE_OLS_BETA_PER_USER,
     "vwap_trailing_5d": ORACLE_VWAP_TRAILING_5D,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
