@@ -155,8 +155,21 @@ class TableIO:
         except Exception:
             self._rm(tmp)  # failed stage: live table never touched
             raise
-        # commit: the live table is only ever absent between these
-        # two renames, and by then tmp is known-complete
+        self._commit_staged_dir(table, tmp)
+
+    def _commit_staged_dir(self, table: str, tmp: str) -> None:
+        """Atomically promote a KNOWN-COMPLETE staged directory to be
+        the live table (the commit half of the swap protocol): the
+        live table is only ever absent between the two renames."""
+        import os
+
+        final, swap_tmp, old = self._swap_paths(table)
+        if tmp != swap_tmp:
+            # normalize onto the fixed swap path so recover_table can
+            # find an interrupted commit's pieces after a crash
+            self._rm(swap_tmp)
+            os.rename(tmp, swap_tmp)
+            tmp = swap_tmp
         if os.path.exists(final):
             os.rename(final, old)
         os.rename(tmp, final)
@@ -273,6 +286,36 @@ class TableIO:
         for name, expr in exprs.items():
             df = df.withColumn(name, expr)
         self._stage_and_swap(df, table, None)
+
+    def publish_audited(self, df, table: str, checks, partition_by: list[str] | None = None):
+        """Write-audit-publish (the Iceberg WAP workflow): stage
+        ``df`` to an unpublished directory, run every audit check
+        against the STAGED data (exactly what would go live, as
+        written — post-serialization), and only then commit it
+        atomically; any failed check aborts with the live table
+        untouched and the stage removed.
+
+        ``checks`` is a list of (name, fn) where fn(staged_df) →
+        bool. Returns the [(name, passed)] results on success;
+        raises ValueError listing the failures on abort. Audits that
+        need the expectation shape can reuse the same conditional-
+        count aggregates as queries/reporting.expectation_report."""
+        staged_path = self._tmp_path(table)
+        try:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(staged_path)
+            staged = self.spark.read.parquet(staged_path)
+            results = [(name, bool(fn(staged))) for name, fn in checks]
+            failed = [name for name, ok in results if not ok]
+            if failed:
+                raise ValueError(f"WAP audit failed, publish aborted: {failed}")
+            self._commit_staged_dir(table, staged_path)
+            return results
+        except Exception:
+            self._rm(staged_path)
+            raise
 
     # ---------------------------------------------------- time travel
     def _hist_dir(self, table: str) -> str:

@@ -306,3 +306,42 @@ def test_time_travel_retain_read_restore_vacuum(spark, tmp_path):
     legacy.add_columns("t", {"z": F.lit(1)})
     assert legacy.history("t") == []
     assert not os.path.exists(legacy._hist_dir("t"))
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """WAP: a failing audit must abort with the live table untouched
+    and the stage cleaned up; a passing audit publishes atomically;
+    with retain_history the replaced image is still retained."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fin_trade_craft_spark.sources.io import TableIO
+
+    io = TableIO(spark, str(tmp_path), retain_history=1)
+    good = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    checks = [
+        ("no_null_keys", lambda d: d.filter(F.col("k").isNull()).count() == 0),
+        ("positive_values", lambda d: d.filter(F.col("v") <= 0).count() == 0),
+    ]
+    res = io.publish_audited(good, "t", checks)
+    assert res == [("no_null_keys", True), ("positive_values", True)]
+    assert sorted(r.k for r in io.read("t").collect()) == [1, 2]
+
+    bad = spark.createDataFrame([(3, -5.0)], "k long, v double")
+    try:
+        io.publish_audited(bad, "t", checks)
+        raise AssertionError("failing audit must raise")
+    except ValueError as e:
+        assert "positive_values" in str(e)
+    # live table untouched, no stray staging dirs
+    assert sorted(r.k for r in io.read("t").collect()) == [1, 2]
+    strays = [d for d in os.listdir(tmp_path) if "__rewrite_tmp" in d or "__swap_tmp" in d]
+    assert strays == []
+
+    better = spark.createDataFrame([(5, 50.0)], "k long, v double")
+    io.publish_audited(better, "t", checks)
+    assert [r.k for r in io.read("t").collect()] == [5]
+    # the v1 pre-image (the good table) was retained through WAP commit
+    assert io.history("t") == [1]
+    assert sorted(r.k for r in io.read_version("t", 1).collect()) == [1, 2]
