@@ -514,7 +514,61 @@ ORDER BY doc_id, neg_rank
 """
 
 
+def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level curation — the stage that decides which SOURCES
+    (crawls, feeds, dumps) stay in the training mix before any
+    per-document work: per source, document count, average length,
+    the share of documents that are exact duplicates of ANYTHING in
+    the whole corpus (cross-source duplication is the signal — a
+    mirror site shows up here), and the keep decision at the usual
+    50% dup-rate threshold.
+
+    Scale shape: one md5 per doc (map-only), one corpus-wide hash
+    aggregate keyed on the digest (the exact-dedup shuffle the
+    pipeline already pays), and one per-source rollup. The flag
+    rides a window count over the digest — same shuffle as the
+    groupBy+join formulation, one operator fewer."""
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.md5(T.normalize_ws(F.col("text"))).alias("h"),
+        F.size(T.tokens(F.col("text"))).alias("n_tokens"),
+    )
+    dup = F.count(F.lit(1)).over(Window.partitionBy("h")) > 1
+    flagged = d.select("source", "n_tokens", dup.alias("is_dup"))
+    share = F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("double") / F.count(
+        F.lit(1)
+    ).cast("double")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_tokens"
+        ),
+        share.alias("dup_share"),
+        (share <= 0.5).alias("keep"),
+    )
+
+
+ORACLE_SOURCE_CURATION_REPORT = f"""
+WITH d AS (
+  SELECT source, md5({_NORM}) AS h, len({_TOKS}) AS n_tokens FROM documents
+), flagged AS (
+  SELECT source, n_tokens,
+         COUNT(*) OVER (PARTITION BY h) > 1 AS is_dup
+  FROM d
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_share,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) <= 0.5 AS keep
+FROM flagged
+GROUP BY source
+"""
+
+
 QUERIES = {
+    "source_curation_report": source_curation_report,
     "source_mixture_weights": source_mixture_weights,
     "length_curriculum_buckets": length_curriculum_buckets,
     "contrastive_negatives": contrastive_negatives,
@@ -525,6 +579,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_curation_report": ORACLE_SOURCE_CURATION_REPORT,
     "contrastive_negatives": ORACLE_CONTRASTIVE_NEGATIVES,
     "length_curriculum_buckets": ORACLE_LENGTH_CURRICULUM_BUCKETS,
     "mixture_epoch_expansion": ORACLE_MIXTURE_EPOCH_EXPANSION,
