@@ -226,3 +226,87 @@ def test_zorder_key_locality_property(spark, pts):
     for r in got:
         want = morton(scale(r.x, lo_x, hi_x), scale(r.y, lo_y, hi_y))
         assert r["__zkey"] == want, (r.x, r.y, pts)
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.sampled_from([10.0, 100.0, 300.0]), min_size=1, max_size=25),
+)
+def test_scd2_runs_property(spark, tmp_path_factory, vals):
+    """scd2_build vs a python run-length model on random tier
+    sequences: one SCD2 row per run, contiguous validity, exactly
+    one current row per user."""
+    from datetime import datetime, timedelta
+
+    from fin_trade_craft_spark.queries.windows import scd2_build
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (7, i, base + timedelta(days=i), v) for i, v in enumerate(vals)
+    ]
+    d = tmp_path_factory.mktemp("scd2")
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    ).write.parquet(str(d / "events.parquet"))
+    got = sorted(
+        (r.version, r.tier, str(r.effective_from), str(r.effective_to), r.is_current, r.n_days)
+        for r in scd2_build(spark, str(d)).collect()
+    )
+
+    def tier(v):
+        return "low" if v < 50 else ("mid" if v < 200 else "high")
+
+    runs = []
+    for i, v in enumerate(vals):
+        t = tier(v)
+        if runs and runs[-1][0] == t:
+            runs[-1][1].append(i)
+        else:
+            runs.append([t, [i]])
+    want = []
+    for ver, (t, idxs) in enumerate(runs, start=1):
+        frm = (base + timedelta(days=idxs[0])).date()
+        is_last = ver == len(runs)
+        to = None if is_last else (base + timedelta(days=runs[ver][1][0] - 1)).date()
+        want.append((ver, t, str(frm), str(to), is_last, len(idxs)))
+    assert got == sorted(want), (vals, got, want)
+
+
+@SETTINGS
+@given(
+    present=st.lists(st.booleans(), min_size=2, max_size=20).filter(
+        lambda bs: bs[0] and bs[-1] and sum(bs) >= 2
+    ),
+)
+def test_linear_interpolation_property(spark, tmp_path_factory, present):
+    """linear_interpolation_fill vs pandas interpolate(method='time')
+    on random presence masks (first/last day always observed, so
+    every gap is interior)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from fin_trade_craft_spark.queries.windows import linear_interpolation_fill
+
+    base = datetime(2024, 3, 1)
+    rows = [
+        (3, i, base + timedelta(days=i), float(100 + 7 * i))
+        for i, p in enumerate(present)
+        if p
+    ]
+    d = tmp_path_factory.mktemp("lerp")
+    spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    ).write.parquet(str(d / "events.parquet"))
+    got = {
+        str(r.date): r.interp_value
+        for r in linear_interpolation_fill(spark, str(d)).collect()
+    }
+    s = pd.Series(
+        {pd.Timestamp(base + timedelta(days=i)): float(100 + 7 * i) for i, p in enumerate(present) if p}
+    ).reindex(pd.date_range(base, base + timedelta(days=len(present) - 1), freq="D"))
+    want = s.interpolate(method="time")
+    assert len(got) == len(want)
+    for ts, w in want.items():
+        g = got[str(ts.date())]
+        assert abs(g - w) < 1e-9, (present, ts, g, w)
