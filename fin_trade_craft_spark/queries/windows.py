@@ -1004,6 +1004,74 @@ FROM s
 """
 
 
+CEP_PATTERN = ("view", "view", "click")
+CEP_MAX_GAP_MIN = 1440  # per-step gap: the synthetic stream ticks in hours, not minutes
+
+
+def cep_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE /
+    Flink-CEP shape, strict contiguity): find every occurrence of
+    the consecutive per-user event sequence view→click→purchase
+    where each step follows the previous within 30 minutes. Emits
+    one row per match anchored at the first event, plus the
+    end-to-end latency — the conversion micro-funnel a product
+    pipeline alerts on.
+
+    Scale shape: a fixed-length pattern with strict contiguity
+    compiles to lead() comparisons — one shuffle on user_id, no
+    state machine, no self-joins; an N-step pattern is N-1 leads in
+    the same window. (Variable-length / skip-till-next patterns are
+    what applyInPandasWithState covers — see
+    streaming_zone_signals_stateful.)"""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("ts", 1).over(w).alias("ts1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    )
+    gap = F.expr(f"INTERVAL {CEP_MAX_GAP_MIN} MINUTES")
+    hit = (
+        (F.col("event_type") == CEP_PATTERN[0])
+        & (F.col("t1") == CEP_PATTERN[1])
+        & (F.col("t2") == CEP_PATTERN[2])
+        & (F.col("ts1") <= F.col("ts") + gap)
+        & (F.col("ts2") <= F.col("ts1") + gap)
+    )
+    return d.filter(hit).select(
+        "user_id",
+        F.col("ts").alias("match_start"),
+        F.col("ts2").alias("match_end"),
+        # integer microseconds: unix_timestamp()/epoch() truncate or
+        # round sub-second parts differently across engines
+        (F.unix_micros("ts2") - F.unix_micros("ts")).alias("latency_us"),
+    )
+
+
+ORACLE_CEP_PATTERN_MATCHES = f"""
+WITH d AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         LEAD(event_type, 1) OVER w AS t1,
+         LEAD(CAST(ts AS TIMESTAMP), 1) OVER w AS ts1,
+         LEAD(event_type, 2) OVER w AS t2,
+         LEAD(CAST(ts AS TIMESTAMP), 2) OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, ts AS match_start, ts2 AS match_end,
+       epoch_us(ts2) - epoch_us(ts) AS latency_us
+FROM d
+WHERE event_type = '{CEP_PATTERN[0]}' AND t1 = '{CEP_PATTERN[1]}' AND t2 = '{CEP_PATTERN[2]}'
+  AND ts1 <= ts + INTERVAL {CEP_MAX_GAP_MIN} MINUTES
+  AND ts2 <= ts1 + INTERVAL {CEP_MAX_GAP_MIN} MINUTES
+"""
+
+
 def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per (user, day), one count column per event_type —
     the declarative form of the reference's 30-column manual
@@ -1159,6 +1227,7 @@ QUERIES = {
     "linear_interpolation_fill": linear_interpolation_fill,
     "scd2_build": scd2_build,
     "ols_beta_per_user": ols_beta_per_user,
+    "cep_pattern_matches": cep_pattern_matches,
     "vwap_trailing_5d": vwap_trailing_5d,
     "user_retention_cohorts": user_retention_cohorts,
     "event_funnel": event_funnel,
@@ -1185,6 +1254,7 @@ ORACLES = {
     "linear_interpolation_fill": ORACLE_LINEAR_INTERPOLATION_FILL,
     "scd2_build": ORACLE_SCD2_BUILD,
     "ols_beta_per_user": ORACLE_OLS_BETA_PER_USER,
+    "cep_pattern_matches": ORACLE_CEP_PATTERN_MATCHES,
     "vwap_trailing_5d": ORACLE_VWAP_TRAILING_5D,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
