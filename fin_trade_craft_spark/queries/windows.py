@@ -1004,6 +1004,69 @@ FROM s
 """
 
 
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 table — the
+    fact-to-dimension join every warehouse does with slowly-changing
+    attributes: for EVERY day in each user's calendar spine (gap
+    days included), the tier whose validity interval covers it.
+    Joins on the user key with a residual interval predicate
+    (effective_from ≤ day ≤ effective_to, open-ended current rows).
+
+    The oracle is the INDEPENDENT formulation — LOCF of the daily
+    tier over the same spine — so the hash match proves the interval
+    semantics (inclusive bounds, open current row, no overlaps/gaps)
+    rather than re-running the same join. Scale shape: equi-join on
+    user_id with the interval as a residual filter; the SCD2 side is
+    runs-compressed (orders of magnitude smaller than the fact
+    side), so it broadcasts in production."""
+    dim = scd2_build(spark, sf_dir).select(
+        "user_id", "tier", "effective_from", "effective_to"
+    )
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("date")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    rng = daily.groupBy("user_id").agg(F.min("date").alias("d0"), F.max("date").alias("d1"))
+    spine = rng.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("date")
+    )
+    j = spine.join(dim, "user_id").filter(
+        (F.col("date") >= F.col("effective_from"))
+        & (F.col("effective_to").isNull() | (F.col("date") <= F.col("effective_to")))
+    )
+    return j.select("user_id", "date", "tier")
+
+
+ORACLE_SCD2_POINT_IN_TIME = """
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS date,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+), tiers AS (
+  SELECT user_id, date,
+         CASE WHEN day_value < 50.0 THEN 'low'
+              WHEN day_value < 200.0 THEN 'mid'
+              ELSE 'high' END AS tier
+  FROM daily
+), rng AS (
+  SELECT user_id, MIN(date) AS d0, MAX(date) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                              CAST(d1 AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS DATE) AS date
+  FROM rng
+), joined AS (
+  SELECT s.user_id, s.date, t.tier
+  FROM spine s LEFT JOIN tiers t ON s.user_id = t.user_id AND s.date = t.date
+)
+SELECT user_id, date,
+       LAST_VALUE(tier IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tier
+FROM joined
+"""
+
+
 CEP_PATTERN = ("view", "view", "click")
 CEP_MAX_GAP_MIN = 1440  # per-step gap: the synthetic stream ticks in hours, not minutes
 
@@ -1228,6 +1291,7 @@ QUERIES = {
     "scd2_build": scd2_build,
     "ols_beta_per_user": ols_beta_per_user,
     "cep_pattern_matches": cep_pattern_matches,
+    "scd2_point_in_time": scd2_point_in_time,
     "vwap_trailing_5d": vwap_trailing_5d,
     "user_retention_cohorts": user_retention_cohorts,
     "event_funnel": event_funnel,
@@ -1255,6 +1319,7 @@ ORACLES = {
     "scd2_build": ORACLE_SCD2_BUILD,
     "ols_beta_per_user": ORACLE_OLS_BETA_PER_USER,
     "cep_pattern_matches": ORACLE_CEP_PATTERN_MATCHES,
+    "scd2_point_in_time": ORACLE_SCD2_POINT_IN_TIME,
     "vwap_trailing_5d": ORACLE_VWAP_TRAILING_5D,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
