@@ -1727,7 +1727,72 @@ GROUP BY 1
 """
 
 
+import math as _math
+
+# Benford expected first-digit shares, computed ONCE in Python and
+# embedded as identical double literals in both engines (log10 in
+# SQL would differ in the last ulp between libm implementations —
+# the same reason tfidf_top_terms is log-free)
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic audit over order amounts — the
+    classic fraud screen on financial figures: observed first-digit
+    distribution vs the Benford expectation, with each digit's
+    χ²-contribution (n·(obs_share − p)²/p). Fabricated amounts show
+    up as a fat χ² tail; real transaction data tracks Benford
+    closely.
+
+    Scale shape: first-digit extraction is a string expression,
+    then ONE 9-bucket hash aggregate with map-side partials — the
+    audit is a single cheap pass no matter the table size."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d1 = F.substring(F.floor("o_totalprice").cast("string"), 1, 1).alias("digit")
+    counts = o.select(d1).groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    expected = F.create_map(
+        *[x for d, p in _BENFORD_P.items() for x in (F.lit(str(d)), F.lit(p))]
+    )
+    j = counts.crossJoin(total).withColumn("p_expected", expected[F.col("digit")])
+    obs_share = F.col("n_obs").cast("double") / F.col("n_total").cast("double")
+    dev = obs_share - F.col("p_expected")
+    return j.select(
+        "digit",
+        "n_obs",
+        obs_share.alias("obs_share"),
+        "p_expected",
+        (F.col("n_total").cast("double") * dev * dev / F.col("p_expected")).alias(
+            "chi2_contrib"
+        ),
+    )
+
+
+ORACLE_BENFORD_AUDIT = f"""
+WITH counts AS (
+  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM counts
+), expected(digit, p_expected) AS (
+  VALUES {", ".join(f"('{d}', CAST({p!r} AS DOUBLE))" for d, p in _BENFORD_P.items())}
+)
+SELECT c.digit, n_obs,
+       CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share,
+       p_expected,
+       CAST(n_total AS DOUBLE)
+         * (CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) - p_expected)
+         * (CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) - p_expected)
+         / p_expected AS chi2_contrib
+FROM counts c JOIN expected e ON c.digit = e.digit
+CROSS JOIN total
+"""
+
+
 QUERIES = {
+    "benford_audit": benford_audit,
     "incremental_rollup_maintenance": incremental_rollup_maintenance,
     "rollup_cascade": rollup_cascade,
     "snapshot_diff": snapshot_diff,
@@ -1771,6 +1836,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "benford_audit": ORACLE_BENFORD_AUDIT,
     "incremental_rollup_maintenance": ORACLE_INCREMENTAL_ROLLUP_MAINTENANCE,
     "rollup_cascade": ORACLE_ROLLUP_CASCADE,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
