@@ -1067,6 +1067,95 @@ FROM joined
 """
 
 
+ATTR_WINDOW_H = 24
+
+
+def chained_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch chained attribution — the skip-till-next-match
+    funnel (vs ``cep_pattern_matches``' strict contiguity): for each
+    view, the FIRST click strictly after it within the window, then
+    the FIRST purchase strictly after that click within the window.
+    Fully-converted chains only, with end-to-end latency. This is
+    two FORWARD as-of joins composed — each step is the same
+    equi-join + range predicate + row_number idiom as
+    operators/asof.py, ordered ascending instead of descending.
+
+    Scale shape: both steps shuffle on user_id (one partitioning
+    reused by join and dedup window); candidate fan-out per step is
+    bounded by the attribution window, not the user's history."""
+    ev = _events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    gap = F.expr(f"INTERVAL {ATTR_WINDOW_H} HOURS")
+    j1 = v.join(
+        c,
+        (v.user_id == c.cu)
+        & (c.click_ts > v.view_ts)
+        & (c.click_ts <= v.view_ts + gap),
+    )
+    w1 = Window.partitionBy("user_id", "view_id").orderBy("click_ts", "click_id")
+    s1 = (
+        j1.withColumn("rn", F.row_number().over(w1)).filter(F.col("rn") == 1)
+        .select("user_id", "view_id", "view_ts", "click_id", "click_ts")
+    )
+    j2 = s1.join(
+        p,
+        (s1.user_id == p.pu)
+        & (p.purchase_ts > s1.click_ts)
+        & (p.purchase_ts <= s1.click_ts + gap),
+    )
+    w2 = Window.partitionBy("user_id", "view_id").orderBy("purchase_ts", "purchase_id")
+    return (
+        j2.withColumn("rn2", F.row_number().over(w2)).filter(F.col("rn2") == 1)
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("view_ts")).alias("latency_us"),
+        )
+    )
+
+
+ORACLE_CHAINED_ATTRIBUTION = f"""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+), s1 AS (
+  SELECT user_id, view_id, view_ts, click_id, click_ts FROM (
+    SELECT v.user_id, view_id, view_ts, click_id, click_ts,
+           ROW_NUMBER() OVER (PARTITION BY v.user_id, view_id
+                              ORDER BY click_ts, click_id) AS rn
+    FROM v JOIN c ON v.user_id = c.user_id
+     AND click_ts > view_ts AND click_ts <= view_ts + INTERVAL {ATTR_WINDOW_H} HOURS
+  ) WHERE rn = 1
+)
+SELECT user_id, view_id, click_id, purchase_id, latency_us FROM (
+  SELECT s1.user_id, view_id, click_id, purchase_id,
+         epoch_us(purchase_ts) - epoch_us(view_ts) AS latency_us,
+         ROW_NUMBER() OVER (PARTITION BY s1.user_id, view_id
+                            ORDER BY purchase_ts, purchase_id) AS rn2
+  FROM s1 JOIN p ON s1.user_id = p.user_id
+   AND purchase_ts > click_ts AND purchase_ts <= click_ts + INTERVAL {ATTR_WINDOW_H} HOURS
+) WHERE rn2 = 1
+"""
+
+
 CEP_PATTERN = ("view", "view", "click")
 CEP_MAX_GAP_MIN = 1440  # per-step gap: the synthetic stream ticks in hours, not minutes
 
@@ -1292,6 +1381,7 @@ QUERIES = {
     "ols_beta_per_user": ols_beta_per_user,
     "cep_pattern_matches": cep_pattern_matches,
     "scd2_point_in_time": scd2_point_in_time,
+    "chained_attribution": chained_attribution,
     "vwap_trailing_5d": vwap_trailing_5d,
     "user_retention_cohorts": user_retention_cohorts,
     "event_funnel": event_funnel,
@@ -1320,6 +1410,7 @@ ORACLES = {
     "ols_beta_per_user": ORACLE_OLS_BETA_PER_USER,
     "cep_pattern_matches": ORACLE_CEP_PATTERN_MATCHES,
     "scd2_point_in_time": ORACLE_SCD2_POINT_IN_TIME,
+    "chained_attribution": ORACLE_CHAINED_ATTRIBUTION,
     "vwap_trailing_5d": ORACLE_VWAP_TRAILING_5D,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
