@@ -1791,7 +1791,69 @@ CROSS JOIN total
 """
 
 
+def abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto contribution analysis — per market segment,
+    customers ranked by revenue with their cumulative revenue share,
+    classed A (first customers covering ≤80% of segment revenue),
+    B (≤95%), C (tail). The classic 80/20 concentration report every
+    commercial analytics stack ships.
+
+    Exactness: revenue and the cumulative sum stay DECIMAL through
+    the window (a double running sum would drift with partition
+    order); the share division happens once per row on the exact
+    numerator. Scale shape: one shuffle on (segment, customer) for
+    the rollup, one window per segment reusing a single sort —
+    segments are few, so per-partition data is the only size that
+    matters (AQE skew split if one segment dominates)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("rev_dec"), F.asc("c_custkey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("c_mktsegment")
+    cum = F.sum("rev_dec").over(w)
+    tot = F.sum("rev_dec").over(wt)
+    share = cum.cast("double") / tot.cast("double")
+    klass = F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
+    return per.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        klass.alias("abc_class"),
+    )
+
+
+ORACLE_ABC_ANALYSIS = """
+WITH per AS (
+  SELECT c_mktsegment, c_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, c_custkey, rev_dec,
+         CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment
+                                 ORDER BY rev_dec DESC, c_custkey ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)
+           / CAST(SUM(rev_dec) OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS cum_share
+  FROM per
+)
+SELECT c_mktsegment, c_custkey, CAST(rev_dec AS DOUBLE) AS revenue, cum_share,
+       CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
 QUERIES = {
+    "abc_analysis": abc_analysis,
     "benford_audit": benford_audit,
     "incremental_rollup_maintenance": incremental_rollup_maintenance,
     "rollup_cascade": rollup_cascade,
@@ -1836,6 +1898,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "abc_analysis": ORACLE_ABC_ANALYSIS,
     "benford_audit": ORACLE_BENFORD_AUDIT,
     "incremental_rollup_maintenance": ORACLE_INCREMENTAL_ROLLUP_MAINTENANCE,
     "rollup_cascade": ORACLE_ROLLUP_CASCADE,
