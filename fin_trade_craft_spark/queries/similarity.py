@@ -778,7 +778,135 @@ SELECT qid, rank, nid, cos_sim, approx_dot FROM (
 """
 
 
+SEMDEDUP_THETA = 0.40
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic deduplication via
+    embedding clusters: coarse-quantize every vector to its nearest
+    centroid cell (the IVF assignment), compute exact cosine ONLY
+    within each cell, connect pairs above θ into duplicate groups
+    (connected components), and keep one representative (min id) per
+    group. Completes the dedup ladder: exact → MinHash → SimHash →
+    SRP → semantic.
+
+    Scale shape: the quadratic pair stage is confined WITHIN cells —
+    that is SemDeDup's entire point; cell populations are a design
+    parameter (more centroids at more data), so the per-cell work is
+    bounded and the cross-cell pair space is never touched. One
+    shuffle keys the self-join on the cell id; the component loop is
+    the shared operators/dedup.connected_components. Output covers
+    EVERY vector (singletons are their own kept cluster)."""
+    from ..operators.dedup import connected_components
+
+    cells = ivf_assignments(spark, sf_dir).select(
+        "vec_id", F.col("assigned_label").alias("cell")
+    )
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    v = emb.join(cells, "vec_id").localCheckpoint(eager=False)
+    a = v.select(
+        F.col("cell"), F.col("vec_id").alias("d1"), F.col("embedding").alias("e1")
+    )
+    b = v.select(
+        F.col("cell").alias("cell2"),
+        F.col("vec_id").alias("d2"),
+        F.col("embedding").alias("e2"),
+    )
+    pairs = a.join(b, (a.cell == b.cell2) & (a.d1 < b.d2))
+    cos = S.cosine(S.dot_exact("e1", "e2"), S.norm2_exact("e1"), S.norm2_exact("e2"))
+    edges = pairs.select("d1", "d2", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= SEMDEDUP_THETA
+    )
+    comp = connected_components(edges.select("d1", "d2")).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    out = v.select("vec_id", "cell").join(comp, "vec_id", "left")
+    out = out.withColumn("cluster_id", F.coalesce("cluster_id", F.col("vec_id")))
+    sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        out.join(sizes, "cluster_id")
+        .select(
+            "vec_id",
+            "cell",
+            "cluster_id",
+            "cluster_size",
+            (F.col("vec_id") == F.col("cluster_id")).alias("is_kept"),
+        )
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH ex AS (
+  SELECT vec_id, label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+),
+cent AS (
+  SELECT label AS c_label, i,
+         CAST(SUM(CAST(floor(v * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 / COUNT(*) AS cv
+  FROM ex GROUP BY label, i
+),
+cnorm AS (
+  SELECT c_label,
+         CAST(SUM(CAST(floor((cv * cv) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2c
+  FROM cent GROUP BY c_label
+),
+vnorm AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2v
+  FROM ex GROUP BY vec_id
+),
+cdots AS (
+  SELECT ex.vec_id, cent.c_label,
+         CAST(SUM(CAST(floor((ex.v * cent.cv) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM ex JOIN cent ON ex.i = cent.i
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT vec_id, c_label AS cell FROM (
+    SELECT vec_id, c_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot / (SQRT(n2v) * SQRT(n2c)) DESC, c_label ASC) AS rn
+    FROM cdots JOIN vnorm USING (vec_id) JOIN cnorm USING (c_label)
+  ) WHERE rn = 1
+),
+pdots AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         CAST(SUM(CAST(floor((a.v * b.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+  JOIN cells ca ON a.vec_id = ca.vec_id
+  JOIN cells cb ON b.vec_id = cb.vec_id AND ca.cell = cb.cell
+  GROUP BY 1, 2
+),
+dup_pairs AS (
+  SELECT d1, d2
+  FROM pdots JOIN vnorm na ON d1 = na.vec_id JOIN vnorm nb ON d2 = nb.vec_id
+  WHERE dot / (SQRT(na.n2v) * SQRT(nb.n2v)) >= {SEMDEDUP_THETA}
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM dup_pairs
+  UNION
+  SELECT d2, d1 FROM dup_pairs
+),
+rec AS (
+  WITH RECURSIVE reach(node, root) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+  )
+  SELECT node AS vec_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+allv AS (
+  SELECT c.vec_id, c.cell, COALESCE(r.cluster_id, c.vec_id) AS cluster_id
+  FROM cells c LEFT JOIN rec r ON c.vec_id = r.vec_id
+),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM allv GROUP BY cluster_id)
+SELECT vec_id, cell, cluster_id, cluster_size, vec_id = cluster_id AS is_kept
+FROM allv JOIN csize USING (cluster_id)
+"""
+
+
 QUERIES = {
+    "semdedup": semdedup,
     "sq8_rerank_search": sq8_rerank_search,
     "embedding_quantize_int8": embedding_quantize_int8,
     "knn_bruteforce": knn_bruteforce,
@@ -791,6 +919,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "semdedup": ORACLE_SEMDEDUP,
     "sq8_rerank_search": ORACLE_SQ8_RERANK_SEARCH,
     "embedding_quantize_int8": ORACLE_EMBEDDING_QUANTIZE_INT8,
     "ann_recall": ORACLE_ANN_RECALL,
