@@ -799,25 +799,44 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVERY vector (singletons are their own kept cluster)."""
     from ..operators.dedup import connected_components
 
+    import numpy as np
+    import pandas as pd
+
     cells = ivf_assignments(spark, sf_dir).select(
         "vec_id", F.col("assigned_label").alias("cell")
     )
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     v = emb.join(cells, "vec_id").localCheckpoint(eager=False)
-    a = v.select(
-        F.col("cell"), F.col("vec_id").alias("d1"), F.col("embedding").alias("e1")
-    )
-    b = v.select(
-        F.col("cell").alias("cell2"),
-        F.col("vec_id").alias("d2"),
-        F.col("embedding").alias("e2"),
-    )
-    pairs = a.join(b, (a.cell == b.cell2) & (a.d1 < b.d2))
-    cos = S.cosine(S.dot_exact("e1", "e2"), S.norm2_exact("e1"), S.norm2_exact("e2"))
-    edges = pairs.select("d1", "d2", cos.alias("cos_sim")).filter(
-        F.col("cos_sim") >= SEMDEDUP_THETA
-    )
-    comp = connected_components(edges.select("d1", "d2")).withColumnRenamed(
+
+    # within-cell all-pairs as ONE vectorized numpy kernel per cell
+    # (the expression form — a self-join with three interpreted
+    # 64-element HOF aggregates per pair — measured 17s at sf0.1;
+    # this kernel is the same exact per-product fixed-point
+    # arithmetic, an order of magnitude faster)
+    theta = SEMDEDUP_THETA
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"d1": [], "d2": []}).astype({"d1": "int64", "d2": "int64"})
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        E = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["embedding"].to_numpy()[order]]
+        )
+        n2 = np.floor(E * E * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+        d1s, d2s = [], []
+        for i in range(n - 1):
+            dots = np.floor(E[i] * E[i + 1 :] * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+            cos = dots / (np.sqrt(n2[i]) * np.sqrt(n2[i + 1 :]))
+            hit = np.nonzero(cos >= theta)[0]
+            d1s.extend([ids[i]] * len(hit))
+            d2s.extend(ids[i + 1 + hit])
+        return pd.DataFrame({"d1": np.asarray(d1s, dtype=np.int64),
+                             "d2": np.asarray(d2s, dtype=np.int64)})
+
+    edges = v.groupBy("cell").applyInPandas(cell_pairs, "d1 long, d2 long")
+    comp = connected_components(edges).withColumnRenamed(
         "doc_id", "vec_id"
     )
     out = v.select("vec_id", "cell").join(comp, "vec_id", "left")
