@@ -30,15 +30,12 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("l_orderkey", "p1", "p2")
-        .distinct()
-    )
+    pairs = a.join(b, "l_orderkey").filter(F.col("p1") < F.col("p2"))
+    # countDistinct instead of distinct()+count: one shuffle keyed on
+    # the pair (partial dedup on (p1,p2,orderkey) map-side), not two
     return (
         pairs.groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
         .filter(F.col("n_orders") >= MIN_CO_ORDERS)
         .select("p1", "p2")
     )
