@@ -86,6 +86,9 @@ def bench_query_names() -> list[str]:
         "snapshot_diff",
         "scd2_build",
         "pagerank_copurchase",
+        # semantic dedup tier + graph stats (kernel + wedge-join paths)
+        "semdedup",
+        "graph_triangle_stats",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -1858,7 +1858,51 @@ FROM ranked
 """
 
 
+N_SALT = 16
+
+
+def salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted two-phase aggregation — the skew-safe
+    aggregate shape (the agg-side sibling of ``salted_skew_join``):
+    a hot grouping key (only 5 event types over millions of rows)
+    first aggregates on (key, salt) so the hot key's rows spread
+    over N_SALT reducers, then the per-salt partials merge on the
+    bare key. The oracle is the plain GROUP BY — hash equality
+    proves salting is semantics-free, which is the property that
+    lets you apply it mechanically to any skewed additive agg.
+
+    (Spark's map-side partial aggregation usually makes this
+    unnecessary for plain sums; the explicit form is what you need
+    when partials DON'T combine map-side — high-cardinality
+    distincts under each hot key, collect-style aggs — and it's the
+    shape AQE's skew handling cannot reach because the skew is in
+    the AGG key, not a join.) Exactness: decimal partial sums merge
+    exactly, cast once at the end."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v_dec"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("v_dec").alias("v_dec"))
+        .select(
+            "event_type", "n_events", F.col("v_dec").cast("double").alias("total_value")
+        )
+    )
+
+
+ORACLE_SALTED_TWO_PHASE_AGG = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "salted_two_phase_agg": salted_two_phase_agg,
     "abc_analysis": abc_analysis,
     "benford_audit": benford_audit,
     "incremental_rollup_maintenance": incremental_rollup_maintenance,
@@ -1904,6 +1948,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "salted_two_phase_agg": ORACLE_SALTED_TWO_PHASE_AGG,
     "abc_analysis": ORACLE_ABC_ANALYSIS,
     "benford_audit": ORACLE_BENFORD_AUDIT,
     "incremental_rollup_maintenance": ORACLE_INCREMENTAL_ROLLUP_MAINTENANCE,
