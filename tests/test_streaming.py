@@ -325,3 +325,33 @@ def test_normalize_event_ts_fail_fast(spark):
     bad = spark.sql("SELECT 'not a time' AS ts")
     with pytest.raises(TypeError, match="string"):
         normalize_event_ts(bad)
+
+
+def test_stream_rollup_multi_microbatch_matches_batch(spark, tmp_path):
+    """Complete-mode windowed rollup must equal batch REGARDLESS of
+    how the files are batched: split the fixture into 3 files (not
+    event-time ordered) and force one file per micro-batch — the
+    windowed state must absorb out-of-order arrival across batches."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev_raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    src_dir = tmp_path / "events_in"
+    # 3 parts hash-split by event_id: each micro-batch spans the whole
+    # time range, so every batch contains rows "late" vs the previous
+    ev_raw.repartition(3, "event_id").write.parquet(str(src_dir))
+    schema = spark.read.parquet(str(src_dir)).schema
+    stream = read_events_stream(spark, str(src_dir), schema, max_files_per_trigger=1)
+    rolled = hourly_rollup_stream(stream, watermark="2 hours")
+    rows = run_available_now(rolled, str(tmp_path / "ckpt"))
+    got = {(r.hour, r.event_type): (r.n, r.total_value) for r in rows}
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .collect()
+    )
+    want = {(r.hour, r.event_type): (r.n, r.total_value) for r in batch}
+    assert got == want
