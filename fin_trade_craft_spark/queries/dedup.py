@@ -415,7 +415,79 @@ LEFT JOIN ver ON nd.doc_id = ver.d2
 ORDER BY doc_id
 """
 
+CONTAINMENT_MIN = 0.8
+
+
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT tier of the dedup ladder —
+    C(A,B) = |A∩B| / min(|A|,|B|): a short document pasted inside a
+    long one scores near-1 containment while its symmetric Jaccard
+    can sit far below any dedup threshold, so a Jaccard-only
+    pipeline ships the duplicated content twice. Same LSH candidate
+    machinery as ``dedup_jaccard_verified`` (band collisions bound
+    the pair space), exact set intersection on candidates only;
+    emits both scores plus the ``is_asymmetric`` flag marking
+    exactly the pairs Jaccard-dedup would miss.
+
+    Scale note: resemblance-biased MinHash banding under-recalls
+    extreme subset pairs (their signatures differ by design); at
+    100 TB the containment tier seeds candidates from the SHORTER
+    side's shingles instead (probe-side banding) — same join shape,
+    different signature build."""
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=False)
+    sigs = D.minhash_signatures(sets, num_perm=8)
+    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
+    scored = D.exact_jaccard_pairs(sets, min_jaccard=0.0, candidates=cands)
+    containment = F.col("inter") / F.least("n1", "n2").cast("double")
+    return (
+        scored.select(
+            "d1",
+            "d2",
+            "inter",
+            "n1",
+            "n2",
+            "jaccard",
+            containment.alias("containment"),
+            ((containment >= CONTAINMENT_MIN) & (F.col("jaccard") < 0.5)).alias(
+                "is_asymmetric"
+            ),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_MIN)
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT_PAIRS = f"""
+{{shingle_cte}},
+sigs AS (
+  SELECT doc_id,
+{_MH_COLS}
+  FROM sh_sets
+),
+banded AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_sets),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh_sets),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, inter, s1.n_sh AS n1, s2.n_sh AS n2,
+       inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) AS jaccard,
+       inter / CAST(LEAST(s1.n_sh, s2.n_sh) AS DOUBLE) AS containment,
+       inter / CAST(LEAST(s1.n_sh, s2.n_sh) AS DOUBLE) >= {CONTAINMENT_MIN}
+         AND inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) < 0.5 AS is_asymmetric
+FROM cands JOIN inter USING (d1, d2)
+JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE inter / CAST(LEAST(s1.n_sh, s2.n_sh) AS DOUBLE) >= {CONTAINMENT_MIN}
+""".format(shingle_cte=_SHINGLE_CTE)
+
+
 QUERIES = {
+    "dedup_containment_pairs": dedup_containment_pairs,
     "incremental_dedup_ingest": incremental_dedup_ingest,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -427,6 +499,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_containment_pairs": ORACLE_DEDUP_CONTAINMENT_PAIRS,
     "incremental_dedup_ingest": ORACLE_INCREMENTAL_DEDUP_INGEST,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
