@@ -217,7 +217,15 @@ def ahash_images(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
         for pdf in batches:
             rows = []
             for did, b in zip(pdf[id_col], pdf[bin_col]):
-                img = P.decode_png(bytes(b))
+                try:
+                    img = P.decode_png(bytes(b))
+                except Exception:
+                    # undecodable/unsupported payload: EXCLUDE from
+                    # hashing rather than kill the stage (mirrors
+                    # resize_images' mixed-corpus stance; a sentinel
+                    # sig would band-collide all bad images into
+                    # fake duplicate pairs)
+                    continue
                 if img.ndim == 3 and img.shape[2] >= 3:
                     # integer luma; alpha (if any) ignored
                     r, g, bl = (img[..., i].astype(np.int64) for i in range(3))

@@ -45,11 +45,6 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One stats row: nodes, edges, triangles, average degree, and
     the global clustering coefficient (3·triangles / wedges)."""
     e = _edges(spark, sf_dir).localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("p1").alias("p"))
-        .unionByName(e.select(F.col("p2").alias("p")))
-        .distinct()
-    )
     # oriented wedges a<b<c: e(a,b) ⋈ e(b,c); close with e(a,c)
     e2 = e.select(F.col("p1").alias("q1"), F.col("p2").alias("q2"))
     wedges = e.join(e2, e.p2 == e2.q1).select(F.col("p1").alias("a"), F.col("q2").alias("c"))
@@ -65,8 +60,10 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge_total = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
     )
+    # deg has exactly one row per node by construction — deriving
+    # n_nodes from it saves the union+distinct shuffle over edges
     counts = (
-        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
         .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
         .crossJoin(tri)
         .crossJoin(wedge_total)

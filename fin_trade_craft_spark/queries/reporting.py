@@ -251,13 +251,14 @@ def expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     statuses = ["O", "F", "P"]
+    # ONE aggregate pass including the uniqueness check — Spark
+    # plans mixed distinct/non-distinct aggregates in a single scan
+    # via Expand, so the dupe count does not cost a second read
     row_checks = o.agg(
         F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("v_custkey_null"),
         F.count(F.when(~F.col("o_orderstatus").isin(statuses), 1)).alias("v_status_set"),
         F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("v_price_range"),
-    )
-    uniq = o.agg(
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_key_dupes")
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_key_dupes"),
     )
     order_check = li.agg(
         F.count(F.when(F.col("l_quantity") < 1, 1)).alias("v_quantity_range"),
@@ -265,7 +266,7 @@ def expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("l_discount").between(0.0, 1.0), 1)
         ).alias("v_discount_range"),
     )
-    s = row_checks.crossJoin(uniq).crossJoin(order_check)
+    s = row_checks.crossJoin(order_check)
     rows = [
         ("orders.o_orderkey is unique", "v_key_dupes"),
         ("orders.o_custkey not null", "v_custkey_null"),

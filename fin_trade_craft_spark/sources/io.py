@@ -331,9 +331,28 @@ class TableIO:
             int(d[1:]) for d in os.listdir(hd) if d.startswith("v") and d[1:].isdigit()
         )
 
+    def _seq_path(self, table: str) -> str:
+        return f"{self.path(table)}.__hist_seq"
+
     def _next_version(self, table: str) -> int:
+        """Monotone commit counter that SURVIVES vacuum: the max of
+        the on-disk version dirs and a persisted high-water mark —
+        without the marker, vacuuming all history would restart ids
+        at 1 and a stale 'version 1' reference would silently
+        resolve to a different table image."""
+        import os
+
         vs = self._versions(table)
-        return (vs[-1] + 1) if vs else 1
+        seen = vs[-1] if vs else 0
+        if os.path.exists(self._seq_path(table)):
+            try:
+                seen = max(seen, int(open(self._seq_path(table)).read().strip() or 0))
+            except ValueError:
+                pass
+        nxt = seen + 1
+        with open(self._seq_path(table), "w") as f:
+            f.write(str(nxt))
+        return nxt
 
     def _prune_history(self, table: str) -> None:
         vs = self._versions(table)
@@ -429,7 +448,12 @@ class TableIO:
             empty = self.read(table).filter(F.lit(False))
             return empty, 0, len(stats)
         pred = F.col(col).between(F.lit(lo), F.lit(hi))
-        return self.spark.read.parquet(*keep).filter(pred), len(keep), len(stats)
+        # basePath: reading explicit leaf files does NOT infer hive
+        # partition columns by itself — without it a partitioned
+        # table loses (or can't resolve) its partition columns and
+        # the pruned read diverges from read(table)
+        reader = self.spark.read.option("basePath", self.path(table))
+        return reader.parquet(*keep).filter(pred), len(keep), len(stats)
 
     def compact(self, table: str, target_partitions: int, partition_by: list[str] | None = None) -> int:
         """Small-file compaction: rewrite the table at a target file

@@ -345,3 +345,28 @@ def test_write_audit_publish(spark, tmp_path):
     # the v1 pre-image (the good table) was retained through WAP commit
     assert io.history("t") == [1]
     assert sorted(r.k for r in io.read_version("t", 1).collect()) == [1, 2]
+
+
+def test_version_ids_survive_vacuum(spark, tmp_path):
+    """Version ids are a monotone commit counter even across a
+    vacuum that empties the history: a stale 'version 1' reference
+    must fail loudly, never silently resolve to a NEWER image."""
+    from pyspark.sql import functions as F
+
+    from fin_trade_craft_spark.sources.io import TableIO
+
+    io = TableIO(spark, str(tmp_path), retain_history=3)
+    v = spark.createDataFrame([(1, "a")], "k long, s string")
+    io.overwrite(v, "t")
+    io.overwrite(v.withColumn("s", F.upper("s")), "t")   # retains v1
+    assert io.history("t") == [1]
+    assert io.vacuum("t") == 1
+    assert io.history("t") == []
+    io.overwrite(v, "t")                                  # retains v2 (not v1!)
+    assert io.history("t") == [2]
+    try:
+        io.read_version("t", 1)
+        raise AssertionError("vacuumed version must not resolve")
+    except FileNotFoundError:
+        pass
+    assert [r.s for r in io.read_version("t", 2).collect()] == ["A"]

@@ -109,3 +109,30 @@ def test_read_pruned_null_stats_and_empty_selection(spark, tmp_path):
 
     nothing, n_scanned, _ = TableIO(spark, str(tmp_path)).read_pruned("t", "k", 100, 200)
     assert n_scanned == 0 and nothing.count() == 0
+
+
+def test_read_pruned_on_partitioned_table(spark, tmp_path):
+    """read_pruned must keep hive partition columns resolvable and
+    match read(table)+filter exactly on a partitioned table (leaf
+    files read without basePath silently drop partition columns)."""
+    io = TableIO(spark, str(tmp_path))
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("day"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    io.overwrite(df, "t", partition_by=["day"])
+
+    # prune on the partition column itself
+    pruned, n_scanned, n_total = io.read_pruned("t", "day", 1, 2)
+    expect = io.read("t").filter(F.col("day").between(1, 2)).toPandas()
+    ok, msg = compare(pruned.toPandas(), expect)
+    assert ok, msg
+    assert n_scanned < n_total
+
+    # prune on a data column: partition columns must still be present
+    pruned2, _, _ = io.read_pruned("t", "v", 0.0, 50.0)
+    assert "day" in pruned2.columns
+    expect2 = io.read("t").filter(F.col("v").between(0.0, 50.0)).toPandas()
+    ok, msg = compare(pruned2.toPandas(), expect2)
+    assert ok, msg
