@@ -310,3 +310,64 @@ def test_linear_interpolation_property(spark, tmp_path_factory, present):
     for ts, w in want.items():
         g = got[str(ts.date())]
         assert abs(g - w) < 1e-9, (present, ts, g, w)
+
+
+@SETTINGS
+@given(
+    cuts=st.lists(
+        st.integers(min_value=0, max_value=29), min_size=1, max_size=3, unique=True
+    )
+)
+def test_incremental_rollup_random_splits_property(spark, cuts):
+    """Merge ≡ recompute under ARBITRARY batch boundaries: split a
+    small synthetic fact table at random day offsets, fold the
+    batches through the algebraic state merge, and require the
+    result to equal the one-shot aggregate bit-for-bit."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(days=i % 30), float(100 + (i * 37) % 500) / 7.0)
+        for i in range(120)
+    ]
+    o = spark.createDataFrame(rows, "k long, d timestamp, amt double")
+    dec = F.col("amt").cast("decimal(18,2)")
+
+    def partial(df):
+        return df.groupBy(F.date_trunc("day", "d").alias("day")).agg(
+            F.sum(dec).alias("s"), F.count(F.lit(1)).alias("n")
+        )
+
+    bounds = sorted(set(cuts))
+    edges = [base + timedelta(days=b) for b in bounds]
+    preds = []
+    lo = None
+    for e in edges + [None]:
+        if lo is None and e is not None:
+            preds.append(F.col("d") < F.lit(e))
+        elif e is not None:
+            preds.append((F.col("d") >= F.lit(lo)) & (F.col("d") < F.lit(e)))
+        else:
+            preds.append(F.lit(True) if lo is None else (F.col("d") >= F.lit(lo)))
+        lo = e
+    acc = None
+    for p in preds:
+        b = partial(o.filter(p))
+        acc = b if acc is None else (
+            acc.unionByName(b)
+            .groupBy("day")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        )
+    got = {
+        (r.day,): (float(r.s), r.n)
+        for r in acc.select("day", F.col("s").cast("double").alias("s"), "n").collect()
+    }
+    want = {
+        (r.day,): (float(r.s), r.n)
+        for r in partial(o)
+        .select("day", F.col("s").cast("double").alias("s"), "n")
+        .collect()
+    }
+    assert got == want, (bounds,)
