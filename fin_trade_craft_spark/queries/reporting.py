@@ -312,7 +312,61 @@ SELECT 'lineitem.l_discount in [0,1]', v_discount_range, v_discount_range = 0 FR
 """
 
 
+L_DIVERSITY_MIN = 3
+
+
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit — the companion to
+    ``k_anonymity_report``: a quasi-identifier class can be large
+    (k-anonymous) yet still leak if everyone in it shares the same
+    SENSITIVE value. Per (nationality, market-segment) class, the
+    number of distinct sensitive values (the customer's top order
+    priority as the stand-in sensitive attribute) and the l≥3
+    release flag.
+
+    Scale shape: one aggregate to derive each customer's sensitive
+    value (max-by over their orders), one hash aggregate on the QI
+    tuple with a distinct count — output bounded by the QI domain,
+    same as the k-anonymity twin."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    sens = orders.groupBy("o_custkey").agg(
+        F.max("o_orderpriority").alias("sensitive")
+    )
+    qi = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(sens, cust.c_custkey == sens.o_custkey)
+        .select(F.col("n_name").alias("nationality"), "c_mktsegment", "sensitive")
+    )
+    return qi.groupBy("nationality", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("sensitive").alias("l_distinct"),
+        (F.countDistinct("sensitive") >= L_DIVERSITY_MIN).alias("releasable"),
+    )
+
+
+ORACLE_L_DIVERSITY_REPORT = f"""
+WITH sens AS (
+  SELECT o_custkey, MAX(o_orderpriority) AS sensitive
+  FROM orders GROUP BY o_custkey
+), qi AS (
+  SELECT n_name AS nationality, c_mktsegment, sensitive
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN sens ON c_custkey = o_custkey
+)
+SELECT nationality, c_mktsegment,
+       COUNT(*) AS class_size,
+       COUNT(DISTINCT sensitive) AS l_distinct,
+       COUNT(DISTINCT sensitive) >= {L_DIVERSITY_MIN} AS releasable
+FROM qi
+GROUP BY nationality, c_mktsegment
+"""
+
+
 QUERIES = {
+    "l_diversity_report": l_diversity_report,
     "expectation_report": expectation_report,
     "daily_screener": daily_screener,
     "database_summary": database_summary,
@@ -320,6 +374,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "l_diversity_report": ORACLE_L_DIVERSITY_REPORT,
     "expectation_report": ORACLE_EXPECTATION_REPORT,
     "daily_screener": ORACLE_DAILY_SCREENER,
     "database_summary": ORACLE_DATABASE_SUMMARY,
