@@ -1067,6 +1067,97 @@ FROM joined
 """
 
 
+def autocorr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity autocorrelation features — ACF at lags 1 and 5
+    over each user's value series (mean-reversion / momentum
+    diagnostics; the stationarity screen before fitting any AR
+    model). Closed form, no iteration:
+    r_k = (Σx_t·x_{t+k} − x̄·Σ_head − x̄·Σ_tail + (n−k)·x̄²) /
+    (Σx² − (Σx)²/n), with every Σ accumulated by the fixed-point
+    discipline so the statistic is bit-identical at any parallelism
+    and the double post-arithmetic is written in the same order in
+    both engines.
+
+    Scale shape: one shuffle on user_id; both lags ride the same
+    sort (two lag() columns), and everything reduces in ONE hash
+    aggregate per user."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fx = "CAST(floor(({e}) * 1e6 + 0.5) AS BIGINT)"
+    d = ev.select(
+        "user_id",
+        F.col("value").alias("x"),
+        F.lag("value", 1).over(w).alias("l1"),
+        F.lag("value", 5).over(w).alias("l5"),
+    )
+
+    def fsum(expr: str) -> F.Column:
+        return F.sum(F.expr(fx.format(e=expr))).cast("double") / F.lit(1e6)
+
+    s = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        fsum("x").alias("s"),
+        fsum("x * x").alias("sxx"),
+        F.count("l1").alias("n1"),
+        fsum("CASE WHEN l1 IS NOT NULL THEN x * l1 END").alias("sxy1"),
+        fsum("CASE WHEN l1 IS NOT NULL THEN l1 END").alias("sh1"),
+        fsum("CASE WHEN l1 IS NOT NULL THEN x END").alias("st1"),
+        F.count("l5").alias("n5"),
+        fsum("CASE WHEN l5 IS NOT NULL THEN x * l5 END").alias("sxy5"),
+        fsum("CASE WHEN l5 IS NOT NULL THEN l5 END").alias("sh5"),
+        fsum("CASE WHEN l5 IS NOT NULL THEN x END").alias("st5"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s") / n
+    den = F.col("sxx") - F.col("s") * F.col("s") / n
+
+    def acf(k: int) -> F.Column:
+        nk = F.col(f"n{k}").cast("double")
+        num = (
+            F.col(f"sxy{k}")
+            - mean * F.col(f"sh{k}")
+            - mean * F.col(f"st{k}")
+            + nk * mean * mean
+        )
+        return F.when((den != 0) & (F.col(f"n{k}") > 0), num / den)
+
+    return s.select("user_id", "n", acf(1).alias("acf1"), acf(5).alias("acf5"))
+
+
+ORACLE_AUTOCORR_FEATURES = """
+WITH d AS (
+  SELECT user_id, value AS x,
+         LAG(value, 1) OVER w AS l1,
+         LAG(value, 5) OVER w AS l5
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, COUNT(*) AS n,
+    CAST(SUM(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS s,
+    CAST(SUM(CAST(floor(x * x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sxx,
+    COUNT(l1) AS n1,
+    CAST(SUM(CAST(floor(CASE WHEN l1 IS NOT NULL THEN x * l1 END * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sxy1,
+    CAST(SUM(CAST(floor(CASE WHEN l1 IS NOT NULL THEN l1 END * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sh1,
+    CAST(SUM(CAST(floor(CASE WHEN l1 IS NOT NULL THEN x END * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS st1,
+    COUNT(l5) AS n5,
+    CAST(SUM(CAST(floor(CASE WHEN l5 IS NOT NULL THEN x * l5 END * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sxy5,
+    CAST(SUM(CAST(floor(CASE WHEN l5 IS NOT NULL THEN l5 END * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sh5,
+    CAST(SUM(CAST(floor(CASE WHEN l5 IS NOT NULL THEN x END * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS st5
+  FROM d GROUP BY user_id
+)
+SELECT user_id, n,
+  CASE WHEN sxx - s * s / CAST(n AS DOUBLE) <> 0 AND n1 > 0 THEN
+    (sxy1 - (s / CAST(n AS DOUBLE)) * sh1 - (s / CAST(n AS DOUBLE)) * st1
+      + CAST(n1 AS DOUBLE) * (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+    / (sxx - s * s / CAST(n AS DOUBLE)) END AS acf1,
+  CASE WHEN sxx - s * s / CAST(n AS DOUBLE) <> 0 AND n5 > 0 THEN
+    (sxy5 - (s / CAST(n AS DOUBLE)) * sh5 - (s / CAST(n AS DOUBLE)) * st5
+      + CAST(n5 AS DOUBLE) * (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+    / (sxx - s * s / CAST(n AS DOUBLE)) END AS acf5
+FROM s
+"""
+
+
 ATTR_WINDOW_H = 24
 
 
@@ -1382,6 +1473,7 @@ QUERIES = {
     "cep_pattern_matches": cep_pattern_matches,
     "scd2_point_in_time": scd2_point_in_time,
     "chained_attribution": chained_attribution,
+    "autocorr_features": autocorr_features,
     "vwap_trailing_5d": vwap_trailing_5d,
     "user_retention_cohorts": user_retention_cohorts,
     "event_funnel": event_funnel,
@@ -1411,6 +1503,7 @@ ORACLES = {
     "cep_pattern_matches": ORACLE_CEP_PATTERN_MATCHES,
     "scd2_point_in_time": ORACLE_SCD2_POINT_IN_TIME,
     "chained_attribution": ORACLE_CHAINED_ATTRIBUTION,
+    "autocorr_features": ORACLE_AUTOCORR_FEATURES,
     "vwap_trailing_5d": ORACLE_VWAP_TRAILING_5D,
     "user_retention_cohorts": ORACLE_USER_RETENTION_COHORTS,
     "event_funnel": ORACLE_EVENT_FUNNEL,
