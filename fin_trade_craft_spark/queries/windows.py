@@ -1255,7 +1255,8 @@ def cep_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complex-event-processing pattern match (the MATCH_RECOGNIZE /
     Flink-CEP shape, strict contiguity): find every occurrence of
     the consecutive per-user event sequence view→click→purchase
-    where each step follows the previous within 30 minutes. Emits
+    where each step follows the previous within ``CEP_MAX_GAP_MIN``
+    minutes (24 h here — the synthetic stream ticks hourly). Emits
     one row per match anchored at the first event, plus the
     end-to-end latency — the conversion micro-funnel a product
     pipeline alerts on.

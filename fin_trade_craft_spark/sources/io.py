@@ -173,11 +173,20 @@ class TableIO:
         if os.path.exists(final):
             os.rename(final, old)
         os.rename(tmp, final)
+        # retain the pre-image as a version when configured, instead
+        # of dropping it. The move happens AFTER commit: a crash here
+        # loses nothing — recover_table's "cleaned" path now retains
+        # the copy the same way.
+        self._retire_old_copy(table, old)
+
+    def _retire_old_copy(self, table: str, old: str) -> None:
+        """Dispose of a pre-rewrite table image found on disk: retain
+        it as a history version when retention is configured (a crash
+        inside the commit window must not silently cost a history
+        entry the caller asked for), else remove it."""
+        import os
+
         if self.retain_history > 0 and os.path.exists(old):
-            # retain the pre-image as a version instead of dropping
-            # it. The move happens AFTER commit: a crash here loses
-            # at most this one history entry, never the live table,
-            # and recover_table's "cleaned" path stays correct.
             os.makedirs(self._hist_dir(table), exist_ok=True)
             os.rename(old, f"{self._hist_dir(table)}/v{self._next_version(table):08d}")
             self._prune_history(table)
@@ -196,16 +205,28 @@ class TableIO:
           over: the crash hit during/just after staging; the live
           table was never touched, drop the partial stage.
         - ``"cleaned"`` — live table present, old copy left over: the
-          crash hit after commit, before cleanup; drop the old copy.
+          crash hit after commit, before cleanup; drop the old copy
+          (RETAINING it as a history version when retain_history > 0,
+          same as an uninterrupted commit would have).
         - ``"ok"`` — nothing to do.
+
+        Also sweeps any stale ``{table}__rewrite_tmp_*`` staging
+        directories (a crash inside ``publish_audited`` or a
+        partition-scoped upsert before commit leaves one behind under
+        a uuid name the fixed-suffix protocol doesn't know).
         """
+        import glob
         import os
 
+        swept = False
+        for stale in glob.glob(f"{self.path(table)}__rewrite_tmp_*"):
+            self._rm(stale)
+            swept = True
         final, tmp, old = self._swap_paths(table)
         if not os.path.exists(final):
             if os.path.exists(tmp):
                 os.rename(tmp, final)
-                self._rm(old)
+                self._retire_old_copy(table, old)
                 return "rolled_forward"
             if os.path.exists(old):
                 # stage vanished (crash during a pre-swap cleanup of a
@@ -218,9 +239,9 @@ class TableIO:
             self._rm(tmp)
             status = "aborted_stage"
         if os.path.exists(old):
-            self._rm(old)
+            self._retire_old_copy(table, old)
             status = "cleaned" if status == "ok" else status
-        return status
+        return "cleaned" if status == "ok" and swept else status
 
     def upsert(self, df: DataFrame, table: str, keys: list[str], partition_by: list[str] | None = None) -> None:
         """S7: new rows win on the natural key (ON CONFLICT DO
@@ -437,13 +458,28 @@ class TableIO:
         file (the same bounded driver contract as a Delta log
         replay)."""
         stats = self.file_stats(table, [col]).collect()
-        keep = [
-            r["file"]
-            for r in stats
-            if r[f"min_{col}"] is None
-            or r[f"max_{col}"] is None
-            or not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
-        ]
+        try:
+            keep = [
+                r["file"]
+                for r in stats
+                if r[f"min_{col}"] is None
+                or r[f"max_{col}"] is None
+                or not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+            ]
+        except TypeError as e:
+            # bounds are compared to the column's COLLECTED Python
+            # stats (date → datetime.date, timestamp → datetime, …);
+            # a mismatched bound type (e.g. the string '2020-01-01'
+            # against date stats) must fail with a usable message at
+            # the API boundary, not a bare driver TypeError
+            sample = next(
+                (r[f"min_{col}"] for r in stats if r[f"min_{col}"] is not None), None
+            )
+            raise TypeError(
+                f"read_pruned bounds for column {col!r} must match the column's "
+                f"Python stat type ({type(sample).__name__}); got "
+                f"lo={type(lo).__name__}, hi={type(hi).__name__}: {e}"
+            ) from e
         if not keep:
             empty = self.read(table).filter(F.lit(False))
             return empty, 0, len(stats)

@@ -110,3 +110,66 @@ def test_atomic_swap_crash_recovery(spark, tmp_path):
     io.upsert(v2, "t", ["id"])
     assert rows() == [(1, "A"), (2, "b"), (3, "C")]
     assert not os.path.exists(tmp) and not os.path.exists(old)
+
+
+def test_recovery_retains_history_and_sweeps_rewrite_tmp(spark, tmp_path):
+    """Crash recovery must honor retention: an old copy found in the
+    commit window becomes a history version (not silently dropped)
+    when retain_history > 0, in both the cleaned and rolled-forward
+    paths; and stale uuid-named __rewrite_tmp_* staging dirs (a crash
+    inside publish_audited before commit) are swept."""
+    import os
+    import shutil
+
+    from fin_trade_craft_spark.sources.io import TableIO
+
+    io = TableIO(spark, str(tmp_path / "wh"), retain_history=3)
+    v1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    v2 = spark.createDataFrame([(1, "A")], "id int, v string")
+    final, tmp, old = io._swap_paths("t")
+
+    # crash AFTER commit, before old-copy disposal → retained version
+    io.overwrite(v1, "t")
+    io.overwrite(v2, "t")          # normal commit retains v1 as version 1
+    assert io.history("t") == [1]
+    shutil.copytree(final, old)    # simulate interrupted cleanup
+    assert io.recover_table("t") == "cleaned"
+    assert io.history("t") == [1, 2]  # old copy retired, not dropped
+
+    # crash BETWEEN the commit renames → roll forward AND retain old
+    v1.write.parquet(tmp)
+    os.rename(final, old)
+    assert io.recover_table("t") == "rolled_forward"
+    assert io.history("t") == [1, 2, 3]
+    assert sorted(r.v for r in io.read("t").collect()) == ["a"]
+
+    # stale publish_audited staging dir is swept
+    stale = f"{io.path('t')}__rewrite_tmp_deadbeef"
+    os.makedirs(stale)
+    assert io.recover_table("t") == "cleaned"
+    assert not os.path.exists(stale)
+    assert io.recover_table("t") == "ok"
+
+
+def test_read_pruned_typed_bounds_error(spark, tmp_path):
+    """A bound whose Python type can't compare with the column's
+    collected stats must raise a clear TypeError naming the expected
+    type, not a bare comparison error from inside the driver loop."""
+    import datetime
+
+    import pytest
+
+    from fin_trade_craft_spark.sources.io import TableIO
+
+    io = TableIO(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, datetime.date(2020, 1, 1)), (2, datetime.date(2020, 6, 1))], "id int, d date"
+    )
+    io.overwrite(df, "t")
+    with pytest.raises(TypeError, match="read_pruned bounds.*'d'.*date"):
+        io.read_pruned("t", "d", "2020-01-01", "2020-03-01")
+    # correctly-typed bounds still work
+    rows, n_scanned, n_total = io.read_pruned(
+        "t", "d", datetime.date(2019, 1, 1), datetime.date(2020, 3, 1)
+    )
+    assert [r.id for r in rows.collect()] == [1]
