@@ -63,8 +63,10 @@ SELECT qid, rank, nid, cos_sim FROM (
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components via exact scaled-integer means
-    — the IVF coarse-quantizer build step. posexplode keeps
-    positions 0-based to match the oracle."""
+    — the supervised/diagnostic centroid baseline (cluster-quality
+    reporting against known labels). The IVF coarse quantizer is
+    ``kmeans_centroids``, whose cell count scales with the corpus.
+    posexplode keeps positions 0-based to match the oracle."""
     emb = _emb(spark, sf_dir)
     ex = emb.select("label", F.posexplode("embedding").alias("i", "v"))
     scaled = F.floor(F.col("v").cast("double") * F.lit(1e12) + F.lit(0.5)).cast("bigint")
@@ -84,160 +86,305 @@ GROUP BY label, i
 """
 
 
-def _centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every vector × every label centroid with exact cosine and a
-    per-vector preference rank — shared by IVF assignment (rn = 1)
-    and IVF search probing (rn ≤ nprobe).
+# ------------------------------------------------------------------
+# Deterministic sample-trained k-means coarse quantizer.
+#
+# The r04 quantizer grouped by the dataset's fixed ``label`` column
+# (~10 cells), so within-cell work in semdedup/IVF grew Θ(n²) with
+# corpus size. Here the centroid count SCALES WITH THE CORPUS —
+# k = ⌈n / KM_TARGET_CELL⌉ — keeping expected cell population
+# constant; the within-cell pair stage is then O(n · KM_TARGET_CELL),
+# linear in the corpus (the SemDeDup paper's design, Abbas et
+# al. 2023 §3). Everything is deterministic and engine-portable so
+# the DuckDB oracle replays the SAME training run bit-for-bit:
+#
+# - coordinates quantize to 1e-6 integer units → all distances and
+#   centroid updates are exact int64 arithmetic (no float fold order
+#   anywhere in training or assignment);
+# - seeds: for each j < k, the row minimizing md5(vec_id) among
+#   rows with vec_id % k == j (spreads seeds uniformly without a
+#   total-order sort);
+# - training sample: vec_id % s == 0 with s sized for
+#   KM_SAMPLE_PER_CENTROID rows per centroid (no RNG to ship);
+# - KM_ITERS Lloyd rounds; the centroid update is the exact floor of
+#   the member mean (floor-division of int sums); empty cells keep
+#   their previous centroid; assignment tie-break is min cid.
+#
+# Scale shape (Spark side): training touches only the sample — an
+# Arrow-batched int64 kernel emits per-batch partial (cid, dim) sums,
+# so the shuffle per Lloyd round carries O(partitions · k · dims)
+# rows, never the sample itself. Final assignment is one map-only
+# pass with the k×dims centroid matrix in the closure (small BY
+# CONSTRUCTION: k tracks corpus/128, and at 100 TB a two-level
+# hierarchical quantizer caps the matrix — noted in SCALING.md).
+# ------------------------------------------------------------------
 
-    The centroid matrix (10 labels × 64 dims of doubles) is
-    collected — small BY CONSTRUCTION (centroid count is the IVF
-    design parameter, never data-sized) — and shipped in the kernel
-    closure; each partition scores its vectors against all centroids
-    in one Arrow-batched numpy pass. The r02 shape (crossJoin +
-    three interpreted zip_with/aggregate lambdas per row) spent its
-    time in HOF interpretation; this kernel is the same exact
-    arithmetic (per-product floor(x*1e12+0.5) → int64 sum → /1e12;
-    IEEE doubles and correctly-rounded sqrt/divide are
-    engine-identical), so the value oracle stays bit-green."""
+KM_TARGET_CELL = 128       # expected vectors per cell
+KM_SAMPLE_PER_CENTROID = 32
+KM_ITERS = 2
+_QV_EXPR = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
+
+
+def kmeans_params(n: int) -> dict:
+    k = max(2, -(-n // KM_TARGET_CELL))
+    return {
+        "n": n,
+        "k": k,
+        "s": max(1, n // (KM_SAMPLE_PER_CENTROID * k)),
+        "nprobe": max(2, -(-k // 8)),
+    }
+
+
+def _train_kmeans(spark: SparkSession, sf_dir: str):
+    """Run the deterministic k-means build; returns (cids int64[k],
+    C int64[k, dims], params). Centroid state lives on the driver
+    between rounds (k·dims ints — bounded by design); member sums
+    are computed distributed."""
     import numpy as np
 
-    cent_rows = label_centroids(spark, sf_dir).collect()
-    labels = sorted({r.label for r in cent_rows})
-    dims = 1 + max(r.i for r in cent_rows)
-    C = np.zeros((len(labels), dims), dtype=np.float64)
-    lab_pos = {lab: k for k, lab in enumerate(labels)}
-    for r in cent_rows:
-        C[lab_pos[r.label], r.i] = r.centroid_v
-    n2c = np.floor(C * C * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
-    lab_arr = np.array(labels, dtype=np.int64)
+    emb = _emb(spark, sf_dir)
+    p = kmeans_params(emb.count())
+    q = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
+    seeds = (
+        q.select(
+            "qv",
+            (F.col("vec_id") % F.lit(p["k"])).alias("grp"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .groupBy("grp")
+        .agg(F.min_by("qv", "h").alias("qv"))
+        .collect()
+    )
+    cent = {int(r["grp"]): np.array(r["qv"], dtype=np.int64) for r in seeds}
+    cids = sorted(cent)
+    sample = (
+        q.filter((F.col("vec_id") % F.lit(p["s"])) == 0)
+        .select("qv")
+        .localCheckpoint(eager=True)  # reused every Lloyd round
+    )
+    for _ in range(KM_ITERS):
+        C = np.stack([cent[c] for c in cids])
+        carr = np.array(cids, dtype=np.int64)
+
+        def round_fn(batches, C=C, carr=carr):
+            import pandas as pd
+
+            n2c = (C * C).sum(axis=1)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+                d2 = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + n2c[None, :]
+                a = np.argmin(d2, axis=1)  # first min = min cid (C is cid-sorted)
+                cid_o, i_o, sum_o, cnt_o = [], [], [], []
+                dims = X.shape[1]
+                for j in np.unique(a):
+                    mask = a == j
+                    cid_o.extend([int(carr[j])] * dims)
+                    i_o.extend(range(dims))
+                    sum_o.extend(X[mask].sum(axis=0).tolist())
+                    cnt_o.extend([int(mask.sum())] * dims)
+                yield pd.DataFrame(
+                    {"cid": cid_o, "i": i_o, "psum": sum_o, "pcnt": cnt_o}
+                )
+
+        upd = (
+            sample.mapInPandas(round_fn, "cid long, i long, psum long, pcnt long")
+            .groupBy("cid", "i")
+            .agg(F.sum("psum").alias("sq"), F.sum("pcnt").alias("cnt"))
+            .collect()
+        )
+        for r in upd:
+            # exact floor of the member mean (Python // is floor div on
+            # ints — identical to the oracle's posmod-subtract // form)
+            cent[int(r["cid"])][int(r["i"])] = r["sq"] // r["cnt"]
+    return np.array(cids, dtype=np.int64), np.stack([cent[c] for c in cids]), p
+
+
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained coarse-quantizer codebook as a table: (cid, i,
+    cv) with cv in exact 1e-6 integer units — what a production
+    build persists and every IVF/semdedup consumer loads."""
+    cids, C, _ = _train_kmeans(spark, sf_dir)
+    rows = [
+        (int(cid), int(i), int(C[j, i]))
+        for j, cid in enumerate(cids)
+        for i in range(C.shape[1])
+    ]
+    return spark.createDataFrame(rows, "cid long, i long, cv long")
+
+
+def _cell_scores(
+    spark: SparkSession, sf_dir: str, max_rank: int, trained=None
+) -> DataFrame:
+    """Every vector's ``max_rank`` nearest centroid cells by exact
+    integer squared L2 — rn = 1 is the IVF assignment, rn ≤ nprobe
+    the search probe set. One map-only Arrow/numpy pass with the
+    centroid matrix in the closure; tie-break min cid."""
+    import numpy as np
+
+    cids, C, _ = trained if trained is not None else _train_kmeans(spark, sf_dir)
+    mr = min(max_rank, len(cids))
 
     def fn(batches):
         import pandas as pd
 
+        n2c = (C * C).sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            E = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]],
-                dtype=np.float64,
-            )  # (n, dims)
-            n2v = np.floor(E * E * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
-            n, k = len(pdf), len(lab_arr)
-            # exact scaled-int dot per (vector, centroid): floor each
-            # PRODUCT, then integer-sum — deliberately NOT one float
-            # matmul, which would round differently
-            dots = np.empty((n, k), dtype=np.float64)
-            for j in range(k):
-                dots[:, j] = (
-                    np.floor(E * C[j] * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
-                )
-            cos = dots / (np.sqrt(n2v)[:, None] * np.sqrt(n2c)[None, :])
-            # rank per vector: cos desc, then label asc
-            order = np.lexsort((np.broadcast_to(lab_arr, (n, k)), -cos), axis=1)
-            rn = np.empty((n, k), dtype=np.int64)
-            rn[np.arange(n)[:, None], order] = np.arange(1, k + 1)[None, :]
+            X = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            d2 = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + n2c[None, :]
+            n = len(pdf)
+            # rank cells per vector: dist2 asc, then cid asc (cids
+            # ascending makes stable argsort the exact tie-break)
+            order = np.argsort(d2, axis=1, kind="stable")[:, :mr]
+            rows = np.arange(n)[:, None]
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
-                    "label": np.repeat(pdf["label"].to_numpy(), k),
-                    "c_label": np.tile(lab_arr, n),
-                    "cos_to_centroid": cos.reshape(-1),
-                    "rn": rn.reshape(-1).astype(np.int32),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), mr),
+                    "label": np.repeat(pdf["label"].to_numpy(), mr),
+                    "cid": cids[order].reshape(-1),
+                    "dist2": d2[rows, order].reshape(-1),
+                    "rn": np.tile(np.arange(1, mr + 1), n),
                 }
             )
 
     emb = _emb(spark, sf_dir)
-    return emb.select("vec_id", "label", "embedding").mapInPandas(
-        fn, "vec_id long, label long, c_label long, cos_to_centroid double, rn int"
+    return emb.select("vec_id", "label", F.expr(_QV_EXPR).alias("qv")).mapInPandas(
+        fn, "vec_id long, label long, cid long, dist2 long, rn int"
     )
 
 
 def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF partition assignment: nearest (cosine) label centroid per
-    vector — the coarse-quantization step of the ANN scale path."""
+    """IVF partition assignment: nearest k-means centroid cell per
+    vector (exact integer L2) — the coarse-quantization step of the
+    ANN scale path. Cell count scales with the corpus (see the
+    quantizer block comment), so per-cell population stays ~
+    KM_TARGET_CELL at any data size."""
     return (
-        _centroid_scores(spark, sf_dir)
+        _cell_scores(spark, sf_dir, max_rank=1)
         .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "label",
-            F.col("c_label").alias("assigned_label"),
-            "cos_to_centroid",
-            (F.col("label") == F.col("c_label")).alias("matches_true_label"),
-        )
+        .select("vec_id", "label", F.col("cid").alias("cell"), "dist2")
     )
 
 
-ORACLE_IVF_ASSIGNMENTS = """
-WITH ex AS (
-  SELECT vec_id, label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+def _km_sql() -> str:
+    """Shared oracle CTE block replaying the deterministic k-means
+    build in pure SQL: exact integer coordinates, md5-seeded spread,
+    KM_ITERS unrolled Lloyd rounds with floor-of-mean updates, and a
+    final all-vector assignment ``kranked(vec_id, label, cid, dist2,
+    rn)``. Generated (like the PageRank oracle) because the rounds
+    are pure repetition."""
+    head = f"""kparams AS (
+  SELECT COUNT(*) AS n,
+         GREATEST(2, CAST(CEIL(COUNT(*) / {KM_TARGET_CELL}.0) AS BIGINT)) AS k
+  FROM embeddings
+),
+kparams2 AS (
+  SELECT n, k,
+         GREATEST(1, n // ({KM_SAMPLE_PER_CENTROID} * k)) AS s,
+         GREATEST(2, CAST(CEIL(k / 8.0) AS BIGINT)) AS nprobe
+  FROM kparams
+),
+kq AS (
+  SELECT vec_id, label, i,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
   FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
 ),
-cent AS (
-  SELECT label AS c_label, i,
-         CAST(SUM(CAST(floor(v * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 / COUNT(*) AS cv
-  FROM ex GROUP BY label, i
+kseeds AS (
+  SELECT vec_id % k AS cid, arg_min(vec_id, md5(CAST(vec_id AS VARCHAR))) AS seed_vid
+  FROM embeddings, kparams2 GROUP BY vec_id % k
 ),
-cnorm AS (
-  SELECT c_label,
-         CAST(SUM(CAST(floor((cv * cv) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2c
-  FROM cent GROUP BY c_label
+kc0 AS (
+  SELECT s.cid, q.i, q.q AS cv FROM kseeds s JOIN kq q ON q.vec_id = s.seed_vid
 ),
-vnorm AS (
-  SELECT vec_id,
-         CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2v
-  FROM ex GROUP BY vec_id
+ksamp AS (SELECT vec_id FROM embeddings, kparams2 WHERE vec_id % s = 0)"""
+    body = ""
+    prev = "kc0"
+    for t in range(1, KM_ITERS + 1):
+        body += f""",
+kd{t} AS (
+  SELECT q.vec_id, c.cid, SUM((q.q - c.cv) * (q.q - c.cv)) AS dist2
+  FROM kq q JOIN ksamp USING (vec_id) JOIN {prev} c ON q.i = c.i
+  GROUP BY 1, 2
 ),
-dots AS (
-  SELECT ex.vec_id, ex.label, cent.c_label,
-         CAST(SUM(CAST(floor((ex.v * cent.cv) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-  FROM ex JOIN cent ON ex.i = cent.i
+ka{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+    FROM kd{t}) WHERE rn = 1
+),
+ku{t} AS (
+  SELECT a.cid, q.i, SUM(q.q) AS sq, COUNT(*) AS cnt
+  FROM ka{t} a JOIN kq q USING (vec_id) GROUP BY 1, 2
+),
+kc{t} AS (
+  SELECT c.cid, c.i,
+         COALESCE(CAST((u.sq - (((u.sq % u.cnt) + u.cnt) % u.cnt)) // u.cnt AS BIGINT), c.cv) AS cv
+  FROM {prev} c LEFT JOIN ku{t} u ON c.cid = u.cid AND c.i = u.i
+)"""
+        prev = f"kc{t}"
+    tail = f""",
+kcent AS (SELECT cid, i, cv FROM {prev}),
+kdist AS (
+  SELECT q.vec_id, q.label, c.cid, SUM((q.q - c.cv) * (q.q - c.cv)) AS dist2
+  FROM kq q JOIN kcent c ON q.i = c.i
   GROUP BY 1, 2, 3
 ),
-scored AS (
-  SELECT vec_id, label, c_label, dot / (SQRT(n2v) * SQRT(n2c)) AS cos_to_centroid
-  FROM dots JOIN vnorm USING (vec_id) JOIN cnorm USING (c_label)
-)
-SELECT vec_id, label, c_label AS assigned_label, cos_to_centroid,
-       label = c_label AS matches_true_label
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_to_centroid DESC, c_label ASC) AS rn
-  FROM scored
-) WHERE rn = 1
+kranked AS (
+  SELECT vec_id, label, cid, CAST(dist2 AS BIGINT) AS dist2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+  FROM kdist
+)"""
+    return head + body + tail
+
+
+ORACLE_KMEANS_CENTROIDS = f"""
+WITH {_km_sql()}
+SELECT cid, i, cv FROM kcent
+"""
+
+ORACLE_IVF_ASSIGNMENTS = f"""
+WITH {_km_sql()}
+SELECT vec_id, label, cid AS cell, dist2 FROM kranked WHERE rn = 1
 """
 
 
-N_PROBE = 2
 IVF_K = 5
 
 
 def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF top-k search — the ANN scale path run as one
-    plan: assign every corpus vector to its nearest centroid bucket
-    (coarse quantization), probe each query's ``N_PROBE`` preferred
-    buckets, and compute exact cosine ONLY against vectors in probed
-    buckets (here ~20% of the corpus per query vs. 100% for
-    ``knn_bruteforce``; recall is governed by nprobe).
+    plan: assign every corpus vector to its nearest k-means centroid
+    cell (coarse quantization), probe each query's ``nprobe``
+    preferred cells (nprobe = max(2, ⌈k/8⌉), so the probed corpus
+    FRACTION shrinks as the centroid count grows with the corpus),
+    and compute exact cosine ONLY against vectors in probed cells.
 
-    Scale shape: the bucketed corpus is an equi-join on bucket id —
-    at 100 TB the corpus is *stored* partitioned by bucket
+    Scale shape: the bucketed corpus is an equi-join on cell id —
+    at 100 TB the corpus is *stored* partitioned by cell
     (TableIO.replace_where layout), probing becomes partition
-    pruning, and per-bucket candidate sets shrink by the centroid
-    count; no all-pairs stage anywhere. Exact scaled-integer dots
-    keep results bit-reproducible at any parallelism."""
+    pruning, and per-cell candidate sets stay ~KM_TARGET_CELL; no
+    all-pairs stage anywhere. Exact scaled-integer dots keep results
+    bit-reproducible at any parallelism."""
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
-    scores = _centroid_scores(spark, sf_dir).localCheckpoint(eager=True)
+    trained = _train_kmeans(spark, sf_dir)
+    nprobe = trained[2]["nprobe"]
+    scores = _cell_scores(
+        spark, sf_dir, max_rank=nprobe, trained=trained
+    ).localCheckpoint(eager=True)
     corpus = (
         scores.filter(F.col("rn") == 1)
-        .select("vec_id", F.col("c_label").alias("bucket"))
+        .select("vec_id", F.col("cid").alias("bucket"))
         .join(emb, "vec_id")
         .select(F.col("vec_id").alias("nid"), F.col("embedding").alias("e2"), "bucket")
     )
     probes = (
-        scores.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
-        .select(F.col("vec_id").alias("qid"), F.col("c_label").alias("bucket"))
+        scores.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= nprobe))
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("bucket"))
         .join(
             emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("e1")),
             "qid",
@@ -255,40 +402,19 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_IVF_SEARCH = f"""
-WITH ex AS (
-  SELECT vec_id, label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+WITH {_km_sql()},
+ex AS (
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
   FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
-),
-cent AS (
-  SELECT label AS c_label, i,
-         CAST(SUM(CAST(floor(v * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 / COUNT(*) AS cv
-  FROM ex GROUP BY label, i
-),
-cnorm AS (
-  SELECT c_label,
-         CAST(SUM(CAST(floor((cv * cv) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2c
-  FROM cent GROUP BY c_label
 ),
 vnorm AS (
   SELECT vec_id,
          CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2
   FROM ex GROUP BY vec_id
 ),
-cdots AS (
-  SELECT ex.vec_id, cent.c_label,
-         CAST(SUM(CAST(floor((ex.v * cent.cv) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-  FROM ex JOIN cent ON ex.i = cent.i
-  GROUP BY 1, 2
-),
-cscore AS (
-  SELECT vec_id, c_label,
-         ROW_NUMBER() OVER (PARTITION BY vec_id
-                            ORDER BY dot / (SQRT(n2) * SQRT(n2c)) DESC, c_label ASC) AS rn
-  FROM cdots JOIN vnorm USING (vec_id) JOIN cnorm USING (c_label)
-),
-corpus AS (SELECT vec_id AS nid, c_label AS bucket FROM cscore WHERE rn = 1),
-probes AS (SELECT vec_id AS qid, c_label AS bucket FROM cscore
-           WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),
+corpus AS (SELECT vec_id AS nid, cid AS bucket FROM kranked WHERE rn = 1),
+probes AS (SELECT vec_id AS qid, cid AS bucket FROM kranked, kparams2
+           WHERE vec_id < {N_QUERIES} AND rn <= nprobe),
 cand AS (
   SELECT qid, nid FROM probes JOIN corpus USING (bucket) WHERE qid <> nid
 ),
@@ -791,19 +917,20 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SRP → semantic.
 
     Scale shape: the quadratic pair stage is confined WITHIN cells —
-    that is SemDeDup's entire point; cell populations are a design
-    parameter (more centroids at more data), so the per-cell work is
-    bounded and the cross-cell pair space is never touched. One
-    shuffle keys the self-join on the cell id; the component loop is
-    the shared operators/dedup.connected_components. Output covers
-    EVERY vector (singletons are their own kept cluster)."""
+    that is SemDeDup's entire point — and the k-means quantizer's
+    cell count scales with the corpus (k = ⌈n/KM_TARGET_CELL⌉), so
+    per-cell population stays ~constant and total pair work is
+    O(n · KM_TARGET_CELL), linear in the corpus. One shuffle keys
+    the self-join on the cell id; the component loop is the shared
+    operators/dedup.connected_components. Output covers EVERY vector
+    (singletons are their own kept cluster)."""
     from ..operators.dedup import connected_components
 
     import numpy as np
     import pandas as pd
 
     cells = ivf_assignments(spark, sf_dir).select(
-        "vec_id", F.col("assigned_label").alias("cell")
+        "vec_id", F.col("cell")
     )
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     v = emb.join(cells, "vec_id").localCheckpoint(eager=False)
@@ -855,38 +982,18 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SEMDEDUP = f"""
-WITH ex AS (
-  SELECT vec_id, label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+WITH {_km_sql()},
+ex AS (
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
   FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
-),
-cent AS (
-  SELECT label AS c_label, i,
-         CAST(SUM(CAST(floor(v * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 / COUNT(*) AS cv
-  FROM ex GROUP BY label, i
-),
-cnorm AS (
-  SELECT c_label,
-         CAST(SUM(CAST(floor((cv * cv) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2c
-  FROM cent GROUP BY c_label
 ),
 vnorm AS (
   SELECT vec_id,
          CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2v
   FROM ex GROUP BY vec_id
 ),
-cdots AS (
-  SELECT ex.vec_id, cent.c_label,
-         CAST(SUM(CAST(floor((ex.v * cent.cv) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-  FROM ex JOIN cent ON ex.i = cent.i
-  GROUP BY 1, 2
-),
 cells AS (
-  SELECT vec_id, c_label AS cell FROM (
-    SELECT vec_id, c_label,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY dot / (SQRT(n2v) * SQRT(n2c)) DESC, c_label ASC) AS rn
-    FROM cdots JOIN vnorm USING (vec_id) JOIN cnorm USING (c_label)
-  ) WHERE rn = 1
+  SELECT vec_id, cid AS cell FROM kranked WHERE rn = 1
 ),
 pdots AS (
   SELECT a.vec_id AS d1, b.vec_id AS d2,
@@ -925,6 +1032,7 @@ FROM allv JOIN csize USING (cluster_id)
 
 
 QUERIES = {
+    "kmeans_centroids": kmeans_centroids,
     "semdedup": semdedup,
     "sq8_rerank_search": sq8_rerank_search,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -938,6 +1046,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
     "semdedup": ORACLE_SEMDEDUP,
     "sq8_rerank_search": ORACLE_SQ8_RERANK_SEARCH,
     "embedding_quantize_int8": ORACLE_EMBEDDING_QUANTIZE_INT8,
