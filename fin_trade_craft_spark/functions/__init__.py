@@ -1,3 +1,3 @@
-from .exact import davg, dsum, share_of_total
+from .exact import davg, dsum, with_share_of_total
 
-__all__ = ["davg", "dsum", "share_of_total"]
+__all__ = ["davg", "dsum", "with_share_of_total"]

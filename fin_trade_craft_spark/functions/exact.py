@@ -34,8 +34,16 @@ def davg(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double") / F.count(c)
 
 
-def share_of_total(cnt: Column) -> Column:
-    """100 * cnt / total as a single deterministic double chain."""
-    from pyspark.sql import Window
-
-    return F.lit(100.0) * cnt / F.sum(cnt).over(Window.partitionBy())
+def with_share_of_total(df, cnt_col: str, out: str = "pct", ndigits: int | None = None):
+    """Attach 100·cnt/total: the global total comes from an
+    aggregate broadcast back onto the frame (one 1-row crossJoin →
+    BroadcastNestedLoop), NOT an empty-partition window — a
+    ``SUM() OVER ()`` plans an unpartitioned WindowExec that funnels
+    the frame through one task, which the plan lint bans. Division
+    chain (lit(100.0) · cnt / total) is unchanged, so values are
+    bit-identical to the window form."""
+    tot = df.agg(F.sum(F.col(cnt_col)).alias("__tot"))
+    share = F.lit(100.0) * F.col(cnt_col) / F.col("__tot")
+    if ndigits is not None:
+        share = F.round(share, ndigits)
+    return df.crossJoin(F.broadcast(tot)).withColumn(out, share).drop("__tot")

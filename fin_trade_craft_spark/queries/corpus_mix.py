@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..operators.total_order import global_ntile
 from ..sources.catalog import load_table
 
 _NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
@@ -44,19 +45,27 @@ MIX_ALPHA = 0.7  # temperature exponent, the multilingual-LM default
 MIX_TOKEN_BUDGET = 1_000_000
 
 
-def _mix_weight_quota():
+def _with_mix_weight_quota(per_src: DataFrame) -> DataFrame:
     """Shared temperature-mixture weight math over a per-source frame
     with a ``total_tokens`` column — used by BOTH the weights report
     and the epoch expansion so the two queries can never
     desynchronize (see source_mixture_weights for the pow-quantize
-    rationale)."""
+    rationale). The normalizing total is an aggregate broadcast back
+    (1-row crossJoin), not a ``SUM() OVER ()`` empty-frame window —
+    same exact decimal sum, no single-task WindowExec. Attaches
+    ``mix_weight`` and ``token_quota``."""
     raw = F.pow(F.col("total_tokens").cast("double"), F.lit(MIX_ALPHA)).cast(
         "decimal(28,10)"
     )
-    w = Window.partitionBy()
-    weight = raw.cast("double") / F.sum(raw).over(w).cast("double")
-    quota = weight * F.lit(float(MIX_TOKEN_BUDGET))
-    return weight, quota
+    d = per_src.withColumn("__raw", raw)
+    tot = d.agg(F.sum("__raw").alias("__tot"))
+    d = d.crossJoin(F.broadcast(tot))
+    weight = F.col("__raw").cast("double") / F.col("__tot").cast("double")
+    return (
+        d.withColumn("mix_weight", weight)
+        .withColumn("token_quota", weight * F.lit(float(MIX_TOKEN_BUDGET)))
+        .drop("__raw", "__tot")
+    )
 
 
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,14 +86,13 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the normalizing sum would otherwise fold doubles in
     # partition order — quantize pow to a fixed decimal grain and
     # accumulate exactly, then do the divisions in one fixed chain.
-    weight, quota = _mix_weight_quota()
-    return per_src.select(
+    return _with_mix_weight_quota(per_src).select(
         "source",
         "n_docs",
         "total_tokens",
-        weight.alias("mix_weight"),
-        quota.alias("token_quota"),
-        (quota / F.col("total_tokens").cast("double")).alias("epochs"),
+        "mix_weight",
+        "token_quota",
+        (F.col("token_quota") / F.col("total_tokens").cast("double")).alias("epochs"),
     ).orderBy("source")
 
 
@@ -136,11 +144,10 @@ def mixture_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = d.groupBy("source").agg(
         F.sum("n_tokens").alias("total_tokens"),
     )
-    weight, quota = _mix_weight_quota()
-    eps = per_src.select(
+    eps = _with_mix_weight_quota(per_src).select(
         "source",
-        (quota / F.col("total_tokens").cast("double")).alias("epochs"),
-        quota.alias("token_quota"),
+        (F.col("token_quota") / F.col("total_tokens").cast("double")).alias("epochs"),
+        "token_quota",
     )
     base = F.floor(F.col("epochs")).cast("bigint")
     frac = F.col("epochs") - F.floor(F.col("epochs"))
@@ -408,12 +415,14 @@ def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break by unique doc_id makes stage assignment a pure
     function of the data, identical across engines and parallelism.
 
-    Scale shape: one shuffle on ``lang`` for the window (languages
-    are few but large — at 100 TB per-lang partitions would skew, so
-    production would swap NTILE for a two-pass quantile-cut:
-    approx percentiles per lang broadcast back as stage bounds;
-    same output contract, no single-partition sort). The per-stage
-    rollup rides the window's partitioning — no second shuffle."""
+    Scale shape: languages are few but HUGE, so a per-lang window
+    would sort each language in one task. The stage assignment runs
+    through operators/total_order.global_ntile instead: range-
+    partition on (lang, n_tokens, doc_id), per-partition row_number
+    plus bounded per-(partition, lang) count offsets, exact ANSI
+    NTILE fill arithmetic — identical values, every sort partition
+    ~|corpus|/P rows regardless of language skew. The per-stage
+    rollup is then a plain hash aggregate."""
     d = _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
@@ -421,8 +430,9 @@ def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # BIGINT len()/aggregates without per-column casts
         F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
-    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
-    staged = d.withColumn("stage", F.ntile(4).over(w).cast("bigint"))
+    staged = global_ntile(
+        d, 4, [F.col("n_tokens"), F.col("doc_id")], "stage", group_cols=["lang"]
+    )
     return (
         staged.groupBy("lang", "stage")
         .agg(

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, dsum, share_of_total
+from ..functions.exact import davg, dsum, with_share_of_total
 from ..sources.catalog import load_table
 
 
@@ -200,7 +200,7 @@ def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform_earnings_call_transcript_eda.py:98-103)."""
     ev = _t(spark, sf_dir, "events")
     cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    return cnt.withColumn("pct", share_of_total(F.col("n"))).orderBy("event_type")
+    return with_share_of_total(cnt, "n", "pct").orderBy("event_type")
 
 
 ORACLE_EVENT_TYPE_SHARE = """
@@ -1537,25 +1537,26 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     well-defined under ties.
 
     The oracle runs the IDENTICAL window recurrence, so parity is
-    by construction. Scale shape: the global sort-scan is one
-    total-order window — at 100 TB you'd grid-partition the price
-    axis and prune whole cells dominated by another cell's corner
-    point before the scan; the per-cell pass is unchanged."""
+    by construction. Scale shape: the sort-scan is DISTRIBUTED via
+    operators/total_order.range_prefix_scan_max — range-partition
+    the scan order, per-partition running max, each partition's
+    incoming max from a bounded driver prefix-combine. No
+    single-partition WindowExec anywhere (the r04 shape had one;
+    the plan lint now bans it); every sort partition is ~|parts|/P
+    rows."""
+    from ..operators.total_order import range_prefix_scan_max
+
     p = _t(spark, sf_dir, "part")
     dedup = (
         p.groupBy("p_retailprice", "p_size")
         .agg(F.min("p_partkey").alias("p_partkey"))
     )
-    w = (
-        Window.orderBy(F.asc("p_retailprice"), F.desc("p_size"), F.asc("p_partkey"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    scanned = dedup.select(
-        "p_partkey",
-        "p_retailprice",
+    scanned = range_prefix_scan_max(
+        dedup,
+        [F.asc("p_retailprice"), F.desc("p_size"), F.asc("p_partkey")],
         "p_size",
-        F.max("p_size").over(w).alias("runmax_size"),
-    )
+        "runmax_size",
+    ).select("p_partkey", "p_retailprice", "p_size", "runmax_size")
     return (
         scanned.filter(
             F.col("runmax_size").isNull() | (F.col("p_size") > F.col("runmax_size"))

@@ -26,19 +26,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum
+from ..operators.total_order import global_percent_rank
 from ..sources.catalog import load_table
 
 
 def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite-scored top-25 screener table.
 
-    Scale notes: the three global percent-rank windows are
-    single-partition — correct for the reference semantics (a global
-    cross-sectional rank) and cheap here because they run over the
-    pre-aggregated per-customer frame (one row per customer), not
-    raw orders. At 100 TB the per-customer agg shuffles once on
-    o_custkey with map-side combine; the final top-25 is a
-    TakeOrdered (no full sort materialization)."""
+    Scale notes: the three market-wide percent ranks are GLOBAL
+    cross-sectional ranks (reference semantics) but run through
+    operators/total_order.global_percent_rank — range-partitioned
+    two-phase ranking, identical values, NO single-partition
+    WindowExec (the r04 shape planned three unpartitioned windows
+    and tripped the plan lint this repo now enforces). At 100 TB
+    the per-customer agg shuffles once on o_custkey with map-side
+    combine; the ranks shuffle the AGGREGATED frame only; the final
+    top-25 is a TakeOrdered (no full sort materialization)."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
@@ -50,14 +53,12 @@ def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_totalprice", F.struct("o_orderdate", "o_orderkey")).alias("close"),
     )
     per = per.withColumn("avg_order_value", F.col("total_spend") / F.col("volume"))
-    scored = per.select(
-        "*",
-        F.percent_rank().over(Window.orderBy("total_spend")).alias("success_probability"),
-        (F.percent_rank().over(Window.orderBy("volume")) * 100).alias("signal_strength"),
-        (F.percent_rank().over(Window.orderBy("avg_order_value")) * 100).alias(
-            "overall_quality_score"
-        ),
-    )
+    scored = global_percent_rank(per, "total_spend", "success_probability")
+    scored = global_percent_rank(scored, "volume", "__sr")
+    scored = global_percent_rank(scored, "avg_order_value", "__qr")
+    scored = scored.withColumn("signal_strength", F.col("__sr") * 100).withColumn(
+        "overall_quality_score", F.col("__qr") * 100
+    ).drop("__sr", "__qr")
     composite = (
         F.col("success_probability") * 0.6
         + F.col("signal_strength") / 100 * 0.2

@@ -819,9 +819,11 @@ def transcript_title_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture has no job-title column; the operator — cascade classify
     + count + rounded global share — is the thing under parity).
 
-    Scale shape: the window runs AFTER the groupBy, over one row per
-    tier (≤5), so the single-partition global window is trivially
-    cheap; the heavy side is a map-side-combinable hash aggregate."""
+    Scale shape: the share total is an aggregate broadcast back onto
+    the ≤5 tier rows (no empty-frame window — the plan lint bans
+    unpartitioned WindowExec even over bounded inputs, to keep the
+    pattern out of the codebase); the heavy side is a
+    map-side-combinable hash aggregate."""
     d = _docs(spark, sf_dir)
     low = F.lower(F.col("text"))
     tier = (
@@ -831,19 +833,18 @@ def transcript_title_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(low.contains("scan") | low.contains("filter"), "Scan / Filter")
         .otherwise("Needs Classification")
     )
-    from pyspark.sql.window import Window
+    from ..functions.exact import with_share_of_total
 
     counted = (
         d.filter(F.col("text").isNotNull() & (F.col("text") != ""))
         .groupBy(tier.alias("aggregate_title"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = F.sum("cnt").over(Window.partitionBy())
-    return counted.select(
-        "aggregate_title",
-        "cnt",
-        F.round(F.lit(100.0) * F.col("cnt") / total, 2).alias("percentage"),
-    ).orderBy(F.col("cnt").desc(), "aggregate_title")
+    return (
+        with_share_of_total(counted, "cnt", "percentage", ndigits=2)
+        .select("aggregate_title", "cnt", "percentage")
+        .orderBy(F.col("cnt").desc(), "aggregate_title")
+    )
 
 
 ORACLE_TRANSCRIPT_TITLE_SHARE = """

@@ -1365,17 +1365,19 @@ def tvd_drift_from_counts(cnt: DataFrame) -> DataFrame:
         F.when(F.lag("hour").over(wt) == prev_hour, F.lag("c").over(wt)).alias("c_b"),
     ).filter(F.col("c_b").isNotNull())
     tot = cnt.groupBy("hour").agg(F.sum("c").alias("n"))
-    wh = Window.orderBy("hour")
-    # t_hour alias: both branches descend from the same `cnt` node
-    # (for a drained memory sink they expose the SAME attribute ids),
-    # and a name-based self-join on `hour` trips Catalyst's
-    # conflicting-reference check — the rename gives the right side
-    # a fresh output attribute
-    tots = tot.select(
-        F.col("hour").alias("t_hour"),
-        F.col("n").alias("n_curr"),
-        F.when(F.lag("hour").over(wh) == prev_hour, F.lag("n").over(wh)).alias("n_prev"),
-    ).filter(F.col("n_prev").isNotNull())
+    # consecutive-hour totals via a shifted self-equi-join, NOT an
+    # unpartitioned lag window (Window.orderBy with no partitioner
+    # funnels the per-hour frame through one task — banned by the
+    # plan lint; |hours| grows with the timeline). Both sides
+    # project FRESH aliases (t_hour from different expressions), so
+    # the drained-streaming-sink attribute-ambiguity issue the old
+    # comment guarded against can't arise either.
+    t_curr = tot.select(F.col("hour").alias("t_hour"), F.col("n").alias("n_curr"))
+    t_prev = tot.select(
+        (F.col("hour") + F.expr("INTERVAL 1 HOUR")).alias("t_hour"),
+        F.col("n").alias("n_prev"),
+    )
+    tots = t_curr.join(t_prev, "t_hour")  # inner: hours with a predecessor
     pairs = lagged.join(F.broadcast(tots), F.col("hour") == F.col("t_hour")).drop("t_hour")
     return (
         pairs.groupBy("hour", "n_curr", "n_prev")

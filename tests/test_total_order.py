@@ -1,0 +1,107 @@
+"""operators/total_order: the distributed global-rank family must
+match Spark's own single-partition window results exactly, while
+planning ZERO unpartitioned WindowExec nodes."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from fin_trade_craft_spark.operators import total_order as TO  # noqa: E402
+
+
+def _fixture(spark, n=997):
+    # duplicates in v (v = id % 83) exercise tie semantics; g is a
+    # 3-group column for the grouped variants
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 83).alias("v"),
+            (F.col("id") % 3).cast("string").alias("g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _no_unpartitioned_window(df):
+    from test_plan_lint import unpartitioned_windows
+
+    return unpartitioned_windows(df)
+
+
+def test_global_row_number_matches_window(spark):
+    df = _fixture(spark)
+    got = TO.global_row_number(df, [F.col("v"), F.col("id")], "rn")
+    want = df.withColumn("rn", F.row_number().over(Window.orderBy("v", "id")))
+    g = {(r.id, r.rn) for r in got.collect()}
+    w = {(r.id, r.rn) for r in want.collect()}
+    assert g == w
+    assert _no_unpartitioned_window(got) == []
+
+
+def test_global_percent_rank_matches_window(spark):
+    df = _fixture(spark)
+    got = TO.global_percent_rank(df, "v", "pr")
+    want = df.withColumn("pr", F.percent_rank().over(Window.orderBy("v")))
+    g = {(r.id, r.pr) for r in got.collect()}
+    w = {(r.id, r.pr) for r in want.collect()}
+    assert g == w  # bit-exact: same (minrank-1)/(n-1) arithmetic
+    assert _no_unpartitioned_window(got) == []
+
+
+def test_grouped_percent_rank_matches_window(spark):
+    df = _fixture(spark)
+    got = TO.global_percent_rank(df, "v", "pr", group_cols=["g"])
+    want = df.withColumn(
+        "pr", F.percent_rank().over(Window.partitionBy("g").orderBy("v"))
+    )
+    g = {(r.id, r.pr) for r in got.collect()}
+    w = {(r.id, r.pr) for r in want.collect()}
+    assert g == w
+
+
+def test_global_ntile_matches_window(spark):
+    df = _fixture(spark)
+    for k in (4, 7):
+        got = TO.global_ntile(df, k, [F.col("v"), F.col("id")], "t")
+        want = df.withColumn("t", F.ntile(k).over(Window.orderBy("v", "id")))
+        g = {(r.id, r.t) for r in got.collect()}
+        w = {(r.id, r.t) for r in want.collect()}
+        assert g == w, f"ntile({k})"
+    assert _no_unpartitioned_window(got) == []
+
+
+def test_grouped_ntile_and_tiny_groups(spark):
+    df = _fixture(spark, n=200)
+    got = TO.global_ntile(df, 4, [F.col("v"), F.col("id")], "t", group_cols=["g"])
+    want = df.withColumn(
+        "t", F.ntile(4).over(Window.partitionBy("g").orderBy("v", "id"))
+    )
+    assert {(r.id, r.t) for r in got.collect()} == {
+        (r.id, r.t) for r in want.collect()
+    }
+    # n < k edge: NTILE assigns tiles 1..n
+    tiny = df.limit(3)
+    got = TO.global_ntile(tiny, 7, [F.col("id")], "t")
+    assert sorted(r.t for r in got.collect()) == [1, 2, 3]
+
+
+def test_range_prefix_scan_max_matches_window(spark):
+    df = _fixture(spark)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = TO.range_prefix_scan_max(df, order, "id", "rm")
+    w = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn("rm", F.max("id").over(w))
+    g = {(r.id, r.rm) for r in got.collect()}
+    ww = {(r.id, r.rm) for r in want.collect()}
+    assert g == ww
+    assert _no_unpartitioned_window(got) == []
