@@ -6,14 +6,16 @@ and report global graph statistics.
 
 Scale notes: the pair generation is bounded per order (an order has
 ≤7 lineitems → ≤21 pairs), so the explode is linear in lineitems,
-never quadratic in parts. Edges are stored once, oriented
-``p1 < p2`` — triangle counting is the classic oriented wedge join
-(e(a,b) ⋈ e(b,c) on the middle node, semi-join the closing edge
-e(a,c)); orientation makes every triangle counted exactly once and
-caps the wedge fan-out. At 100 TB you'd orient by DEGREE instead of
-id (node-iterator++ — the standard skew fix when hub nodes exist);
-id orientation is kept here because it is value-oracle-exact and the
-co-order threshold already thins hubs.
+never quadratic in parts. Triangle counting uses DEGREE orientation
+(node-iterator++): every edge points from its lower-(degree, id)
+endpoint to the higher one, wedges fan out from the common SOURCE,
+and the closing edge is a semi-join. Orienting by degree (not id)
+bounds every node's out-degree by ~√(2m), so a hub of degree d
+generates O(m) wedge work instead of the O(d²) an id orientation
+can concentrate in one task — the standard skew fix, and the
+triangle COUNT is provably identical under any total order (each
+triangle is counted once, at its ≺-minimal vertex). The id-oriented
+twin (``triangles_id_oriented``) is kept for the differential test.
 """
 
 from __future__ import annotations
@@ -41,22 +43,68 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def degree_oriented_edges(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient each undirected edge (p1 < p2) from its ≺-smaller
+    endpoint to the larger, where ≺ = (degree, id) lexicographic.
+    Output: (src, dst, dst_deg, dst is carried with its degree so
+    wedge pairs can be ≺-ordered without another join)."""
+    d1 = deg.select(F.col("p").alias("p1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("p").alias("p2"), F.col("d").alias("d2"))
+    ed = e.join(d1, "p1").join(d2, "p2")
+    # degree tie ⇒ fall back to id order, and p1 < p2 already holds
+    fwd = F.col("d1") <= F.col("d2")
+    return ed.select(
+        F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        F.when(fwd, F.col("d2")).otherwise(F.col("d1")).alias("dst_deg"),
+    )
+
+
+def triangle_count(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-oriented (node-iterator++) triangle count: wedges fan
+    out from each source over its ≺-ordered out-neighbors, closed by
+    a semi-join on the (≺-consistent) third edge. Out-degree under
+    degree orientation is ≤ ~√(2m), so per-source wedge fan-out is
+    bounded even when a hub holds a constant fraction of all edges
+    (the hub's edges all point INTO it — it generates zero wedges)."""
+    o = degree_oriented_edges(e, deg).localCheckpoint(eager=False)
+    a = o.select("src", F.col("dst").alias("b"), F.col("dst_deg").alias("bd"))
+    b = o.select("src", F.col("dst").alias("c"), F.col("dst_deg").alias("cd"))
+    wedges = a.join(b, "src").filter(
+        (F.col("bd") < F.col("cd"))
+        | ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))
+    )
+    # the closing edge of a ≺-ordered wedge (b ≺ c) is oriented b→c
+    return wedges.join(
+        o.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangles_id_oriented(e: DataFrame) -> DataFrame:
+    """The id-oriented twin (r04 shape) — value-identical count, but
+    a small-id hub concentrates O(d²) wedges in one task; kept as
+    the differential/parity reference for the skew tests."""
+    e2 = e.select(F.col("p1").alias("q1"), F.col("p2").alias("q2"))
+    wedges = e.join(e2, e.p2 == e2.q1).select(F.col("p1").alias("a"), F.col("q2").alias("c"))
+    return wedges.join(
+        e.select(F.col("p1").alias("a"), F.col("p2").alias("c")), ["a", "c"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One stats row: nodes, edges, triangles, average degree, and
     the global clustering coefficient (3·triangles / wedges)."""
     e = _edges(spark, sf_dir).localCheckpoint(eager=False)
-    # oriented wedges a<b<c: e(a,b) ⋈ e(b,c); close with e(a,c)
-    e2 = e.select(F.col("p1").alias("q1"), F.col("p2").alias("q2"))
-    wedges = e.join(e2, e.p2 == e2.q1).select(F.col("p1").alias("a"), F.col("q2").alias("c"))
-    tri = wedges.join(
-        e.select(F.col("p1").alias("a"), F.col("p2").alias("c")), ["a", "c"], "left_semi"
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
     deg = (
         e.select(F.col("p1").alias("p"))
         .unionByName(e.select(F.col("p2").alias("p")))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)  # feeds orientation, wedge total, node count
     )
+    tri = triangle_count(e, deg)
     wedge_total = deg.agg(
         F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
     )

@@ -64,3 +64,44 @@ def test_pagerank_mass_and_symmetry(spark, tmp_path):
     assert set(prs) == {1, 2, 3}
     assert abs(sum(prs.values()) - 1.0) < 1e-9
     assert len({round(v, 12) for v in prs.values()}) == 1
+
+
+def test_degree_orientation_equals_id_orientation_under_hub_skew(spark):
+    """Planted hub: node 0 (smallest id, largest degree) connects to
+    every spoke; consecutive spokes are chained, so every triangle is
+    (0, i, i+1). Degree and id orientation must count identically,
+    while the degree-oriented wedge fan-out stays O(1) per source
+    where the id orientation concentrates C(hub_degree, 2) wedges in
+    the hub's task."""
+    from pyspark.sql import functions as F
+
+    from fin_trade_craft_spark.queries.graph import (
+        degree_oriented_edges,
+        triangle_count,
+        triangles_id_oriented,
+    )
+
+    n = 60  # spokes 1..60
+    hub_edges = [(0, i) for i in range(1, n + 1)]
+    chain = [(i, i + 1) for i in range(1, n)]
+    e = spark.createDataFrame(hub_edges + chain, "p1 long, p2 long")
+    deg = (
+        e.select(F.col("p1").alias("p"))
+        .unionByName(e.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    got = triangle_count(e, deg).collect()[0]["n_triangles"]
+    want = triangles_id_oriented(e).collect()[0]["n_triangles"]
+    assert got == want == n - 1
+
+    # wedge fan-out bound: per-source wedge work = C(outdeg, 2)
+    o = degree_oriented_edges(e, deg)
+    out_deg = o.groupBy("src").agg(F.count(F.lit(1)).alias("od")).toPandas()
+    max_wedges_deg = int((out_deg["od"] * (out_deg["od"] - 1) // 2).max())
+    # id orientation: hub (id 0, degree n) owns C(n, 2) wedges
+    max_wedges_id = n * (n - 1) // 2
+    assert max_wedges_deg <= 3  # spokes have out-degree <= 3 (chain x2 + hub)
+    assert max_wedges_id == 1770  # the skew the degree orientation removes
+    # the hub emits NO wedges at all — its edges all point into it
+    assert 0 not in set(out_deg["src"])
