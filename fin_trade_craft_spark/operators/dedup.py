@@ -42,11 +42,15 @@ def exploded_shingles(shingle_sets: DataFrame, id_col: str = "doc_id") -> DataFr
     return shingle_sets.select(id_col, F.explode("shingles").alias("shingle"))
 
 
+EXACT_TIER_MAX_ROWS = 25_000  # covers every fixture incl. the sf1 replica
+
+
 def exact_jaccard_pairs(
     shingle_sets: DataFrame,
     id_col: str = "doc_id",
     min_jaccard: float = 0.5,
     candidates: DataFrame | None = None,
+    max_rows: int = EXACT_TIER_MAX_ROWS,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold.
 
@@ -86,6 +90,17 @@ def exact_jaccard_pairs(
             F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
         )
         return out.filter(F.col("jaccard") >= min_jaccard)
+    # The candidate-free branch is the FIXTURE/VERIFIER tier: its
+    # shingle self-join is quadratic in colliding docs, so refuse
+    # corpus-sized inputs instead of silently launching an n² stage —
+    # the one count() action here is noise next to the join it gates.
+    n = shingle_sets.count()
+    if n > max_rows:
+        raise ValueError(
+            f"exact_jaccard_pairs without candidates is the exact/verifier tier "
+            f"(quadratic): got {n} docs > max_rows={max_rows}. Pass candidates from "
+            f"lsh_candidate_pairs (the scale path), or raise max_rows explicitly."
+        )
     base = (
         shingle_sets.select(
             id_col,

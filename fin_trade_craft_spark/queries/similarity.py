@@ -433,15 +433,26 @@ SELECT qid, rank, nid, cos_sim FROM (
 """
 
 
-def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection: the top-20 most
-    similar vector pairs (exact all-pairs at fixture scale — the
-    verifier role; the LSH/IVF candidate generation is the 100 TB
-    path). Exact scaled-integer dot products; deterministic
-    tiebreak."""
+EXACT_NEAR_DUPES_MAX_ROWS = 25_000  # covers every fixture incl. the sf1 replica
+
+
+def exact_near_dupe_pairs(emb: DataFrame, max_rows: int = EXACT_NEAR_DUPES_MAX_ROWS) -> DataFrame:
+    """The exact all-pairs near-dup kernel behind
+    ``embedding_near_dupes`` — REFUSES corpus-sized inputs: this is
+    the fixture-scale verifier tier (θ-join over n² pairs); pointing
+    it at a large table would silently launch a quadratic stage, so
+    it raises with the scale-path alternatives instead (the one
+    count() action is noise next to the join it gates)."""
     from pyspark.sql import Window
 
-    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_near_dupes is the exact/verifier tier (all-pairs, O(n²)): "
+            f"got {n} vectors > max_rows={max_rows}. Use srp_lsh_near_dupes (LSH "
+            f"candidates) or semdedup (IVF cells) at corpus scale, or raise "
+            f"max_rows explicitly."
+        )
     a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
     b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
     pairs = a.join(b, F.col("d1") < F.col("d2"))
@@ -456,6 +467,15 @@ def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w))
         .select("rank", "d1", "d2", "cos_sim")
     )
+
+
+def embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: the top-20 most
+    similar vector pairs (exact all-pairs at fixture scale — the
+    verifier role; srp_lsh_near_dupes / semdedup are the 100 TB
+    paths, and the kernel REFUSES corpus-sized inputs). Exact
+    scaled-integer dot products; deterministic tiebreak."""
+    return exact_near_dupe_pairs(_emb(spark, sf_dir))
 
 
 ORACLE_EMBEDDING_NEAR_DUPES = """

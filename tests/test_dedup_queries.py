@@ -25,3 +25,35 @@ def test_dedup_vs_oracle(spark, duck, name):
     assert len(sdf) > 0, f"{name}: empty result"
     ok, msg = compare(sdf, odf)
     assert ok, f"{name}: {msg}"
+
+
+def test_exact_tier_guards_refuse_corpus_sized_inputs(spark):
+    """The exact/verifier tiers must refuse to silently launch an
+    O(n²) stage on a corpus-sized input: both guards raise with the
+    scale-path alternative named; small inputs are unaffected; an
+    explicit max_rows override is the escape hatch."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fin_trade_craft_spark.operators.dedup import exact_jaccard_pairs
+    from fin_trade_craft_spark.queries.similarity import exact_near_dupe_pairs
+
+    big_sets = spark.range(25_001).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.lit("a b c"), F.lit("b c d")).alias("shingles"),
+    )
+    with pytest.raises(ValueError, match="lsh_candidate_pairs"):
+        exact_jaccard_pairs(big_sets).count()
+    # candidate-driven branch (the scale path) has no row cap
+    cands = spark.createDataFrame([(0, 1)], "d1 long, d2 long")
+    assert exact_jaccard_pairs(big_sets, candidates=cands).count() == 1
+
+    big_emb = spark.range(25_001).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="srp_lsh_near_dupes"):
+        exact_near_dupe_pairs(big_emb).count()
+    # override hatch + small inputs still work
+    small = big_emb.filter(F.col("vec_id") < 5)
+    assert exact_near_dupe_pairs(small).count() > 0
