@@ -110,3 +110,51 @@ def test_metrics_rollup(spark):
     assert abs(m.win_rate - 2 / 3) < 1e-9
     assert m.profit_factor > 1
     assert m.max_drawdown < 0  # the losing trade dents the curve
+
+
+def test_simulator_cooldown_and_edge_cases(spark):
+    """Pin the ledger's edge semantics: same-bar buy+sell resolves
+    to SELL while in a position (elif order), cooldown blocks
+    re-entry strictly inside the window and allows it exactly AT the
+    boundary, a price above the position value skips the trade
+    (zero whole shares), and a position opened on the final bar is
+    force-closed on that same bar."""
+    import datetime
+
+    from fin_trade_craft_spark.operators.backtest import simulate_trades
+
+    d = lambda i: datetime.datetime(2024, 1, i)
+    rows = [
+        # (date, close, buy, sell)
+        (d(1), 100.0, True, False),   # open: 20 shares @100
+        (d(2), 110.0, True, True),    # in position + both signals -> SELL wins
+        (d(3), 50.0, True, False),    # 1 day since exit < 2-day cooldown: blocked
+        (d(4), 50.0, True, False),    # exactly 2 days: allowed -> 40 shares @50
+        (d(5), 55.0, False, True),    # close
+        (d(7), 3000.0, True, False),  # cooldown ok but int(2000/3000)=0 shares: skip
+        (d(8), 40.0, True, False),    # open on the LAST bar -> force-close same bar
+    ]
+    prices = spark.createDataFrame(
+        [(1, dt, c) for dt, c, _, _ in rows], "symbol long, date timestamp, close double"
+    )
+    sigs = spark.createDataFrame(
+        [(1, dt, "s", b, s) for dt, c, b, s in rows],
+        "symbol long, date timestamp, strategy string, buy_signal boolean, sell_signal boolean",
+    )
+    trades = (
+        simulate_trades(sigs, prices, cooldown_days=2.0)
+        .orderBy("entry_date")
+        .collect()
+    )
+    got = [
+        (t.entry_date.day, t.exit_date.day, t.entry_price, t.exit_price, t.shares, t.exit_reason)
+        for t in trades
+    ]
+    assert got == [
+        (1, 2, 100.0, 110.0, 20.0, "sell_signal"),
+        (4, 5, 50.0, 55.0, 40.0, "sell_signal"),
+        (8, 8, 40.0, 40.0, 50.0, "end_of_period"),
+    ]
+    # the same-bar force-close costs exactly round-trip commission
+    t3 = trades[-1]
+    assert t3.pnl == -(2000.0 + 2000.0) * 0.001
