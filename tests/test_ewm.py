@@ -97,3 +97,41 @@ def test_multi_key_groups_are_independent(spark):
         got = out[out.sym == key].sort_values("bar")["ema_8"].reset_index(drop=True)
         want = pd.Series(vals).ewm(span=8).mean()
         assert (got - want).abs().max() < 1e-9
+
+
+def test_grouped_map_chunk_guard_parity(spark):
+    """The memory-guarded chunk path (max_rows_per_frame) must be
+    invisible to results: flushing at group boundaries mid-partition
+    yields exactly the unchunked output, each fn call still sees its
+    WHOLE group (asserted inside fn), and a single group larger than
+    the cap stays intact."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fin_trade_craft_spark.operators.ewm import grouped_map
+
+    # 8 groups x 12 rows, plus one giant 40-row group (id 99)
+    rows = [(g, i, float(g * 100 + i)) for g in range(8) for i in range(12)]
+    rows += [(99, i, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, seq long, v double")
+
+    expected_sizes = {g: 12 for g in range(8)} | {99: 40}
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = int(pdf["k"].iloc[0])
+        # every call must receive the FULL group, chunked or not
+        assert len(pdf) == expected_sizes[k], (k, len(pdf))
+        pdf = pdf.sort_values("seq")
+        out = pdf[["k", "seq"]].copy()
+        out["ewm"] = pdf["v"].ewm(span=5).mean()
+        return out
+
+    schema = "k long, seq long, ewm double"
+    unchunked = grouped_map(df, "k", fn, schema, max_rows_per_frame=None).toPandas()
+    chunked = grouped_map(df, "k", fn, schema, max_rows_per_frame=7).toPandas()
+    key = ["k", "seq"]
+    pd.testing.assert_frame_equal(
+        unchunked.sort_values(key).reset_index(drop=True),
+        chunked.sort_values(key).reset_index(drop=True),
+    )
+    assert len(chunked) == len(rows)
