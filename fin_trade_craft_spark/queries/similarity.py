@@ -102,9 +102,11 @@ GROUP BY label, i
 #   centroid updates are exact int64 arithmetic (no float fold order
 #   anywhere in training or assignment);
 # - seeds: for each j < k, the row minimizing md5(vec_id) among
-#   rows with vec_id % k == j (spreads seeds uniformly without a
-#   total-order sort);
-# - training sample: vec_id % s == 0 with s sized for
+#   rows whose md5-derived hash ≡ j (mod k) — hash-mod, NOT raw
+#   vec_id % k, so id structure (e.g. training on the even-id half
+#   in the incremental-ingest query) can't empty residue classes;
+#   spreads seeds uniformly without a total-order sort;
+# - training sample: salted-md5 hash ≡ 0 (mod s) with s sized for
 #   KM_SAMPLE_PER_CENTROID rows per centroid (no RNG to ship);
 # - KM_ITERS Lloyd rounds; the centroid update is the exact floor of
 #   the member mean (floor-division of int sums); empty cells keep
@@ -125,6 +127,24 @@ KM_ITERS = 2
 _QV_EXPR = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
 
 
+def _hash16(salt: str, cast_str: str) -> str:
+    """Engine-portable 16-bit hash of vec_id from the first 4 md5
+    nibbles (instr against a hex alphabet — both engines lack a
+    portable hex→int). ``cast_str`` is the engine's string cast of
+    vec_id. Used for seed grouping and sample selection so that id
+    STRUCTURE (dense, even-only, sharded...) can never bias residue
+    classes the way raw ``vec_id % k`` would."""
+    md5 = f"md5('{salt}' || {cast_str})"
+    nib = lambda i: f"(instr('0123456789abcdef', substr({md5}, {i}, 1)) - 1)"
+    return f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+
+
+_H16_SPARK = _hash16("", "cast(vec_id as string)")
+_H16S_SPARK = _hash16("s:", "cast(vec_id as string)")
+_H16_SQL = _hash16("", "CAST(vec_id AS VARCHAR)")
+_H16S_SQL = _hash16("s:", "CAST(vec_id AS VARCHAR)")
+
+
 def kmeans_params(n: int) -> dict:
     k = max(2, -(-n // KM_TARGET_CELL))
     return {
@@ -135,20 +155,24 @@ def kmeans_params(n: int) -> dict:
     }
 
 
-def _train_kmeans(spark: SparkSession, sf_dir: str):
+def _train_kmeans(spark: SparkSession, sf_dir: str, where=None):
     """Run the deterministic k-means build; returns (cids int64[k],
     C int64[k, dims], params). Centroid state lives on the driver
     between rounds (k·dims ints — bounded by design); member sums
-    are computed distributed."""
+    are computed distributed. ``where`` restricts the TRAINING set
+    (e.g. the already-ingested corpus in incremental ingest);
+    assignment via _cell_scores can still cover every vector."""
     import numpy as np
 
     emb = _emb(spark, sf_dir)
+    if where is not None:
+        emb = emb.filter(where)
     p = kmeans_params(emb.count())
     q = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
     seeds = (
         q.select(
             "qv",
-            (F.col("vec_id") % F.lit(p["k"])).alias("grp"),
+            F.expr(f"{_H16_SPARK} % {p['k']}").alias("grp"),
             F.md5(F.col("vec_id").cast("string")).alias("h"),
         )
         .groupBy("grp")
@@ -158,7 +182,7 @@ def _train_kmeans(spark: SparkSession, sf_dir: str):
     cent = {int(r["grp"]): np.array(r["qv"], dtype=np.int64) for r in seeds}
     cids = sorted(cent)
     sample = (
-        q.filter((F.col("vec_id") % F.lit(p["s"])) == 0)
+        q.filter(F.expr(f"{_H16S_SPARK} % {p['s']} = 0"))
         .select("qv")
         .localCheckpoint(eager=True)  # reused every Lloyd round
     )
@@ -269,17 +293,19 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_sql() -> str:
+def _km_sql(train_pred: str = "TRUE") -> str:
     """Shared oracle CTE block replaying the deterministic k-means
-    build in pure SQL: exact integer coordinates, md5-seeded spread,
-    KM_ITERS unrolled Lloyd rounds with floor-of-mean updates, and a
-    final all-vector assignment ``kranked(vec_id, label, cid, dist2,
-    rn)``. Generated (like the PageRank oracle) because the rounds
-    are pure repetition."""
+    build in pure SQL: exact integer coordinates, hash-mod seed
+    spread, KM_ITERS unrolled Lloyd rounds with floor-of-mean
+    updates, and a final all-vector assignment ``kranked(vec_id,
+    label, cid, dist2, rn)``. ``train_pred`` restricts the TRAINING
+    set (params, seeds, sample) the way _train_kmeans(where=...)
+    does; assignment still covers every vector. Generated (like the
+    PageRank oracle) because the rounds are pure repetition."""
     head = f"""kparams AS (
   SELECT COUNT(*) AS n,
          GREATEST(2, CAST(CEIL(COUNT(*) / {KM_TARGET_CELL}.0) AS BIGINT)) AS k
-  FROM embeddings
+  FROM embeddings WHERE {train_pred}
 ),
 kparams2 AS (
   SELECT n, k,
@@ -293,13 +319,14 @@ kq AS (
   FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
 ),
 kseeds AS (
-  SELECT vec_id % k AS cid, arg_min(vec_id, md5(CAST(vec_id AS VARCHAR))) AS seed_vid
-  FROM embeddings, kparams2 GROUP BY vec_id % k
+  SELECT {_H16_SQL} % k AS cid, arg_min(vec_id, md5(CAST(vec_id AS VARCHAR))) AS seed_vid
+  FROM embeddings, kparams2 WHERE {train_pred} GROUP BY 1
 ),
 kc0 AS (
   SELECT s.cid, q.i, q.q AS cv FROM kseeds s JOIN kq q ON q.vec_id = s.seed_vid
 ),
-ksamp AS (SELECT vec_id FROM embeddings, kparams2 WHERE vec_id % s = 0)"""
+ksamp AS (SELECT vec_id FROM embeddings, kparams2
+          WHERE ({train_pred}) AND {_H16S_SQL} % s = 0)"""
     body = ""
     prev = "kc0"
     for t in range(1, KM_ITERS + 1):
@@ -1051,7 +1078,114 @@ FROM allv JOIN csize USING (cluster_id)
 """
 
 
+def incremental_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup — the embedding-tier twin of
+    ``incremental_dedup_ingest`` and the production shape for
+    continuous corpus growth: the odd-vec_id half plays the NEW
+    batch arriving against the even half as the EXISTING corpus
+    whose IVF index (k-means centroids, trained on the existing
+    half ONLY) is already built. Each new vector is assigned to its
+    nearest existing cell and exact-cosine-scored ONLY against that
+    cell's members (existing vectors plus earlier new vectors —
+    first-wins within the batch, same contract as the MinHash
+    ingest); it is ingested iff no match ≥ θ exists.
+
+    Scale shape: the historical corpus is never re-embedded,
+    re-assigned, or re-scored — it is touched only as the probe
+    TARGET inside the batch's cells, so probe cost is
+    O(batch · cell population), proportional to the BATCH (asserted
+    structurally in tests). At 100 TB the cell assignment is a
+    stored table partitioned by cell; a batch probe is partition
+    pruning + the per-cell kernel."""
+    import numpy as np
+    import pandas as pd
+
+    trained = _train_kmeans(spark, sf_dir, where=F.col("vec_id") % 2 == 0)
+    cells = (
+        _cell_scores(spark, sf_dir, max_rank=1, trained=trained)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    v = emb.join(cells, "vec_id")
+    theta = SEMDEDUP_THETA
+
+    def cell_probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        cell = int(pdf["cell"].iloc[0])
+        odd = ids % 2 == 1
+        if not odd.any():
+            return pd.DataFrame(
+                {"vec_id": [], "cell": [], "n_dup_matches": []}
+            ).astype({"vec_id": "int64", "cell": "int64", "n_dup_matches": "int64"})
+        E = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["embedding"].to_numpy()[order]]
+        )
+        n2 = np.floor(E * E * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+        out_id, out_n = [], []
+        for idx in np.nonzero(odd)[0]:
+            cand = (~odd) | (ids < ids[idx])
+            cand[idx] = False
+            n_match = 0
+            if cand.any():
+                dots = (
+                    np.floor(E[idx] * E[cand] * 1e12 + 0.5).astype(np.int64).sum(axis=1)
+                    / 1e12
+                )
+                cos = dots / (np.sqrt(n2[idx]) * np.sqrt(n2[cand]))
+                n_match = int((cos >= theta).sum())
+            out_id.append(int(ids[idx]))
+            out_n.append(n_match)
+        return pd.DataFrame(
+            {"vec_id": out_id, "cell": [cell] * len(out_id), "n_dup_matches": out_n}
+        )
+
+    probed = v.groupBy("cell").applyInPandas(
+        cell_probe, "vec_id long, cell long, n_dup_matches long"
+    )
+    return probed.select(
+        "vec_id", "cell", "n_dup_matches", (F.col("n_dup_matches") == 0).alias("ingested")
+    ).orderBy("vec_id")
+
+
+ORACLE_INCREMENTAL_SEMDEDUP_INGEST = f"""
+WITH {_km_sql(train_pred="vec_id % 2 = 0")},
+ex AS (
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+),
+vnorm AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2
+  FROM ex GROUP BY vec_id
+),
+cells AS (SELECT vec_id, cid AS cell FROM kranked WHERE rn = 1),
+pdots AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         CAST(SUM(CAST(floor((a.v * b.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM ex a JOIN ex b ON a.i = b.i
+  JOIN cells ca ON a.vec_id = ca.vec_id
+  JOIN cells cb ON b.vec_id = cb.vec_id AND ca.cell = cb.cell
+  WHERE b.vec_id % 2 = 1 AND (a.vec_id % 2 = 0 OR a.vec_id < b.vec_id)
+  GROUP BY 1, 2
+),
+matches AS (
+  SELECT d2, COUNT(*) AS n
+  FROM pdots JOIN vnorm na ON d1 = na.vec_id JOIN vnorm nb ON d2 = nb.vec_id
+  WHERE dot / (SQRT(na.n2) * SQRT(nb.n2)) >= {SEMDEDUP_THETA}
+  GROUP BY d2
+)
+SELECT c.vec_id, c.cell, COALESCE(m.n, 0) AS n_dup_matches,
+       COALESCE(m.n, 0) = 0 AS ingested
+FROM cells c LEFT JOIN matches m ON c.vec_id = m.d2
+WHERE c.vec_id % 2 = 1
+ORDER BY c.vec_id
+"""
+
+
 QUERIES = {
+    "incremental_semdedup_ingest": incremental_semdedup_ingest,
     "kmeans_centroids": kmeans_centroids,
     "semdedup": semdedup,
     "sq8_rerank_search": sq8_rerank_search,
@@ -1066,6 +1200,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incremental_semdedup_ingest": ORACLE_INCREMENTAL_SEMDEDUP_INGEST,
     "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
     "semdedup": ORACLE_SEMDEDUP,
     "sq8_rerank_search": ORACLE_SQ8_RERANK_SEARCH,

@@ -132,3 +132,40 @@ def test_kmeans_cell_population_constant_across_scale(spark):
     # work grows ~linearly with the corpus, not quadratically
     assert max2 <= 3 * max1
     assert pw2 <= 2 * growth * pw1, f"pair work superlinear: {pw1} -> {pw2}"
+
+
+def test_incremental_semdedup_probe_cost_linear_in_batch(spark):
+    """The incremental semantic ingest must probe, not re-score:
+    per new vector the scored candidate set is bounded by its cell's
+    population (which the corpus-scaling quantizer keeps
+    ~KM_TARGET_CELL), so total probe pairs are O(batch · cell) —
+    linear in the BATCH, and growing ~linearly across scales rather
+    than with batch × corpus."""
+    from pyspark.sql import functions as F
+
+    stats = {}
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        trained = similarity._train_kmeans(
+            spark, sf_dir, where=F.col("vec_id") % 2 == 0
+        )
+        cells = (
+            similarity._cell_scores(spark, sf_dir, max_rank=1, trained=trained)
+            .filter(F.col("rn") == 1)
+            .groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("pop"),
+                F.sum((F.col("vec_id") % 2).cast("long")).alias("n_new"),
+            )
+            .toPandas()
+        )
+        batch = int(cells["n_new"].sum())
+        probe_pairs = int((cells["n_new"] * (cells["pop"] - 1)).sum())
+        stats[sf_dir] = (batch, probe_pairs)
+        assert probe_pairs <= batch * 8 * similarity.KM_TARGET_CELL
+    (b1, p1), (b2, p2) = (
+        stats["/root/testdata/sf0.01"],
+        stats["/root/testdata/sf0.1"],
+    )
+    # 4x batch -> probe pairs grow ~linearly with the batch (cells
+    # stay ~constant-population), nowhere near batch x corpus (16x)
+    assert p2 / p1 <= 2.0 * (b2 / b1), (p1, p2, b1, b2)
