@@ -104,24 +104,60 @@ def prepare_features(
     return out
 
 
-def train_success_model(train: DataFrame, feature_cols: list[str], label_col: str = "label"):
-    """U7: gradient-boosted trees on the prepared feature frame.
-    Returns a fitted PipelineModel exposing probability scoring."""
-    from pyspark.ml import Pipeline
+def make_classifier(label_col: str = "label"):
+    """Capability-probed trainer seam (U7): when ``xgboost.spark``
+    is importable the estimator is SparkXGBClassifier with the
+    REFERENCE's exact knobs (200 trees, depth 6, eta 0.1, subsample
+    0.8 — trade_success_predictor.py:203-219), closing the
+    documented GBT divergence automatically in richer environments;
+    otherwise MLlib GBTClassifier with the equivalent capacity.
+    Returns (estimator, kind) where kind ∈ {'xgboost', 'gbt'} —
+    both expose the MLlib estimator API and emit a ``probability``
+    vector column, so the rest of the funnel is branch-agnostic."""
+    try:
+        from xgboost.spark import SparkXGBClassifier  # type: ignore
+    except ImportError:
+        pass
+    else:
+        return (
+            SparkXGBClassifier(
+                features_col="features",
+                label_col=label_col,
+                n_estimators=200,
+                max_depth=6,
+                learning_rate=0.1,
+                subsample=0.8,
+                random_state=42,
+            ),
+            "xgboost",
+        )
     from pyspark.ml.classification import GBTClassifier
+
+    return (
+        GBTClassifier(
+            labelCol=label_col,
+            featuresCol="features",
+            maxIter=40,       # capacity analog of the reference's 200 shallow trees
+            maxDepth=6,
+            stepSize=0.1,
+            subsamplingRate=0.8,
+            seed=42,
+        ),
+        "gbt",
+    )
+
+
+def train_success_model(train: DataFrame, feature_cols: list[str], label_col: str = "label"):
+    """U7: gradient-boosted trees on the prepared feature frame —
+    XGBoost when installable (see make_classifier), MLlib GBT
+    otherwise. Returns a fitted PipelineModel exposing probability
+    scoring."""
+    from pyspark.ml import Pipeline
     from pyspark.ml.feature import VectorAssembler
 
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features", handleInvalid="keep")
-    gbt = GBTClassifier(
-        labelCol=label_col,
-        featuresCol="features",
-        maxIter=40,       # capacity analog of the reference's 200 shallow trees
-        maxDepth=6,
-        stepSize=0.1,
-        subsamplingRate=0.8,
-        seed=42,
-    )
-    return Pipeline(stages=[assembler, gbt]).fit(train)
+    clf, _ = make_classifier(label_col)
+    return Pipeline(stages=[assembler, clf]).fit(train)
 
 
 def score_candidates(model, candidates: DataFrame) -> DataFrame:

@@ -364,3 +364,45 @@ def test_png_fit_dims_property():
             assert nw == mw or nh == mh
 
     prop()
+
+
+def test_classifier_probe_selects_xgboost_when_importable(monkeypatch):
+    """The U7 seam: make_classifier picks SparkXGBClassifier with
+    the reference's exact hyperparameters when xgboost.spark is
+    importable, and falls back to MLlib GBT otherwise (the branch
+    every other test in this file exercises end-to-end). A minimal
+    fake module stands in for the env-blocked dependency."""
+    import sys
+    import types
+
+    from fin_trade_craft_spark.domain import scoring
+
+    # absent -> GBT branch
+    clf, kind = scoring.make_classifier()
+    assert kind == "gbt" and type(clf).__name__ == "GBTClassifier"
+    assert clf.getMaxIter() == 40 and clf.getMaxDepth() == 6
+
+    # present -> XGBoost branch with the reference knobs
+    captured = {}
+
+    class FakeXGB:
+        def __init__(self, **kw):
+            captured.update(kw)
+
+    xgb = types.ModuleType("xgboost")
+    xgb_spark = types.ModuleType("xgboost.spark")
+    xgb_spark.SparkXGBClassifier = FakeXGB
+    xgb.spark = xgb_spark
+    monkeypatch.setitem(sys.modules, "xgboost", xgb)
+    monkeypatch.setitem(sys.modules, "xgboost.spark", xgb_spark)
+    clf, kind = scoring.make_classifier("success")
+    assert kind == "xgboost" and isinstance(clf, FakeXGB)
+    assert captured == {
+        "features_col": "features",
+        "label_col": "success",
+        "n_estimators": 200,
+        "max_depth": 6,
+        "learning_rate": 0.1,
+        "subsample": 0.8,
+        "random_state": 42,
+    }
