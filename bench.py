@@ -89,6 +89,14 @@ def bench_query_names() -> list[str]:
         # semantic dedup tier + graph stats (kernel + wedge-join paths)
         "semdedup",
         "graph_triangle_stats",
+        # r05: corpus-scaling k-means quantizer build, probe-only
+        # incremental semantic ingest, and the two distributed
+        # total-order rework targets (screener percent-ranks,
+        # per-lang curriculum NTILE)
+        "kmeans_centroids",
+        "incremental_semdedup_ingest",
+        "daily_screener",
+        "length_curriculum_buckets",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]
