@@ -52,10 +52,39 @@ def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("signal_date"),
         F.max_by("o_totalprice", F.struct("o_orderdate", "o_orderkey")).alias("close"),
     )
-    per = per.withColumn("avg_order_value", F.col("total_spend") / F.col("volume"))
-    scored = global_percent_rank(per, "total_spend", "success_probability")
-    scored = global_percent_rank(scored, "volume", "__sr")
-    scored = global_percent_rank(scored, "avg_order_value", "__qr")
+    per = per.withColumn(
+        "avg_order_value", F.col("total_spend") / F.col("volume")
+    ).localCheckpoint(eager=True)  # feeds three rank pipelines + the final join
+    # Each rank runs on a SLIM (key, value) projection — the wide
+    # per-customer frame pays ONE materialization instead of riding
+    # through three range exchanges — and the three pipelines are
+    # INDEPENDENT, so they materialize concurrently (standard
+    # multi-job submission; on a cluster this is the FAIR-pool
+    # pattern). The distributed-rank machinery's cost here is
+    # per-job latency, not data — concurrency collapses it to ~one
+    # pipeline's wall. Rank frames are aggregate-sized; AQE
+    # broadcasts the join-backs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(spec):
+        value_col, out = spec
+        slim = per.select("o_custkey", value_col)
+        return (
+            global_percent_rank(slim, value_col, out)
+            .select("o_custkey", out)
+            .localCheckpoint(eager=True)
+        )
+
+    specs = [
+        ("total_spend", "success_probability"),
+        ("volume", "__sr"),
+        ("avg_order_value", "__qr"),
+    ]
+    with ThreadPoolExecutor(len(specs)) as ex:
+        ranked_frames = list(ex.map(build, specs))
+    scored = per
+    for rf in ranked_frames:
+        scored = scored.join(rf, "o_custkey")
     scored = scored.withColumn("signal_strength", F.col("__sr") * 100).withColumn(
         "overall_quality_score", F.col("__qr") * 100
     ).drop("__sr", "__qr")
