@@ -155,19 +155,26 @@ def kmeans_params(n: int) -> dict:
     }
 
 
-def _train_kmeans(spark: SparkSession, sf_dir: str, where=None):
+def _train_kmeans(spark: SparkSession, sf_dir: str, where=None, k_override: int | None = None):
     """Run the deterministic k-means build; returns (cids int64[k],
     C int64[k, dims], params). Centroid state lives on the driver
     between rounds (k·dims ints — bounded by design); member sums
     are computed distributed. ``where`` restricts the TRAINING set
     (e.g. the already-ingested corpus in incremental ingest);
-    assignment via _cell_scores can still cover every vector."""
+    assignment via _cell_scores can still cover every vector.
+    ``k_override`` replaces the corpus-derived k (used by the
+    hierarchical quantizer's coarse level — NOT by any oracle'd
+    query, whose k must replay from COUNT(*) alone)."""
     import numpy as np
 
     emb = _emb(spark, sf_dir)
     if where is not None:
         emb = emb.filter(where)
     p = kmeans_params(emb.count())
+    if k_override is not None:
+        p["k"] = max(2, int(k_override))
+        p["s"] = max(1, p["n"] // (KM_SAMPLE_PER_CENTROID * p["k"]))
+        p["nprobe"] = max(2, -(-p["k"] // 8))
     q = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
     seeds = (
         q.select(
@@ -1078,6 +1085,120 @@ FROM allv JOIN csize USING (cluster_id)
 """
 
 
+def hierarchical_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level hierarchical coarse quantizer — the EXTREME-scale
+    tier above the flat k-means build. The flat path ships a k×dims
+    centroid matrix in the assignment closure and pays sample×k
+    distances per Lloyd round; with k ∝ corpus both grow without
+    bound (at 10⁸ vectors the matrix alone is ~400 MB). Two levels
+    cap both: level 1 trains only k₁ = ⌈√k⌉ coarse centroids
+    (closure ~√k×dims), level 2 trains each coarse cell's own
+    sub-centroids LOCALLY inside one task (the cell's ~n/k₁ members
+    fit one worker's numpy heap), and assignment costs k₁ + k/k₁ ≈
+    2√k distance evaluations per vector instead of k. Exactly the
+    FAISS IVF-on-IVF / SCANN two-level shape.
+
+    Level 1 reuses the oracle'd deterministic machinery verbatim
+    (k_override=⌈√k⌉); level 2 replays the SAME algorithm — hash-mod
+    seeds over md5(vec_id), 2 Lloyd rounds, exact int64 arithmetic,
+    min-cid tie-break — per cell in numpy, so the whole build is a
+    pure function of the data (determinism pytest-pinned). No SQL
+    oracle BY DESIGN: a nested per-cell k-means replay has no
+    tractable SQL form; correctness evidence is the property suite
+    (determinism, population bounds, per-level arithmetic shared
+    with the bit-oracle'd flat path) — SURVEY §7.2's contract for
+    recurrence islands.
+
+    Output: (vec_id, c1, c2, cell_id) with cell_id = c1·2²⁰ + c2.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    k = max(2, -(-n // KM_TARGET_CELL))
+    k1 = max(2, int(np.ceil(np.sqrt(k))))
+    trained1 = _train_kmeans(spark, sf_dir, k_override=k1)
+    a1 = (
+        _cell_scores(spark, sf_dir, max_rank=1, trained=trained1)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("c1"))
+    )
+    v = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv")).join(a1, "vec_id")
+    target = KM_TARGET_CELL
+
+    def h16(salt: str, vid: int) -> int:
+        return int(hashlib.md5(f"{salt}{vid}".encode()).hexdigest()[:4], 16)
+
+    def cell_kmeans(pdf: pd.DataFrame) -> pd.DataFrame:
+        c1 = int(pdf["c1"].iloc[0])
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = len(ids)
+        k2 = max(1, -(-m // target))
+        if k2 == 1:
+            return pd.DataFrame({"vec_id": ids, "c1": c1, "c2": np.zeros(m, dtype=np.int64)})
+        X = np.asarray(
+            [np.asarray(x, dtype=np.int64) for x in pdf["qv"].to_numpy()[order]]
+        )
+        # seeds: argmin md5 hex within each hash-mod group — the
+        # SAME rule as the distributed level-1 build
+        md5s = np.array([hashlib.md5(str(v).encode()).hexdigest() for v in ids])
+        grp = np.array([h16("", v) % k2 for v in ids])
+        cent = {}
+        for g in np.unique(grp):
+            members = np.nonzero(grp == g)[0]
+            cent[int(g)] = X[members[np.argsort(md5s[members])[0]]].copy()
+        cids = sorted(cent)
+        # sample: salted hash-mod stride, 2 Lloyd rounds, exact
+        # floor-of-mean updates — mirroring _train_kmeans
+        s = max(1, m // (KM_SAMPLE_PER_CENTROID * k2))
+        samp = np.array([h16("s:", v) % s == 0 for v in ids])
+        S = X[samp] if samp.any() else X
+        for _ in range(KM_ITERS):
+            C = np.stack([cent[c] for c in cids])
+            d2 = (S * S).sum(1)[:, None] - 2 * (S @ C.T) + (C * C).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            for j in np.unique(a):
+                mask = a == j
+                cent[cids[j]] = np.floor_divide(S[mask].sum(0), int(mask.sum()))
+        C = np.stack([cent[c] for c in cids])
+        d2 = (X * X).sum(1)[:, None] - 2 * (X @ C.T) + (C * C).sum(1)[None, :]
+        assign = np.asarray(cids, dtype=np.int64)[np.argmin(d2, axis=1)]
+        return pd.DataFrame({"vec_id": ids, "c1": c1, "c2": assign})
+
+    cells = v.groupBy("c1").applyInPandas(cell_kmeans, "vec_id long, c1 long, c2 long")
+    return cells.select(
+        "vec_id", "c1", "c2", (F.col("c1") * F.lit(1 << 20) + F.col("c2")).alias("cell_id")
+    )
+
+
+def hierarchical_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row of build-quality stats for the two-level quantizer —
+    the report a pipeline checks after (re)building the index (cell
+    count vs design k, population spread, level-1 fan-out). Rows-only
+    by design (see hierarchical_cells)."""
+    cells = hierarchical_cells(spark, sf_dir)
+    pops = cells.groupBy("cell_id").agg(F.count(F.lit(1)).alias("pop"))
+    return (
+        pops.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("pop").alias("n_vectors"),
+            (F.sum("pop") / F.count(F.lit(1))).alias("mean_pop"),
+            F.max("pop").alias("max_pop"),
+            F.min("pop").alias("min_pop"),
+        )
+        .crossJoin(
+            F.broadcast(
+                cells.select(F.countDistinct("c1").alias("n_level1_cells"))
+            )
+        )
+        .select("n_cells", "n_level1_cells", "n_vectors", "mean_pop", "max_pop", "min_pop")
+    )
+
+
 def incremental_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SEMANTIC dedup — the embedding-tier twin of
     ``incremental_dedup_ingest`` and the production shape for
@@ -1185,6 +1306,7 @@ ORDER BY c.vec_id
 
 
 QUERIES = {
+    "hierarchical_cell_stats": hierarchical_cell_stats,
     "incremental_semdedup_ingest": incremental_semdedup_ingest,
     "kmeans_centroids": kmeans_centroids,
     "semdedup": semdedup,

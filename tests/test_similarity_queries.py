@@ -169,3 +169,41 @@ def test_incremental_semdedup_probe_cost_linear_in_batch(spark):
     # 4x batch -> probe pairs grow ~linearly with the batch (cells
     # stay ~constant-population), nowhere near batch x corpus (16x)
     assert p2 / p1 <= 2.0 * (b2 / b1), (p1, p2, b1, b2)
+
+
+def test_hierarchical_quantizer_properties(spark):
+    """The two-level quantizer's contract (no SQL oracle by design —
+    nested per-cell k-means has no tractable SQL replay):
+
+    - fully deterministic: two independent builds assign every
+      vector to the same (c1, c2) cell;
+    - level-1 fan-out is ~sqrt(k) (the closure-size cap) and total
+      cell count tracks the design k = ceil(n/target);
+    - populations stay centered on the target (mean within 4x,
+      max within 8x) — same bounds the flat quantizer's scale test
+      pins;
+    - every vector is assigned exactly once.
+    """
+    import math
+
+    sf_dir = "/root/testdata/sf0.1"
+    a = similarity.hierarchical_cells(spark, sf_dir).toPandas()
+    b = similarity.hierarchical_cells(spark, sf_dir).toPandas()
+    key = a.sort_values("vec_id").reset_index(drop=True)
+    assert key.equals(b.sort_values("vec_id").reset_index(drop=True))  # determinism
+
+    n = len(a)
+    k = max(2, -(-n // similarity.KM_TARGET_CELL))
+    k1 = a["c1"].nunique()
+    assert k1 <= max(2, math.ceil(math.sqrt(k)))  # closure cap
+    assert a["vec_id"].is_unique and n == 2000
+
+    pops = a.groupby("cell_id").size()
+    assert len(pops) <= 2 * k  # cell count tracks design k
+    mean_pop = n / len(pops)
+    assert similarity.KM_TARGET_CELL / 4 <= mean_pop <= 4 * similarity.KM_TARGET_CELL
+    assert pops.max() <= 8 * similarity.KM_TARGET_CELL
+
+    stats = similarity.hierarchical_cell_stats(spark, sf_dir).collect()[0]
+    assert stats.n_vectors == n and stats.n_cells == len(pops)
+    assert stats.n_level1_cells == k1
