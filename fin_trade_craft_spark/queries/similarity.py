@@ -1085,6 +1085,84 @@ FROM allv JOIN csize USING (cluster_id)
 """
 
 
+def semdedup_quality_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based cluster representative selection — the FineWeb
+    refinement of SemDeDup's keep-min-id rule: within each semantic
+    duplicate cluster keep the member with the HIGHEST quality score
+    (length/stopword/type-token heuristics from
+    ``doc_quality_scores``; embeddings and documents share the id
+    space), tie-broken by min id. Reports the kept doc, its quality,
+    and the cluster's exact mean quality (fixed-point 1e-12 sum —
+    order-free) so a curation pipeline can audit what the dedup
+    kept vs discarded.
+
+    Scale shape: one hash join of the cluster table with the
+    quality table on id, a per-cluster window (clusters are
+    bounded), and a per-cluster aggregate — all keyed shuffles; the
+    expensive parts (cluster build, quality scoring) are the
+    upstream queries it composes."""
+    from pyspark.sql import Window
+
+    from .text import doc_quality_scores
+
+    clusters = semdedup(spark, sf_dir).select("vec_id", "cluster_id", "cluster_size")
+    q = doc_quality_scores(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "quality_score"
+    )
+    j = clusters.join(q, "vec_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("vec_id")
+    )
+    fx = F.floor(F.col("quality_score") * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+    agg = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (F.sum(fx).cast("double") / F.lit(1e12) / F.count(F.lit(1))).alias("mean_quality"),
+    )
+    keep = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("vec_id").alias("kept_vec_id"),
+            F.col("quality_score").alias("kept_quality"),
+        )
+    )
+    return keep.join(agg, "cluster_id").select(
+        "cluster_id", "cluster_size", "n_scored", "kept_vec_id", "kept_quality", "mean_quality"
+    )
+
+
+def _semdedup_quality_oracle() -> str:
+    from .text import ORACLE_DOC_QUALITY_SCORES
+
+    return f"""
+WITH clusters AS ({ORACLE_SEMDEDUP}),
+quality AS (SELECT doc_id AS vec_id, quality_score FROM ({ORACLE_DOC_QUALITY_SCORES})),
+j AS (
+  SELECT c.vec_id, c.cluster_id, c.cluster_size, q.quality_score
+  FROM clusters c JOIN quality q USING (vec_id)
+),
+agg AS (
+  SELECT cluster_id, COUNT(*) AS n_scored,
+         CAST(SUM(CAST(floor(quality_score * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1e12 / COUNT(*) AS mean_quality
+  FROM j GROUP BY cluster_id
+),
+keep AS (
+  SELECT cluster_id, cluster_size, vec_id AS kept_vec_id,
+         quality_score AS kept_quality
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                 ORDER BY quality_score DESC, vec_id ASC) AS rn
+    FROM j
+  ) WHERE rn = 1
+)
+SELECT cluster_id, cluster_size, n_scored, kept_vec_id, kept_quality, mean_quality
+FROM keep JOIN agg USING (cluster_id)
+"""
+
+
 def hierarchical_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level hierarchical coarse quantizer — the EXTREME-scale
     tier above the flat k-means build. The flat path ships a k×dims
@@ -1306,6 +1384,7 @@ ORDER BY c.vec_id
 
 
 QUERIES = {
+    "semdedup_quality_representatives": semdedup_quality_representatives,
     "hierarchical_cell_stats": hierarchical_cell_stats,
     "incremental_semdedup_ingest": incremental_semdedup_ingest,
     "kmeans_centroids": kmeans_centroids,
@@ -1322,6 +1401,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "semdedup_quality_representatives": _semdedup_quality_oracle(),
     "incremental_semdedup_ingest": ORACLE_INCREMENTAL_SEMDEDUP_INGEST,
     "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
     "semdedup": ORACLE_SEMDEDUP,
