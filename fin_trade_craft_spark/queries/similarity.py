@@ -155,6 +155,16 @@ def kmeans_params(n: int) -> dict:
     }
 
 
+# Codebook memo: the k-means build is a PURE function of the
+# (dataset, training filter, k) triple — training it once and
+# reusing the centroid matrix across the queries that consume it
+# (assignment, search, semdedup, recall eval, ingest) is exactly
+# the production pattern of persisting the IVF codebook at index
+# build time. Keyed on the corpus row count as well, so a dataset
+# regenerated in place under the same path misses the cache.
+_KMEANS_MEMO: dict[tuple, tuple] = {}
+
+
 def _train_kmeans(spark: SparkSession, sf_dir: str, where=None, k_override: int | None = None):
     """Run the deterministic k-means build; returns (cids int64[k],
     C int64[k, dims], params). Centroid state lives on the driver
@@ -170,7 +180,11 @@ def _train_kmeans(spark: SparkSession, sf_dir: str, where=None, k_override: int 
     emb = _emb(spark, sf_dir)
     if where is not None:
         emb = emb.filter(where)
-    p = kmeans_params(emb.count())
+    n_rows = emb.count()
+    memo_key = (sf_dir, n_rows, str(where), k_override)
+    if memo_key in _KMEANS_MEMO:
+        return _KMEANS_MEMO[memo_key]
+    p = kmeans_params(n_rows)
     if k_override is not None:
         p["k"] = max(2, int(k_override))
         p["s"] = max(1, p["n"] // (KM_SAMPLE_PER_CENTROID * p["k"]))
@@ -229,7 +243,9 @@ def _train_kmeans(spark: SparkSession, sf_dir: str, where=None, k_override: int 
             # exact floor of the member mean (Python // is floor div on
             # ints — identical to the oracle's posmod-subtract // form)
             cent[int(r["cid"])][int(r["i"])] = r["sq"] // r["cnt"]
-    return np.array(cids, dtype=np.int64), np.stack([cent[c] for c in cids]), p
+    out = (np.array(cids, dtype=np.int64), np.stack([cent[c] for c in cids]), p)
+    _KMEANS_MEMO[memo_key] = out
+    return out
 
 
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
