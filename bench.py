@@ -97,6 +97,8 @@ def bench_query_names() -> list[str]:
         "incremental_semdedup_ingest",
         "daily_screener",
         "length_curriculum_buckets",
+        # r05 late: two-level quantizer build (the extreme-scale tier)
+        "hierarchical_cell_stats",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

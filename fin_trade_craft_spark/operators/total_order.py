@@ -116,11 +116,10 @@ def global_percent_rank(
     partition and collapse via min()."""
     group_cols = group_cols or []
     base = global_row_number(df, [value_col], "__rn", group_cols)
+    # ties collapse to min rank via a window keyed on the VALUE
+    # (partitioned — never an empty partition spec); group sizes come
+    # from an aggregate broadcast back
     wt = Window.partitionBy(*group_cols, value_col)
-    wn = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
-    # n per group rides a window over the already-partitioned frame;
-    # for the global case partitionBy() IS a single-partition window,
-    # so count via an aggregate + broadcast instead
     base = base.withColumn("__minrn", F.min("__rn").over(wt))
     if group_cols:
         counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
