@@ -577,7 +577,133 @@ GROUP BY source
 """
 
 
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et
+    al. 2023): estimate unigram distributions for a TARGET domain
+    (here the ``lang = 'en'`` slice stands in for the high-quality
+    target corpus) and for the RAW corpus, both add-one smoothed
+    over the shared vocabulary, then weight every document by its
+    log importance ratio Σ c_d(w)·[log p_target(w) − log p_raw(w)].
+    Documents that look like the target distribution get positive
+    weight (``upweighted``) — the resampling stage then samples
+    proportionally; this query materializes the weights plus the
+    per-token normalization used for length-independent comparison.
+
+    Determinism: the per-doc (term, counts) structs are array_sort'd
+    and folded sequentially, fixing double-accumulation order at any
+    parallelism; the compared outputs round to 9 decimals (the
+    repo's libm-log policy, as in unigram_logprob_scores);
+    ``upweighted`` derives from the ROUNDED weight so the boolean
+    can't flip on a sub-9dp ulp.
+
+    Scale shape: two term-keyed hash aggregates (target + raw — the
+    target one prunes with a pushed lang filter), one term join
+    back (AQE skew-splits Zipf-heavy grams), scalar totals on a
+    1-row broadcast; per-doc scoring is a map-side fold."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", T.tokens(F.col("text")).alias("toks")
+    )
+    td = (
+        d.select("doc_id", "lang", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("c_d"))
+    )
+    raw = td.groupBy("term").agg(F.sum("c_d").alias("c_r"))
+    tgt = (
+        td.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("term")
+        .agg(F.sum("c_d").alias("c_t"))
+    )
+    stats = raw.join(tgt, "term", "left").select(
+        "term", "c_r", F.coalesce("c_t", F.lit(0)).alias("c_t")
+    )
+    totals = stats.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    per_doc = (
+        td.join(stats, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c_d").alias("n_tokens"),
+            F.array_sort(F.collect_list(F.struct("term", "c_d", "c_t", "c_r"))).alias(
+                "terms"
+            ),
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn("den_t", (F.col("n_t") + F.col("vocab")).cast("double"))
+        .withColumn("den_r", (F.col("n_r") + F.col("vocab")).cast("double"))
+    )
+    fold = F.aggregate(
+        F.col("terms"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["c_d"].cast("double")
+        * (
+            F.log10((s["c_t"] + F.lit(1)).cast("double") / F.col("den_t"))
+            - F.log10((s["c_r"] + F.lit(1)).cast("double") / F.col("den_r"))
+        ),
+    )
+    li = F.round(fold, 9)
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        li.alias("log10_importance"),
+        F.round(fold / F.col("n_tokens").cast("double"), 9).alias("per_token_importance"),
+        (li > 0).alias("upweighted"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DSIR_IMPORTANCE_WEIGHTS = f"""
+WITH term AS (
+  SELECT doc_id, lang, unnest({_TOKS}) AS term FROM documents
+), td AS (
+  SELECT doc_id, lang, term, COUNT(*) AS c_d FROM term GROUP BY doc_id, lang, term
+), raw AS (
+  SELECT term, CAST(SUM(c_d) AS BIGINT) AS c_r FROM td GROUP BY term
+), tgt AS (
+  SELECT term, CAST(SUM(c_d) AS BIGINT) AS c_t FROM td
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY term
+), stats AS (
+  SELECT raw.term, c_r, COALESCE(c_t, 0) AS c_t
+  FROM raw LEFT JOIN tgt ON raw.term = tgt.term
+), totals AS (
+  SELECT CAST(SUM(c_r) AS BIGINT) AS n_r, CAST(SUM(c_t) AS BIGINT) AS n_t,
+         COUNT(*) AS vocab
+  FROM stats
+), per_doc AS (
+  SELECT doc_id, lang,
+         CAST(SUM(c_d) AS BIGINT) AS n_tokens,
+         list_sort(list(struct_pack(term := term, c_d := c_d, c_t := c_t, c_r := c_r))) AS terms
+  FROM td JOIN stats USING (term)
+  GROUP BY doc_id, lang
+), scored AS (
+  SELECT doc_id, lang, n_tokens,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(terms,
+               s -> CAST(s['c_d'] AS DOUBLE)
+                    * (log10(CAST(s['c_t'] + 1 AS DOUBLE) / CAST(n_t + vocab AS DOUBLE))
+                       - log10(CAST(s['c_r'] + 1 AS DOUBLE) / CAST(n_r + vocab AS DOUBLE))))),
+           (acc, x) -> acc + x) AS li
+  FROM per_doc, totals
+)
+SELECT doc_id, lang, n_tokens,
+       ROUND(li, 9) AS log10_importance,
+       ROUND(li / n_tokens, 9) AS per_token_importance,
+       ROUND(li, 9) > 0 AS upweighted
+FROM scored
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "dsir_importance_weights": dsir_importance_weights,
     "source_curation_report": source_curation_report,
     "source_mixture_weights": source_mixture_weights,
     "length_curriculum_buckets": length_curriculum_buckets,
@@ -589,6 +715,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dsir_importance_weights": ORACLE_DSIR_IMPORTANCE_WEIGHTS,
     "source_curation_report": ORACLE_SOURCE_CURATION_REPORT,
     "contrastive_negatives": ORACLE_CONTRASTIVE_NEGATIVES,
     "length_curriculum_buckets": ORACLE_LENGTH_CURRICULUM_BUCKETS,
