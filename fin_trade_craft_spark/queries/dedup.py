@@ -116,10 +116,90 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-ladder quality gate — the MinHash-LSH twin of
+    ``ann_recall``: recall of the band-collision candidate space
+    against the EXACT Jaccard truth set (full self-join — the
+    guarded fixture-scale tier), bucketed by true similarity. This
+    is the harness a pipeline runs after changing num_perm /
+    rows_per_band to check the banding S-curve still catches the
+    near-dup band it is tuned for (high-J pairs ≈ 1.0 recall;
+    boundary pairs are where recall erodes first).
+
+    Scale shape: the truth side is the deliberately-guarded exact
+    tier (this is an OFFLINE evaluation on a sample, exactly like
+    ann_recall's brute-force side); the candidate side is the
+    production banding; the comparison joins two pair sets on
+    (d1, d2)."""
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=False)
+    truth = D.exact_jaccard_pairs(sets, min_jaccard=0.5).select("d1", "d2", "jaccard")
+    sigs = D.minhash_signatures(sets, num_perm=8)
+    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2).withColumn(
+        "hit", F.lit(1)
+    )
+    j = truth.join(cands, ["d1", "d2"], "left")
+    band = (
+        F.when(F.col("jaccard") >= 0.9, "0.9-1.0")
+        .when(F.col("jaccard") >= 0.7, "0.7-0.9")
+        .otherwise("0.5-0.7")
+    )
+    return (
+        j.groupBy(band.alias("j_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_caught"),
+        )
+        .select(
+            "j_band",
+            "n_true_pairs",
+            "n_caught",
+            (F.col("n_caught").cast("double") / F.col("n_true_pairs").cast("double")).alias(
+                "recall"
+            ),
+        )
+        .orderBy("j_band")
+    )
+
+
 _MH_COLS = ",\n".join(
     f"  list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh{i}" for i in range(8)
 )
 _BANDS = ", ".join(f"'{b}|' || mh{2*b} || '|' || mh{2*b+1}" for b in range(4))
+
+ORACLE_LSH_RECALL_EVAL = f"""
+{_SHINGLE_CTE},
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_sets),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh_sets),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT d1, d2, inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) AS jaccard
+  FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+  WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
+),
+sigs AS (
+  SELECT doc_id,
+{_MH_COLS}
+  FROM sh_sets
+),
+banded AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT CASE WHEN jaccard >= 0.9 THEN '0.9-1.0'
+            WHEN jaccard >= 0.7 THEN '0.7-0.9'
+            ELSE '0.5-0.7' END AS j_band,
+       COUNT(*) AS n_true_pairs,
+       CAST(SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+       CAST(SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+FROM truth t LEFT JOIN cands c ON t.d1 = c.d1 AND t.d2 = c.d2
+GROUP BY 1
+ORDER BY 1
+"""
 
 ORACLE_MINHASH_NEAR_DUPES = f"""
 {_SHINGLE_CTE},
@@ -492,6 +572,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_jaccard_verified": dedup_jaccard_verified,
+    "lsh_recall_eval": lsh_recall_eval,
     "dedup_clusters": dedup_clusters,
     "minhash_near_dupes": minhash_near_dupes,
     "simhash_buckets": simhash_buckets,
@@ -505,6 +586,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_jaccard_verified": ORACLE_DEDUP_JACCARD_VERIFIED,
+    "lsh_recall_eval": ORACLE_LSH_RECALL_EVAL,
     "minhash_near_dupes": ORACLE_MINHASH_NEAR_DUPES,
     "simhash_buckets": ORACLE_SIMHASH_BUCKETS,
     "simhash_hamming_pairs": ORACLE_SIMHASH_HAMMING_PAIRS,
