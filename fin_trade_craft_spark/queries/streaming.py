@@ -400,7 +400,123 @@ ORDER BY c_mktsegment, event_type
 """
 
 
+def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous semantic-dedup ingest as a REAL streaming job —
+    the production form of ``incremental_semdedup_ingest``: the new
+    (odd-id) vectors ARRIVE as a file-source stream in TWO id-ordered
+    micro-batches (maxFilesPerTrigger=1; file mtimes pin the order),
+    and each ``foreachBatch`` probes a GROWING probe store — the
+    even-id corpus pre-assigned to its k-means cells plus every
+    previously-arrived odd vector — then appends its own batch to
+    the store. State genuinely crosses micro-batches: a batch-2
+    vector's duplicates include batch-1 arrivals.
+
+    Because the files are split at the median odd id,
+    "arrived in an earlier batch" coincides with "smaller id", so
+    the result is VALUE-IDENTICAL to the batch incremental query and
+    verifies against the SAME DuckDB oracle — bit-exact streaming
+    evidence, not just a rows-only drain. Exact fixed-point cosines
+    make the equality independent of partitioning inside each batch.
+
+    Scale shape: the store is a TableIO parquet table (at 100 TB:
+    partitioned by cell → each micro-batch's probe is partition
+    pruning + per-cell joins); probe cost per batch ∝ batch × cell
+    population, the same contract the batch query pins in tests."""
+    import numpy as np
+
+    from ..operators import similarity as S
+    from ..sources.catalog import load_table
+    from ..sources.io import TableIO
+    from .similarity import SEMDEDUP_THETA, _cell_scores, _train_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = _train_kmeans(spark, sf_dir, where=F.col("vec_id") % 2 == 0)
+    cells = (
+        _cell_scores(spark, sf_dir, max_rank=1, trained=trained)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    with_cells = emb.select("vec_id", "embedding").join(cells, "vec_id")
+
+    wh = tempfile.mkdtemp(prefix="stream_semdedup_")
+    io = TableIO(spark, wh)
+    # seed the probe store with the existing (even-id) corpus
+    io.overwrite(with_cells.filter(F.col("vec_id") % 2 == 0), "probe_store")
+
+    # stage the arriving batch as two id-ordered parquet files
+    odd = with_cells.filter(F.col("vec_id") % 2 == 1).localCheckpoint(eager=True)
+    ids = sorted(r.vec_id for r in odd.select("vec_id").collect())
+    median = ids[len(ids) // 2]
+    arrivals = Path(tempfile.mkdtemp(prefix="stream_semdedup_arrivals_"))
+    odd.filter(F.col("vec_id") < median).coalesce(1).write.parquet(str(arrivals / "b0"))
+    odd.filter(F.col("vec_id") >= median).coalesce(1).write.parquet(str(arrivals / "b1"))
+    stage = Path(tempfile.mkdtemp(prefix="stream_semdedup_src_"))
+    for i, sub in enumerate(("b0", "b1")):
+        part = next((arrivals / sub).glob("*.parquet"))
+        dst = stage / f"batch_{i}.parquet"
+        dst.symlink_to(part)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000), follow_symlinks=False)
+
+    cos = S.cosine(S.dot_exact("e1", "e2"), S.norm2_exact("e1"), S.norm2_exact("e2"))
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.localCheckpoint(eager=True)
+        store = io.read("probe_store")
+        new_side = b.select(
+            F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), "cell"
+        )
+        prior = store.select(
+            F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), "cell"
+        )
+        # store members (even ids + earlier batches) + same-batch
+        # earlier ids — together exactly "even OR smaller odd id"
+        cand = prior.join(new_side, "cell").filter(
+            (F.col("d1") % 2 == 0) | (F.col("d1") < F.col("d2"))
+        )
+        same = (
+            b.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), "cell")
+            .join(new_side, "cell")
+            .filter(F.col("d1") < F.col("d2"))
+        )
+        pairs = cand.unionByName(same)
+        matches = (
+            pairs.filter(cos >= F.lit(SEMDEDUP_THETA))
+            .groupBy("d2")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = (
+            b.join(matches, b.vec_id == matches.d2, "left")
+            .select(
+                "vec_id",
+                "cell",
+                F.coalesce("n", F.lit(0)).alias("n_dup_matches"),
+                (F.coalesce("n", F.lit(0)) == 0).alias("ingested"),
+            )
+        )
+        io.append(out, "results")
+        io.append(b, "probe_store")  # later batches probe this one
+
+    schema = odd.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_semdedup_")
+    q = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_semdedup_ingest drain timed out")
+    return io.read("results").orderBy("vec_id")
+
+
 QUERIES = {
+    "streaming_semdedup_ingest": streaming_semdedup_ingest,
     "streaming_segment_activity": streaming_segment_activity,
     "streaming_top_spenders": streaming_top_spenders,
     "streaming_hourly_rollup": streaming_hourly_rollup,
@@ -412,7 +528,12 @@ QUERIES = {
     "streaming_zone_signals_stateful": streaming_zone_signals_stateful,
 }
 
+from .similarity import ORACLE_INCREMENTAL_SEMDEDUP_INGEST as _OSI
+
 ORACLES = {
+    # value-identical to the batch incremental query BY CONSTRUCTION
+    # (id-ordered micro-batches), so it shares that oracle verbatim
+    "streaming_semdedup_ingest": _OSI,
     "streaming_segment_activity": ORACLE_STREAMING_SEGMENT_ACTIVITY,
     "streaming_top_spenders": ORACLE_STREAMING_TOP_SPENDERS,
     "streaming_hourly_rollup": ORACLE_STREAMING_HOURLY_ROLLUP,
