@@ -1009,6 +1009,142 @@ ORDER BY doc_id
 """
 
 
+BIGRAM_LAMBDA = 0.7   # interpolation weight on the bigram term
+BIGRAM_LAMBDA_C = 0.3  # 1 - lambda, pinned as a literal: the Python
+                       # expression 1.0 - 0.7 is 0.30000000000000004,
+                       # which would silently diverge from a SQL 0.3
+
+
+def bigram_interpolated_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring — the next rung
+    above ``unigram_logprob_scores`` on the perplexity-filter
+    ladder (the n-gram LM quality filter of CCNet/KenLM-style
+    pipelines): per-document mean log10 of
+    λ·p(y|x) + (1−λ)·p(y), with the conditional add-one smoothed
+    over the unigram vocabulary (p(y|x) = (c(xy)+1)/(c(x·)+V),
+    c(x·) = bigram-context count of x) and λ = 0.7. Repetitive /
+    template-y documents score HIGH (their bigrams are corpus-
+    frequent); incoherent token soup scores LOW even when its
+    unigrams are common — the signal unigram models can't see.
+
+    Determinism: per-doc (bigram, counts) structs are array_sort'd
+    and folded sequentially; compared outputs round at 9dp (libm
+    log10 policy). Scale shape: two hash aggregates keyed by bigram
+    and by context token (both partial-aggregating map-side), the
+    stats join back on the bigram key, scalar totals on a 1-row
+    broadcast; the per-doc fold is map-side."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        .filter(F.expr("size(toks) >= 2"))
+    )
+    bl = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    )
+    doc_bg = (
+        d.select("doc_id", F.explode(bl).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c_d"))
+    )
+    bg = doc_bg.groupBy("bigram").agg(F.sum("c_d").alias("c_b"))
+    bg = bg.withColumn("x", F.expr("split_part(bigram, ' ', 1)")).withColumn(
+        "y", F.expr("split_part(bigram, ' ', 2)")
+    )
+    ctx = bg.groupBy("x").agg(F.sum("c_b").alias("c_ctx"))
+    uni = (
+        d.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_u"))
+    )
+    totals = uni.agg(F.sum("c_u").alias("n_uni"), F.count(F.lit(1)).alias("vocab"))
+    stats = (
+        bg.join(ctx, "x")
+        .join(uni.select(F.col("term").alias("y"), "c_u"), "y")
+        .select("bigram", "c_b", "c_ctx", "c_u")
+    )
+    per_doc = (
+        doc_bg.join(stats, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_d").alias("n_bigrams"),
+            F.array_sort(F.collect_list(F.struct("bigram", "c_d", "c_b", "c_ctx", "c_u"))).alias(
+                "terms"
+            ),
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn("v_d", F.col("vocab").cast("double"))
+        .withColumn("den_u", (F.col("n_uni") + F.col("vocab")).cast("double"))
+    )
+    lam = float(BIGRAM_LAMBDA)
+    fold = F.aggregate(
+        F.col("terms"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["c_d"].cast("double")
+        * F.log10(
+            F.lit(lam)
+            * ((s["c_b"] + F.lit(1)).cast("double") / (s["c_ctx"].cast("double") + F.col("v_d")))
+            + F.lit(BIGRAM_LAMBDA_C)
+            * ((s["c_u"] + F.lit(1)).cast("double") / F.col("den_u"))
+        ),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(fold / F.col("n_bigrams").cast("double"), 9).alias("avg_logprob10_interp"),
+    ).orderBy("doc_id")
+
+
+ORACLE_BIGRAM_INTERPOLATED_SCORES = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), d2 AS (
+  SELECT doc_id, toks FROM d WHERE len(toks) >= 2
+), doc_bg AS (
+  SELECT doc_id, bigram, COUNT(*) AS c_d FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+    FROM d2
+  ) GROUP BY doc_id, bigram
+), bg AS (
+  SELECT bigram, CAST(SUM(c_d) AS BIGINT) AS c_b,
+         split_part(bigram, ' ', 1) AS x, split_part(bigram, ' ', 2) AS y
+  FROM doc_bg GROUP BY bigram
+), ctx AS (
+  SELECT x, CAST(SUM(c_b) AS BIGINT) AS c_ctx FROM bg GROUP BY x
+), uni AS (
+  SELECT term, COUNT(*) AS c_u FROM (SELECT unnest(toks) AS term FROM d2)
+  GROUP BY term
+), totals AS (
+  SELECT CAST(SUM(c_u) AS BIGINT) AS n_uni, COUNT(*) AS vocab FROM uni
+), stats AS (
+  SELECT bigram, c_b, c_ctx, c_u
+  FROM bg JOIN ctx USING (x) JOIN uni ON bg.y = uni.term
+), per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c_d) AS BIGINT) AS n_bigrams,
+         list_sort(list(struct_pack(bigram := bigram, c_d := c_d, c_b := c_b,
+                                    c_ctx := c_ctx, c_u := c_u))) AS terms
+  FROM doc_bg JOIN stats USING (bigram)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(terms,
+               s -> CAST(s['c_d'] AS DOUBLE)
+                    * log10({BIGRAM_LAMBDA} * (CAST(s['c_b'] + 1 AS DOUBLE)
+                              / (CAST(s['c_ctx'] AS DOUBLE) + CAST(vocab AS DOUBLE)))
+                            + {BIGRAM_LAMBDA_C!r} * (CAST(s['c_u'] + 1 AS DOUBLE)
+                              / CAST(n_uni + vocab AS DOUBLE))))),
+           (acc, x) -> acc + x) / n_bigrams, 9) AS avg_logprob10_interp
+FROM per_doc, totals
+ORDER BY doc_id
+"""
+
+
 QUALITY_LABEL_THRESHOLD = 75.0
 
 
@@ -1129,6 +1265,7 @@ QUERIES = {
     "transcript_title_share": transcript_title_share,
     "variant_props_stats": variant_props_stats,
     "unigram_logprob_scores": unigram_logprob_scores,
+    "bigram_interpolated_scores": bigram_interpolated_scores,
     "fuzzy_title_matches": fuzzy_title_matches,
     # rows-only by design: iterative LBFGS training isn't SQL
     "quality_classifier_filter": quality_classifier_filter,
@@ -1154,6 +1291,7 @@ ORACLES = {
     "transcript_title_share": ORACLE_TRANSCRIPT_TITLE_SHARE,
     "variant_props_stats": ORACLE_VARIANT_PROPS_STATS,
     "unigram_logprob_scores": ORACLE_UNIGRAM_LOGPROB_SCORES,
+    "bigram_interpolated_scores": ORACLE_BIGRAM_INTERPOLATED_SCORES,
     "fuzzy_title_matches": ORACLE_FUZZY_TITLE_MATCHES,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "doc_quality_scores": ORACLE_DOC_QUALITY_SCORES,
