@@ -673,11 +673,11 @@ def srp_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
     b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
     pairs = cands.join(a, "d1").join(b, "d2")
-    cos = S.cosine(S.dot_exact("e1", "e2"), S.norm2_exact("e1"), S.norm2_exact("e2"))
-    return (
-        pairs.select("d1", "d2", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.35)
-    )
+    # verify via the vectorized exact-cosine kernel — bit-identical
+    # to the HOF-expression form (same fixed-point sums), but one
+    # numpy pass per batch instead of three interpreted 64-element
+    # folds per candidate pair (the verify stage dominated sf1 wall)
+    return S.cosine_pairs_kernel(pairs).filter(F.col("cos_sim") >= 0.35)
 
 
 ORACLE_SRP_LSH_NEAR_DUPES = """
