@@ -371,3 +371,49 @@ def test_incremental_rollup_random_splits_property(spark, cuts):
         .collect()
     }
     assert got == want, (bounds,)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=60),
+    k=st.integers(min_value=2, max_value=7),
+)
+def test_total_order_family_property(spark, vals, k):
+    """Randomized differential: the distributed total-order family
+    (global row_number / percent_rank / NTILE over heavily-tied
+    random values) must equal Spark's single-partition windows
+    exactly, for any size, tie structure, and tile count."""
+    from pyspark.sql import Window
+
+    from fin_trade_craft_spark.operators import total_order as TO
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got_rn = {
+        (r.id, r.rn)
+        for r in TO.global_row_number(df, [F.col("v"), F.col("id")], "rn").collect()
+    }
+    want_rn = {
+        (r.id, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(Window.orderBy("v", "id"))).collect()
+    }
+    assert got_rn == want_rn
+
+    got_pr = {(r.id, r.pr) for r in TO.global_percent_rank(df, "v", "pr").collect()}
+    want_pr = {
+        (r.id, r.pr)
+        for r in df.withColumn("pr", F.percent_rank().over(Window.orderBy("v"))).collect()
+    }
+    assert got_pr == want_pr
+
+    got_t = {
+        (r.id, r.t)
+        for r in TO.global_ntile(df, k, [F.col("v"), F.col("id")], "t").collect()
+    }
+    want_t = {
+        (r.id, r.t)
+        for r in df.withColumn("t", F.ntile(k).over(Window.orderBy("v", "id"))).collect()
+    }
+    assert got_t == want_t
