@@ -97,8 +97,11 @@ def bench_query_names() -> list[str]:
         "incremental_semdedup_ingest",
         "daily_screener",
         "length_curriculum_buckets",
-        # r05 late: two-level quantizer build (the extreme-scale tier)
+        # r05 late: two-level quantizer build (the extreme-scale
+        # tier), DSIR data-selection weights, interpolated bigram LM
         "hierarchical_cell_stats",
+        "dsir_importance_weights",
+        "bigram_interpolated_scores",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]
