@@ -42,7 +42,12 @@ def exploded_shingles(shingle_sets: DataFrame, id_col: str = "doc_id") -> DataFr
     return shingle_sets.select(id_col, F.explode("shingles").alias("shingle"))
 
 
-EXACT_TIER_MAX_ROWS = 25_000  # covers every fixture incl. the sf1 replica
+# Covers the driver fixtures (documents ≤5k, embeddings ≤20k incl.
+# the sf1 embedding replica). The sf1 DOCUMENTS replica (50k) is
+# deliberately refused — that is the guard doing its job on a
+# corpus-sized input; raise max_rows explicitly for a bigger
+# offline verification run.
+EXACT_TIER_MAX_ROWS = 25_000
 
 
 def exact_jaccard_pairs(

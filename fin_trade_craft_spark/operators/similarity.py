@@ -85,13 +85,21 @@ def cosine_pairs_kernel(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[e1]])
-            B = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[e2]])
-            dots = np.floor(A * B * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
-            n2a = np.floor(A * A * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
-            n2b = np.floor(B * B * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+            # NULL vectors -> NaN, which Arrow's nan_as_null maps
+            # back to SQL NULL — exactly the HOF-expression path's
+            # output (and stacking a None would make the batch
+            # ragged / crash)
+            valid = (pdf[e1].notna() & pdf[e2].notna()).to_numpy()
+            cos = np.full(len(pdf), np.nan)
+            if valid.any():
+                A = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[e1][valid]])
+                B = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[e2][valid]])
+                dots = np.floor(A * B * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+                n2a = np.floor(A * A * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+                n2b = np.floor(B * B * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+                cos[valid] = dots / (np.sqrt(n2a) * np.sqrt(n2b))
             o = pdf[keep].copy()
-            o[out] = dots / (np.sqrt(n2a) * np.sqrt(n2b))
+            o[out] = cos
             yield o
 
     return pairs.mapInPandas(fn, schema)

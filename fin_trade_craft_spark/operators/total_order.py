@@ -75,6 +75,27 @@ def _prefix_rows(rp: DataFrame, group_cols: list[str], agg: Column, combine, ini
     return out
 
 
+def _join_group_keys(df: DataFrame, small: DataFrame, group_cols: list[str], extra_key: str | None = None) -> DataFrame:
+    """Broadcast-join ``small`` onto ``df`` by the group keys (plus
+    ``extra_key`` with plain equality) using NULL-SAFE equality — a
+    plain equi-join would silently DROP rows whose group key is NULL
+    (null != null), whereas the Window.partitionBy these operators
+    replace keeps NULL as its own partition. The small side's key
+    columns are renamed and dropped after the join."""
+    renamed = small
+    for c in group_cols:
+        renamed = renamed.withColumnRenamed(c, f"__sk_{c}")
+    cond = F.lit(True)
+    if extra_key is not None:
+        renamed = renamed.withColumnRenamed(extra_key, "__sk_pid")
+        cond = F.col(extra_key) == F.col("__sk_pid")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__sk_{c}"))
+    out = df.join(F.broadcast(renamed), cond)
+    drops = [f"__sk_{c}" for c in group_cols] + (["__sk_pid"] if extra_key else [])
+    return out.drop(*drops)
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list,
@@ -85,20 +106,25 @@ def global_row_number(
     single-partition stage. ``order_cols`` must be a total order
     (include a unique tiebreak) for a deterministic result;
     ``group_cols`` (optional, low-cardinality) scope the numbering
-    the way ``PARTITION BY`` would."""
+    the way ``PARTITION BY`` would — including a NULL group key,
+    which ranks as its own group exactly like PARTITION BY."""
     group_cols = group_cols or []
     spark = df.sparkSession
     rp = _range_partitioned(df, [*group_cols, *order_cols])
     off = _prefix_rows(rp, group_cols, F.count(F.lit(1)), lambda a, b: a + b, 0)
-    schema = rp.select(
-        F.col(_PID).alias(_PID),
-        *[F.col(c) for c in group_cols],
-        F.lit(0).cast("long").alias("__off"),
-    ).schema
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = rp.select(F.col(_PID), *[F.col(c) for c in group_cols]).schema
+    schema = StructType(
+        [base[0]]
+        # group keys forced nullable: a NULL group is a legal key
+        + [StructField(f.name, f.dataType, True) for f in base.fields[1:]]
+        + [StructField("__off", LongType(), False)]
+    )
     off_df = spark.createDataFrame(off, schema)
     w = Window.partitionBy(_PID, *group_cols).orderBy(*order_cols)
     return (
-        rp.join(F.broadcast(off_df), [_PID, *group_cols])
+        _join_group_keys(rp, off_df, group_cols, extra_key=_PID)
         .withColumn(out, F.row_number().over(w) + F.col("__off"))
         .drop(_PID, "__off")
     )
@@ -123,7 +149,7 @@ def global_percent_rank(
     base = base.withColumn("__minrn", F.min("__rn").over(wt))
     if group_cols:
         counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
-        base = base.join(F.broadcast(counts), group_cols)
+        base = _join_group_keys(base, counts, group_cols)
     else:
         counts = df.agg(F.count(F.lit(1)).alias("__n"))
         base = base.crossJoin(F.broadcast(counts))
@@ -152,7 +178,7 @@ def global_ntile(
     base = global_row_number(df, order_cols, "__rn", group_cols)
     if group_cols:
         counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
-        base = base.join(F.broadcast(counts), group_cols)
+        base = _join_group_keys(base, counts, group_cols)
     else:
         base = base.crossJoin(F.broadcast(df.agg(F.count(F.lit(1)).alias("__n"))))
     # qv = floor(n/k) rows per small tile; the first r = n mod k
@@ -182,8 +208,14 @@ def range_prefix_scan_max(
     no predecessor exists get NULL — same as a window frame of
     (unbounded preceding, -1)."""
     rp = _range_partitioned(df, order_cols)
+    # None-safe max: a partition whose value_col is entirely NULL
+    # aggregates to None and must not poison the running combine
     off = _prefix_rows(
-        rp, [], F.max(F.col(value_col)), lambda a, b: max(a, b), None
+        rp,
+        [],
+        F.max(F.col(value_col)),
+        lambda a, b: a if b is None else (b if a is None else max(a, b)),
+        None,
     )
     spark = df.sparkSession
     from pyspark.sql.types import StructField, StructType

@@ -160,8 +160,10 @@ def kmeans_params(n: int) -> dict:
 # reusing the centroid matrix across the queries that consume it
 # (assignment, search, semdedup, recall eval, ingest) is exactly
 # the production pattern of persisting the IVF codebook at index
-# build time. Keyed on the corpus row count as well, so a dataset
-# regenerated in place under the same path misses the cache.
+# build time. The key carries a CONTENT fingerprint (row count +
+# exact integer sum of ids and first components), so a dataset
+# regenerated in place under the same path — even at the same
+# cardinality — misses the cache.
 _KMEANS_MEMO: dict[tuple, tuple] = {}
 
 
@@ -180,8 +182,15 @@ def _train_kmeans(spark: SparkSession, sf_dir: str, where=None, k_override: int 
     emb = _emb(spark, sf_dir)
     if where is not None:
         emb = emb.filter(where)
-    n_rows = emb.count()
-    memo_key = (sf_dir, n_rows, str(where), k_override)
+    fp = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").alias("ids"),
+        F.sum(
+            F.expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)")
+        ).alias("c0"),
+    ).collect()[0]
+    n_rows = fp["n"]
+    memo_key = (sf_dir, n_rows, fp["ids"], fp["c0"], str(where), k_override)
     if memo_key in _KMEANS_MEMO:
         return _KMEANS_MEMO[memo_key]
     p = kmeans_params(n_rows)
@@ -483,7 +492,10 @@ SELECT qid, rank, nid, cos_sim FROM (
 """
 
 
-EXACT_NEAR_DUPES_MAX_ROWS = 25_000  # covers every fixture incl. the sf1 replica
+# Covers every embeddings fixture incl. the 20k sf1 replica; larger
+# corpora are deliberately refused (same policy as
+# operators/dedup.EXACT_TIER_MAX_ROWS — see its comment).
+EXACT_NEAR_DUPES_MAX_ROWS = 25_000
 
 
 def exact_near_dupe_pairs(emb: DataFrame, max_rows: int = EXACT_NEAR_DUPES_MAX_ROWS) -> DataFrame:

@@ -454,8 +454,12 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, sub in enumerate(("b0", "b1")):
         part = next((arrivals / sub).glob("*.parquet"))
         dst = stage / f"batch_{i}.parquet"
-        dst.symlink_to(part)
-        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000), follow_symlinks=False)
+        # MOVE (not symlink) so the utime below lands on the file the
+        # stream source actually stats — Java lastModified FOLLOWS
+        # symlinks, so pinning a link's own mtime would leave batch
+        # order to the incidental (possibly tied) write timestamps
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
 
     cos = S.cosine(S.dot_exact("e1", "e2"), S.norm2_exact("e1"), S.norm2_exact("e2"))
 

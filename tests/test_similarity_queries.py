@@ -207,3 +207,24 @@ def test_hierarchical_quantizer_properties(spark):
     stats = similarity.hierarchical_cell_stats(spark, sf_dir).collect()[0]
     assert stats.n_vectors == n and stats.n_cells == len(pops)
     assert stats.n_level1_cells == k1
+
+
+def test_cosine_pairs_kernel_null_vectors(spark):
+    """NULL embeddings must yield NULL cos_sim (the kernel emits
+    NaN, which Arrow's nan_as_null maps back to SQL NULL — exactly
+    the HOF-expression path's output; both fail any threshold
+    filter) instead of crashing the batch stack (r05 review fix)."""
+    from pyspark.sql import functions as F
+
+    from fin_trade_craft_spark.operators.similarity import cosine_pairs_kernel
+
+    rows = [
+        (1, [1.0, 0.0], [1.0, 0.0]),
+        (2, None, [1.0, 0.0]),
+        (3, [0.0, 1.0], None),
+    ]
+    df = spark.createDataFrame(rows, "pid long, e1 array<double>, e2 array<double>")
+    got = {r.pid: r.cos_sim for r in cosine_pairs_kernel(df).collect()}
+    assert got[1] == 1.0
+    assert got[2] is None and got[3] is None
+    assert cosine_pairs_kernel(df).filter(F.col("cos_sim") >= 0.5).count() == 1

@@ -105,3 +105,38 @@ def test_range_prefix_scan_max_matches_window(spark):
     ww = {(r.id, r.rm) for r in want.collect()}
     assert g == ww
     assert _no_unpartitioned_window(got) == []
+
+
+def test_null_group_keys_are_their_own_group(spark):
+    """A NULL group key must behave exactly like Window.partitionBy:
+    its rows rank/tile within their own group instead of silently
+    vanishing through a null-rejecting equi-join (r05 review fix)."""
+    rows = [(1, "en", 10), (2, "en", 20), (3, None, 5), (4, None, 7), (5, "fr", 9)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = TO.global_ntile(df, 2, [F.col("v"), F.col("id")], "t", group_cols=["g"])
+    want = df.withColumn(
+        "t", F.ntile(2).over(Window.partitionBy("g").orderBy("v", "id"))
+    )
+    assert {(r.id, r.t) for r in got.collect()} == {(r.id, r.t) for r in want.collect()}
+
+    got_pr = TO.global_percent_rank(df, "v", "pr", group_cols=["g"])
+    want_pr = df.withColumn(
+        "pr", F.percent_rank().over(Window.partitionBy("g").orderBy("v"))
+    )
+    assert {(r.id, r.pr) for r in got_pr.collect()} == {
+        (r.id, r.pr) for r in want_pr.collect()
+    }
+
+
+def test_prefix_scan_max_tolerates_all_null_partitions(spark):
+    """A range partition whose value column is entirely NULL
+    aggregates to None — the driver prefix-combine must skip it, not
+    raise TypeError (r05 review fix)."""
+    rows = [(i, float(i) if i % 7 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+    got = TO.range_prefix_scan_max(df, [F.col("id").asc()], "v", "rm")
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("rm", F.max("v").over(w))
+    assert {(r.id, r.rm) for r in got.collect()} == {
+        (r.id, r.rm) for r in want.collect()
+    }
