@@ -50,6 +50,21 @@ def exploded_shingles(shingle_sets: DataFrame, id_col: str = "doc_id") -> DataFr
 EXACT_TIER_MAX_ROWS = 25_000
 
 
+def guard_exact_tier(df: DataFrame, max_rows: int, what: str, alternatives: str) -> int:
+    """Shared refuse-quadratic policy for the labeled exact/verifier
+    tiers: count the input (one cheap action — noise next to the n²
+    stage it gates) and raise with the scale-path alternative named
+    when it exceeds ``max_rows``. Returns the count."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what} is the exact/verifier tier (quadratic): got {n} rows > "
+            f"max_rows={max_rows}. Use {alternatives} at corpus scale, or raise "
+            f"max_rows explicitly."
+        )
+    return n
+
+
 def exact_jaccard_pairs(
     shingle_sets: DataFrame,
     id_col: str = "doc_id",
@@ -96,16 +111,14 @@ def exact_jaccard_pairs(
         )
         return out.filter(F.col("jaccard") >= min_jaccard)
     # The candidate-free branch is the FIXTURE/VERIFIER tier: its
-    # shingle self-join is quadratic in colliding docs, so refuse
-    # corpus-sized inputs instead of silently launching an n² stage —
-    # the one count() action here is noise next to the join it gates.
-    n = shingle_sets.count()
-    if n > max_rows:
-        raise ValueError(
-            f"exact_jaccard_pairs without candidates is the exact/verifier tier "
-            f"(quadratic): got {n} docs > max_rows={max_rows}. Pass candidates from "
-            f"lsh_candidate_pairs (the scale path), or raise max_rows explicitly."
-        )
+    # shingle self-join is quadratic in colliding docs — refuse
+    # corpus-sized inputs instead of silently launching an n² stage.
+    guard_exact_tier(
+        shingle_sets,
+        max_rows,
+        "exact_jaccard_pairs without candidates",
+        "candidates from lsh_candidate_pairs (the scale path)",
+    )
     base = (
         shingle_sets.select(
             id_col,

@@ -503,18 +503,18 @@ def exact_near_dupe_pairs(emb: DataFrame, max_rows: int = EXACT_NEAR_DUPES_MAX_R
     ``embedding_near_dupes`` — REFUSES corpus-sized inputs: this is
     the fixture-scale verifier tier (θ-join over n² pairs); pointing
     it at a large table would silently launch a quadratic stage, so
-    it raises with the scale-path alternatives instead (the one
-    count() action is noise next to the join it gates)."""
+    it raises with the scale-path alternatives instead (shared
+    policy: operators/dedup.guard_exact_tier)."""
     from pyspark.sql import Window
 
-    n = emb.count()
-    if n > max_rows:
-        raise ValueError(
-            f"embedding_near_dupes is the exact/verifier tier (all-pairs, O(n²)): "
-            f"got {n} vectors > max_rows={max_rows}. Use srp_lsh_near_dupes (LSH "
-            f"candidates) or semdedup (IVF cells) at corpus scale, or raise "
-            f"max_rows explicitly."
-        )
+    from ..operators.dedup import guard_exact_tier
+
+    guard_exact_tier(
+        emb,
+        max_rows,
+        "embedding_near_dupes",
+        "srp_lsh_near_dupes (LSH candidates) or semdedup (IVF cells)",
+    )
     a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
     b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
     pairs = a.join(b, F.col("d1") < F.col("d2"))
