@@ -50,17 +50,35 @@ def exploded_shingles(shingle_sets: DataFrame, id_col: str = "doc_id") -> DataFr
 EXACT_TIER_MAX_ROWS = 25_000
 
 
+# Session conf that overrides the per-call max_rows — lets an
+# offline verification run raise the budget without editing code:
+#   spark.conf.set("spark.fin_trade_craft.exactTierMaxRows", "200000")
+EXACT_TIER_CONF = "spark.fin_trade_craft.exactTierMaxRows"
+
+
 def guard_exact_tier(df: DataFrame, max_rows: int, what: str, alternatives: str) -> int:
     """Shared refuse-quadratic policy for the labeled exact/verifier
-    tiers: count the input (one cheap action — noise next to the n²
-    stage it gates) and raise with the scale-path alternative named
-    when it exceeds ``max_rows``. Returns the count."""
-    n = df.count()
-    if n > max_rows:
+    tiers: probe the input size and raise with the scale-path
+    alternative named when it exceeds the budget. The budget is the
+    ``EXACT_TIER_CONF`` session conf when set, else ``max_rows``.
+
+    The probe is ``limit(budget+1).count()`` — it stops scanning the
+    moment the budget is exceeded instead of counting the whole
+    corpus, so on an over-budget input the cost is ~budget rows.
+    NOTE: this runs at DataFrame-CONSTRUCTION time (an eager action),
+    by design — the whole point is to refuse before any quadratic
+    stage is even planned; plan-only tooling should skip exact-tier
+    queries (tests/test_plan_lint.py allowlists them). Returns the
+    probed count, capped at budget+1."""
+    conf = df.sparkSession.conf.get(EXACT_TIER_CONF, None)
+    budget = int(conf) if conf else max_rows
+    n = df.limit(budget + 1).count()
+    if n > budget:
         raise ValueError(
-            f"{what} is the exact/verifier tier (quadratic): got {n} rows > "
-            f"max_rows={max_rows}. Use {alternatives} at corpus scale, or raise "
-            f"max_rows explicitly."
+            f"{what} is the exact/verifier tier (quadratic): got > {budget} rows "
+            f"(budget from {'session conf ' + EXACT_TIER_CONF if conf else 'max_rows'}). "
+            f"Use {alternatives} at corpus scale, or raise the budget via "
+            f"spark.conf.set('{EXACT_TIER_CONF}', <rows>)."
         )
     return n
 

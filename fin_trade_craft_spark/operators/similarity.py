@@ -69,7 +69,21 @@ def cosine_pairs_kernel(
     vectorized numpy pass per batch instead of three interpreted
     64-element lambda folds per ROW, which dominates verify-stage
     wall on large candidate sets. Passes every non-vector column
-    through; replaces the two vector columns with ``out``."""
+    through; replaces the two vector columns with ``out``.
+
+    Stated edges of the bit-equality claim (ADVICE r05):
+
+    - **Zero-norm vectors**: cosine is 0/0. The HOF-expression path
+      yields a double NaN; this kernel also computes NaN, but Arrow's
+      nan_as_null maps it to SQL NULL on the way back — NULL here vs
+      NaN there. Threshold filters (``>= θ``) agree in both cases
+      (NaN and NULL both fail a comparison), which is why every
+      in-repo consumer is unaffected; don't rely on the distinction
+      elsewhere.
+    - **Vector length**: all vectors in a frame must share one
+      dimensionality. Mixed lengths would stack into a ragged object
+      array whose ``A * B`` crashes obscurely — np.stack below turns
+      that into an explicit per-batch error instead."""
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -92,8 +106,14 @@ def cosine_pairs_kernel(
             valid = (pdf[e1].notna() & pdf[e2].notna()).to_numpy()
             cos = np.full(len(pdf), np.nan)
             if valid.any():
-                A = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[e1][valid]])
-                B = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[e2][valid]])
+                try:
+                    A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[e1][valid]])
+                    B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[e2][valid]])
+                except ValueError as e:
+                    raise ValueError(
+                        "cosine_pairs_kernel requires a uniform vector length "
+                        f"within the frame ({e1}/{e2}): {e}"
+                    ) from None
                 dots = np.floor(A * B * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
                 n2a = np.floor(A * A * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
                 n2b = np.floor(B * B * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12

@@ -130,6 +130,22 @@ def global_row_number(
     )
 
 
+def _with_group_totals(base: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Attach each group's row total ``__n`` to a frame that already
+    carries a contiguous per-group ``__rn`` — as max(__rn), derived
+    from the SAME pinned range-partitioned lineage the ranks came
+    from. Re-aggregating the caller's original df here (the r05
+    shape) both recomputed the upstream plan a second time and, on a
+    nondeterministic source, could disagree with the ranks
+    (percent_rank > 1 / wrong NTILE fill); max of the rank column
+    cannot (ADVICE r05)."""
+    if group_cols:
+        counts = base.groupBy(*group_cols).agg(F.max("__rn").alias("__n"))
+        return _join_group_keys(base, counts, group_cols)
+    counts = base.agg(F.max("__rn").alias("__n"))
+    return base.crossJoin(F.broadcast(counts))
+
+
 def global_percent_rank(
     df: DataFrame,
     value_col: str,
@@ -147,12 +163,7 @@ def global_percent_rank(
     # from an aggregate broadcast back
     wt = Window.partitionBy(*group_cols, value_col)
     base = base.withColumn("__minrn", F.min("__rn").over(wt))
-    if group_cols:
-        counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
-        base = _join_group_keys(base, counts, group_cols)
-    else:
-        counts = df.agg(F.count(F.lit(1)).alias("__n"))
-        base = base.crossJoin(F.broadcast(counts))
+    base = _with_group_totals(base, group_cols)
     return base.withColumn(
         out,
         F.when(
@@ -176,11 +187,7 @@ def global_ntile(
     ⌈n/k⌉ rows, the rest ⌊n/k⌋."""
     group_cols = group_cols or []
     base = global_row_number(df, order_cols, "__rn", group_cols)
-    if group_cols:
-        counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
-        base = _join_group_keys(base, counts, group_cols)
-    else:
-        base = base.crossJoin(F.broadcast(df.agg(F.count(F.lit(1)).alias("__n"))))
+    base = _with_group_totals(base, group_cols)
     # qv = floor(n/k) rows per small tile; the first r = n mod k
     # tiles get qv+1 rows (ANSI NTILE fill). Pure integer DIV — a
     # double division could round up across a tile boundary at

@@ -83,8 +83,15 @@ def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ThreadPoolExecutor(len(specs)) as ex:
         ranked_frames = list(ex.map(build, specs))
     scored = per
+    # null-safe join-backs: upstream groupBy guarantees one row per
+    # customer, but a NULL o_custkey group would be silently dropped
+    # by a plain equi-join (null != null) — the exact hazard
+    # total_order._join_group_keys guards against (ADVICE r05)
     for rf in ranked_frames:
-        scored = scored.join(rf, "o_custkey")
+        rf = rf.withColumnRenamed("o_custkey", "__rk")
+        scored = scored.join(
+            rf, F.col("o_custkey").eqNullSafe(F.col("__rk"))
+        ).drop("__rk")
     scored = scored.withColumn("signal_strength", F.col("__sr") * 100).withColumn(
         "overall_quality_score", F.col("__qr") * 100
     ).drop("__sr", "__qr")

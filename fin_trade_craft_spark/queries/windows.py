@@ -1254,12 +1254,14 @@ CEP_MAX_GAP_MIN = 1440  # per-step gap: the synthetic stream ticks in hours, not
 def cep_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complex-event-processing pattern match (the MATCH_RECOGNIZE /
     Flink-CEP shape, strict contiguity): find every occurrence of
-    the consecutive per-user event sequence view→click→purchase
-    where each step follows the previous within ``CEP_MAX_GAP_MIN``
-    minutes (24 h here — the synthetic stream ticks hourly). Emits
-    one row per match anchored at the first event, plus the
-    end-to-end latency — the conversion micro-funnel a product
-    pipeline alerts on.
+    the consecutive per-user event sequence ``CEP_PATTERN`` —
+    view→view→click, the repeat-browse-then-click funnel; frequent
+    enough in the synthetic stream to exercise the match logic,
+    unlike the rarer view→click→purchase — where each step follows
+    the previous within ``CEP_MAX_GAP_MIN`` minutes (24 h here — the
+    synthetic stream ticks hourly). Emits one row per match anchored
+    at the first event, plus the end-to-end latency — the conversion
+    micro-funnel a product pipeline alerts on.
 
     Scale shape: a fixed-length pattern with strict contiguity
     compiles to lead() comparisons — one shuffle on user_id, no

@@ -214,6 +214,16 @@ class TableIO:
         directories (a crash inside ``publish_audited`` or a
         partition-scoped upsert before commit leaves one behind under
         a uuid name the fixed-suffix protocol doesn't know).
+
+        CONTRACT: recovery must run QUIESCED — no concurrent writer
+        on this table. The staging sweep cannot distinguish a stale
+        crash leftover from the live staging dir of an in-flight
+        ``publish_audited``/``upsert`` and would delete it mid-write
+        (ADVICE r05). This matches the crash-recovery setting (the
+        writer is by definition dead), and single-writer-per-table is
+        the module's concurrency model throughout; a multi-writer
+        deployment needs a transactional table format (Delta/Iceberg
+        — see SURVEY's documented divergence #2).
         """
         import glob
         import os

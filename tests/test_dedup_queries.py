@@ -57,3 +57,32 @@ def test_exact_tier_guards_refuse_corpus_sized_inputs(spark):
     # override hatch + small inputs still work
     small = big_emb.filter(F.col("vec_id") < 5)
     assert exact_near_dupe_pairs(small).count() > 0
+
+
+def test_exact_tier_budget_is_conf_configurable(spark):
+    """VERDICT r05 task 7: the exact-tier row budget threads through
+    the session conf (spark.fin_trade_craft.exactTierMaxRows) so an
+    offline verification run can raise it without editing code.
+    Default behavior (conf unset) is unchanged."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fin_trade_craft_spark.operators.dedup import EXACT_TIER_CONF, guard_exact_tier
+
+    big = spark.range(25_001).select(F.col("id").alias("vec_id"))
+    # default: over-budget input refused
+    with pytest.raises(ValueError, match="exactTierMaxRows"):
+        guard_exact_tier(big, 25_000, "probe", "alt")
+    # conf raises the budget -> same input passes
+    spark.conf.set(EXACT_TIER_CONF, "30000")
+    try:
+        assert guard_exact_tier(big, 25_000, "probe", "alt") == 25_001
+        # conf can also LOWER the budget below the call-site default
+        spark.conf.set(EXACT_TIER_CONF, "10")
+        with pytest.raises(ValueError, match="session conf"):
+            guard_exact_tier(big.limit(11), 25_000, "probe", "alt")
+    finally:
+        spark.conf.unset(EXACT_TIER_CONF)
+    # conf unset again: default refuse restored
+    with pytest.raises(ValueError, match="max_rows"):
+        guard_exact_tier(big, 25_000, "probe", "alt")
