@@ -167,22 +167,129 @@ def exact_jaccard_pairs(
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iters: int = 50, algorithm: str = "star"
+) -> DataFrame:
     """Connected components over a near-dup pair graph — turns
     pairwise matches into dedup CLUSTERS (cluster id = min doc id
     reachable). Input: (d1, d2) edges. Output: (doc_id, cluster_id).
 
-    Min-label propagation: each iteration every node takes the min
-    of its own label and its neighbors' labels; converged when no
-    label changes. Iterations = graph diameter — near-dup clusters
-    are shallow (a dup cluster's diameter is rarely > a few hops),
-    so the loop is a handful of joins, each a plain shuffle the
-    optimizer handles; ``localCheckpoint`` per round cuts the
-    exponential lineage. The driver-side part is ONE small count per
-    iteration (the convergence check), never data. (GraphFrames'
-    CC is this same algorithm with alternating large/small star
-    optimizations; unavailable in this env and unnecessary at
-    dup-cluster diameters.)"""
+    Default ``algorithm="star"`` is alternating large-star /
+    small-star contraction (:func:`connected_components_star`),
+    which converges in O(log n) rounds regardless of component
+    DIAMETER; ``"minlabel"`` keeps the r0x min-label propagation
+    (:func:`connected_components_minlabel`, rounds = diameter) as
+    the differential twin — both produce identical labels
+    (tests/test_dedup_clusters.py pins star ≡ minlabel ≡ a driver
+    union-find on adversarial shapes)."""
+    if algorithm == "star":
+        return connected_components_star(pairs, max_iters)
+    return connected_components_minlabel(pairs, max_iters)
+
+
+def connected_components_star(
+    pairs: DataFrame, max_iters: int = 50, stats: dict | None = None
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the scale-true default: each round is two
+    edge-linear passes (a per-node min aggregate + an edge join),
+    and the edge set contracts toward per-component STARS rooted at
+    the component's min node in O(log n) rounds. Min-label
+    propagation (the previous default, kept as the differential
+    twin) needs rounds = component DIAMETER — fine for shallow
+    near-dup clusters but a pathological chain component (templated
+    doc series A~B~C~…) makes it O(chain length) full-graph passes
+    (the r05 verdict's scale debt #2; the planted-chain test pins
+    star's round count at ≤ 2·⌈log₂ n⌉ where minlabel needs n−1).
+
+    Per round, on the undirected edge view of the current edge set:
+
+    - **large-star**: every node u emits (v, m) for each STRICTLY
+      LARGER neighbor v, where m = min(N(u) ∪ {u}) — big nodes
+      re-hang onto their neighborhood's minimum;
+    - **small-star**: orient edges (u, v) with v < u; every node u
+      emits (u, m) and (v, m) for each smaller neighbor v, where
+      m = min(N⁻(u) ∪ {u}) = min(N⁻(u)) — small neighbors and u
+      itself re-hang onto the local minimum.
+
+    Both steps preserve connectivity (proved in the paper) and only
+    ever decrease the partner of a node, so the fixed point is the
+    star forest (node → component min). Convergence is detected by
+    edge-set equality (``exceptAll . limit(1)`` both directions —
+    bounded work, no fingerprint collisions); each round
+    ``localCheckpoint``s to cut lineage, same as the minlabel twin.
+
+    Skew note: a hub's edges group onto one key in the min
+    aggregate — a partial-aggregating hash shuffle of (node, min)
+    partials, NOT a fan-out; the join side re-emits each edge
+    exactly once. No step materializes a neighborhood list."""
+    edges = (
+        pairs.filter(F.col("d1") != F.col("d2"))
+        .select(
+            F.greatest("d1", "d2").alias("src"), F.least("d1", "d2").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = und.groupBy("src").agg(F.min("dst").alias("__nm"))
+        m = F.least(F.col("src"), F.col("__nm"))
+        return (
+            und.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is (hi, lo)-oriented by construction of both emitters
+        mins = e.groupBy("src").agg(F.min("dst").alias("__m"))
+        j = e.join(mins, "src")
+        hang_v = j.filter(F.col("dst") != F.col("__m")).select(
+            F.col("dst").alias("src"), F.col("__m").alias("dst")
+        )
+        hang_u = j.select("src", F.col("__m").alias("dst"))
+        return hang_v.union(hang_u).distinct()
+
+    rounds = 0
+    for _ in range(max_iters):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        rounds += 1
+        changed = (
+            nxt.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(nxt).limit(1).count()
+        )
+        edges = nxt
+        if changed == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixed point: edges = (node, component-min). Roots label themselves.
+    children = edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id"))
+    roots = edges.select(F.col("dst").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return children.unionByName(roots).distinct()
+
+
+def connected_components_minlabel(
+    pairs: DataFrame, max_iters: int = 50, stats: dict | None = None
+) -> DataFrame:
+    """Min-label propagation connected components — the
+    diameter-bound differential twin of
+    :func:`connected_components_star` (see its docstring for when
+    each wins; a component whose diameter exceeds ``max_iters``
+    would return UNCONVERGED labels here, which is why star is the
+    default). Each iteration every node takes the min of its own
+    label and its neighbors' labels; converged when no label
+    changes. Iterations = graph diameter — near-dup clusters are
+    shallow, so the loop is a handful of joins, each a plain
+    shuffle; ``localCheckpoint`` per round cuts the exponential
+    lineage. The driver-side part is ONE small count per iteration
+    (the convergence check), never data."""
     edges = (
         pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
@@ -195,7 +302,9 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -220,6 +329,8 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -81,3 +81,67 @@ def test_connected_components_random_graphs_match_union_find(spark):
         got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
         want = _union_find_clusters(sorted(edges))
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_star_contraction_matches_minlabel_and_union_find(spark):
+    """VERDICT r05 task 2: the default star-contraction algorithm
+    must label identically to the min-label twin and a driver-side
+    union-find across adversarial shapes (chain + triangle + pair,
+    merged rings, random graphs with planted chains)."""
+    import random
+
+    from fin_trade_craft_spark.operators.dedup import (
+        connected_components_minlabel,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    fixtures = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(9, 5), (7, 9), (5, 3)],
+        # two rings merged by one bridge edge
+        [(i, i + 1) for i in range(40, 46)] + [(45, 40)]
+        + [(i, i + 1) for i in range(50, 56)] + [(55, 50)] + [(43, 53)],
+    ]
+    for _ in range(2):
+        edges = {tuple(sorted(rng.sample(range(100, 160), 2))) for _ in range(40)}
+        chain = rng.sample(range(200, 260), 15)
+        edges |= {tuple(sorted(p)) for p in zip(chain, chain[1:])}
+        fixtures.append(sorted(edges))
+    for fx in fixtures:
+        pairs = spark.createDataFrame(fx, "d1 long, d2 long")
+        star = {r.doc_id: r.cluster_id for r in connected_components_star(pairs).collect()}
+        mini = {
+            r.doc_id: r.cluster_id for r in connected_components_minlabel(pairs).collect()
+        }
+        want = _union_find_clusters(fx)
+        assert star == mini == want
+
+
+def test_star_contraction_chain_round_count_logarithmic(spark):
+    """A planted 500-node chain: min-label needs 499 rounds (it
+    would silently return unconverged labels at the default cap);
+    star contraction must converge in <= 2*ceil(log2(n)) = 18 rounds
+    AND produce the correct single-cluster labeling."""
+    import math
+
+    from fin_trade_craft_spark.operators.dedup import connected_components_star
+
+    n = 500
+    # shuffled ids so chain position is uncorrelated with node id
+    import random
+
+    ids = list(range(1000, 1000 + n))
+    random.Random(3).shuffle(ids)
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in zip(ids, ids[1:])], "d1 long, d2 long"
+    )
+    stats = {}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(pairs, stats=stats).collect()
+    }
+    root = min(ids)
+    assert got == {i: root for i in ids}
+    bound = 2 * math.ceil(math.log2(n))
+    assert stats["rounds"] <= bound, f"star took {stats['rounds']} rounds > {bound}"
