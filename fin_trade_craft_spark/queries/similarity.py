@@ -126,6 +126,42 @@ KM_SAMPLE_PER_CENTROID = 32
 KM_ITERS = 2
 _QV_EXPR = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
 
+# ------------------------------------------------------------------
+# Quantizer tier selection (VERDICT r05 task 1). The flat build's
+# centroid matrix (k×dims) ships in every assignment closure and its
+# Lloyd rounds cost sample×k distances; with k ∝ corpus both grow
+# without bound (~400 MB matrix at 10⁸ vectors). Above
+# HIER_MIN_ROWS the cell contract for EVERY consumer (semdedup, IVF
+# search, incremental ingest) comes from the two-level hierarchical
+# build instead — closure ~√k×dims, per-vector assignment cost
+# ~2√k distances — leaving per-cell population, and therefore all
+# downstream within-cell work, unchanged (the swap is exactly the
+# SCALING.md claim, proved by tests/test_hierarchical_wiring.py:
+# identical dedup clusters on separable data, recall within a pinned
+# bound of the flat tier, and a closure-size assertion).
+#
+#   spark.fin_trade_craft.quantizer   = auto | flat | hierarchical
+#   spark.fin_trade_craft.hierMinRows = corpus-size threshold for auto
+#
+# Every DuckDB-oracle'd query replays the FLAT build, so the default
+# threshold sits far above any oracle fixture (the oracle gate runs
+# at sf0.01–sf1, ≤ 50k vectors); "auto" therefore means "flat at
+# verification scale, hierarchical at corpus scale".
+# ------------------------------------------------------------------
+QUANTIZER_CONF = "spark.fin_trade_craft.quantizer"
+HIER_MIN_ROWS_CONF = "spark.fin_trade_craft.hierMinRows"
+HIER_MIN_ROWS = 1_000_000
+
+
+def _quantizer_mode(spark: SparkSession, n_rows: int) -> str:
+    mode = spark.conf.get(QUANTIZER_CONF, "auto")
+    if mode not in ("auto", "flat", "hierarchical"):
+        raise ValueError(f"{QUANTIZER_CONF} must be auto|flat|hierarchical, got {mode!r}")
+    if mode != "auto":
+        return mode
+    thresh = int(spark.conf.get(HIER_MIN_ROWS_CONF, str(HIER_MIN_ROWS)))
+    return "hierarchical" if n_rows >= thresh else "flat"
+
 
 def _hash16(salt: str, cast_str: str) -> str:
     """Engine-portable 16-bit hash of vec_id from the first 4 md5
@@ -325,6 +361,41 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hier_k1(n: int) -> int:
+    """Level-1 cell count of the two-level build: ⌈√k⌉ for the flat
+    design k — caps the closure-shipped matrix and the Lloyd
+    training product at ~√k (see the quantizer-tier block comment)."""
+    import numpy as np
+
+    k = max(2, -(-n // KM_TARGET_CELL))
+    return max(2, int(np.ceil(np.sqrt(k))))
+
+
+def _cell_assignments(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:
+    """THE cell contract every semantic-tier consumer (semdedup,
+    incremental/streaming ingest, IVF corpus bucketing) reads:
+    (vec_id, cell) with ~KM_TARGET_CELL expected vectors per cell,
+    from the quantizer tier the corpus size selects (flat k-means at
+    verification scale, the two-level hierarchical build above
+    HIER_MIN_ROWS — or whatever ``spark.fin_trade_craft.quantizer``
+    forces). ``where`` restricts TRAINING only; assignment covers
+    every vector. Downstream within-cell work is tier-agnostic: the
+    swap changes cell IDs, not the population contract."""
+    emb = _emb(spark, sf_dir)
+    tr = emb.filter(where) if where is not None else emb
+    mode = _quantizer_mode(spark, tr.count())
+    if mode == "hierarchical":
+        return hierarchical_cells(spark, sf_dir, where=where).select(
+            "vec_id", F.col("cell_id").alias("cell")
+        )
+    trained = _train_kmeans(spark, sf_dir, where=where)
+    return (
+        _cell_scores(spark, sf_dir, max_rank=1, trained=trained)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+
 def _km_sql(train_pred: str = "TRUE") -> str:
     """Shared oracle CTE block replaying the deterministic k-means
     build in pure SQL: exact integer coordinates, hash-mod seed
@@ -426,29 +497,63 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TableIO.replace_where layout), probing becomes partition
     pruning, and per-cell candidate sets stay ~KM_TARGET_CELL; no
     all-pairs stage anywhere. Exact scaled-integer dots keep results
-    bit-reproducible at any parallelism."""
+    bit-reproducible at any parallelism.
+
+    Quantizer tiers: at verification scale the flat build assigns
+    and each query probes its nprobe = ⌈k/8⌉ nearest cells (the
+    oracle replays this bit-for-bit). Above HIER_MIN_ROWS (or when
+    forced via the quantizer conf) cells come from the two-level
+    build and a query probes every sub-cell of its ⌈k₁/8⌉ nearest
+    LEVEL-1 cells — the probed corpus FRACTION stays ~1/8 while the
+    query-side distance evaluations drop from k to k₁ ≈ √k (FAISS
+    IVF-with-coarse-pruning shape); the candidate-join tail is
+    tier-identical."""
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
-    trained = _train_kmeans(spark, sf_dir)
-    nprobe = trained[2]["nprobe"]
-    scores = _cell_scores(
-        spark, sf_dir, max_rank=nprobe, trained=trained
-    ).localCheckpoint(eager=True)
-    corpus = (
-        scores.filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("bucket"))
-        .join(emb, "vec_id")
-        .select(F.col("vec_id").alias("nid"), F.col("embedding").alias("e2"), "bucket")
-    )
-    probes = (
-        scores.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= nprobe))
-        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("bucket"))
-        .join(
-            emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("e1")),
-            "qid",
+    mode = _quantizer_mode(spark, emb.count())
+    if mode == "hierarchical":
+        hc = hierarchical_cells(spark, sf_dir).localCheckpoint(eager=True)
+        corpus = (
+            hc.select("vec_id", F.col("cell_id").alias("bucket"))
+            .join(emb, "vec_id")
+            .select(F.col("vec_id").alias("nid"), F.col("embedding").alias("e2"), "bucket")
         )
-    )
+        k1 = _hier_k1(emb.count())
+        np1 = max(2, -(-k1 // 8))
+        trained1 = _train_kmeans(spark, sf_dir, k_override=k1)
+        l1 = _cell_scores(spark, sf_dir, max_rank=np1, trained=trained1)
+        cellmap = hc.select(F.col("c1"), F.col("cell_id").alias("bucket")).distinct()
+        probes = (
+            l1.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= np1))
+            .select(F.col("vec_id").alias("qid"), F.col("cid").alias("c1"))
+            .join(cellmap, "c1")
+            .select("qid", "bucket")
+            .join(
+                emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("e1")),
+                "qid",
+            )
+        )
+    else:
+        trained = _train_kmeans(spark, sf_dir)
+        nprobe = trained[2]["nprobe"]
+        scores = _cell_scores(
+            spark, sf_dir, max_rank=nprobe, trained=trained
+        ).localCheckpoint(eager=True)
+        corpus = (
+            scores.filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias("bucket"))
+            .join(emb, "vec_id")
+            .select(F.col("vec_id").alias("nid"), F.col("embedding").alias("e2"), "bucket")
+        )
+        probes = (
+            scores.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= nprobe))
+            .select(F.col("vec_id").alias("qid"), F.col("cid").alias("bucket"))
+            .join(
+                emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("e1")),
+                "qid",
+            )
+        )
     cand = probes.join(corpus, "bucket").filter(F.col("qid") != F.col("nid"))
     cos = S.cosine(S.dot_exact("e1", "e2"), S.norm2_exact("e1"), S.norm2_exact("e2"))
     scored = cand.select("qid", "nid", cos.alias("cos_sim"))
@@ -999,21 +1104,22 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SRP → semantic.
 
     Scale shape: the quadratic pair stage is confined WITHIN cells —
-    that is SemDeDup's entire point — and the k-means quantizer's
-    cell count scales with the corpus (k = ⌈n/KM_TARGET_CELL⌉), so
-    per-cell population stays ~constant and total pair work is
-    O(n · KM_TARGET_CELL), linear in the corpus. One shuffle keys
-    the self-join on the cell id; the component loop is the shared
-    operators/dedup.connected_components. Output covers EVERY vector
-    (singletons are their own kept cluster)."""
+    that is SemDeDup's entire point — and the quantizer's cell count
+    scales with the corpus (k = ⌈n/KM_TARGET_CELL⌉ flat; the
+    two-level hierarchical tier above HIER_MIN_ROWS keeps the same
+    population contract with a √k-bounded closure — see
+    ``_cell_assignments``), so per-cell population stays ~constant
+    and total pair work is O(n · KM_TARGET_CELL), linear in the
+    corpus. One shuffle keys the self-join on the cell id; the
+    component loop is the shared operators/dedup.connected_components.
+    Output covers EVERY vector (singletons are their own kept
+    cluster)."""
     from ..operators.dedup import connected_components
 
     import numpy as np
     import pandas as pd
 
-    cells = ivf_assignments(spark, sf_dir).select(
-        "vec_id", F.col("cell")
-    )
+    cells = _cell_assignments(spark, sf_dir)
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     v = emb.join(cells, "vec_id").localCheckpoint(eager=False)
 
@@ -1191,7 +1297,7 @@ FROM keep JOIN agg USING (cluster_id)
 """
 
 
-def hierarchical_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hierarchical_cells(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:
     """Two-level hierarchical coarse quantizer — the EXTREME-scale
     tier above the flat k-means build. The flat path ships a k×dims
     centroid matrix in the assignment closure and pays sample×k
@@ -1216,6 +1322,12 @@ def hierarchical_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence islands.
 
     Output: (vec_id, c1, c2, cell_id) with cell_id = c1·2²⁰ + c2.
+
+    ``where`` restricts the TRAINING set at BOTH levels (level-1
+    params/seeds/sample via _train_kmeans(where=...), level-2
+    seeds/sample/k₂ via a per-row train flag) while assignment
+    still covers every vector — the same contract the flat build's
+    ``where`` has, used by the incremental-ingest consumers.
     """
     import hashlib
 
@@ -1223,16 +1335,18 @@ def hierarchical_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = _emb(spark, sf_dir)
-    n = emb.count()
-    k = max(2, -(-n // KM_TARGET_CELL))
-    k1 = max(2, int(np.ceil(np.sqrt(k))))
-    trained1 = _train_kmeans(spark, sf_dir, k_override=k1)
+    train_emb = emb.filter(where) if where is not None else emb
+    k1 = _hier_k1(train_emb.count())
+    trained1 = _train_kmeans(spark, sf_dir, where=where, k_override=k1)
     a1 = (
         _cell_scores(spark, sf_dir, max_rank=1, trained=trained1)
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("c1"))
     )
-    v = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv")).join(a1, "vec_id")
+    is_train = F.lit(True) if where is None else where
+    v = emb.select(
+        "vec_id", F.expr(_QV_EXPR).alias("qv"), is_train.alias("is_train")
+    ).join(a1, "vec_id")
     target = KM_TARGET_CELL
 
     def h16(salt: str, vid: int) -> int:
@@ -1242,27 +1356,31 @@ def hierarchical_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         c1 = int(pdf["c1"].iloc[0])
         order = np.argsort(pdf["vec_id"].to_numpy())
         ids = pdf["vec_id"].to_numpy()[order]
+        train = pdf["is_train"].to_numpy()[order].astype(bool)
         m = len(ids)
-        k2 = max(1, -(-m // target))
-        if k2 == 1:
+        m_train = int(train.sum())
+        k2 = max(1, -(-m_train // target))
+        if k2 == 1 or m_train == 0:
             return pd.DataFrame({"vec_id": ids, "c1": c1, "c2": np.zeros(m, dtype=np.int64)})
         X = np.asarray(
             [np.asarray(x, dtype=np.int64) for x in pdf["qv"].to_numpy()[order]]
         )
-        # seeds: argmin md5 hex within each hash-mod group — the
-        # SAME rule as the distributed level-1 build
-        md5s = np.array([hashlib.md5(str(v).encode()).hexdigest() for v in ids])
-        grp = np.array([h16("", v) % k2 for v in ids])
+        # seeds: argmin md5 hex within each hash-mod group OVER THE
+        # TRAINING ROWS — the SAME rule as the distributed level-1
+        # build
+        tr_idx = np.nonzero(train)[0]
+        md5s = np.array([hashlib.md5(str(v).encode()).hexdigest() for v in ids[tr_idx]])
+        grp = np.array([h16("", v) % k2 for v in ids[tr_idx]])
         cent = {}
         for g in np.unique(grp):
             members = np.nonzero(grp == g)[0]
-            cent[int(g)] = X[members[np.argsort(md5s[members])[0]]].copy()
+            cent[int(g)] = X[tr_idx[members[np.argsort(md5s[members])[0]]]].copy()
         cids = sorted(cent)
-        # sample: salted hash-mod stride, 2 Lloyd rounds, exact
-        # floor-of-mean updates — mirroring _train_kmeans
-        s = max(1, m // (KM_SAMPLE_PER_CENTROID * k2))
-        samp = np.array([h16("s:", v) % s == 0 for v in ids])
-        S = X[samp] if samp.any() else X
+        # sample: salted hash-mod stride over training rows, 2 Lloyd
+        # rounds, exact floor-of-mean updates — mirroring _train_kmeans
+        s = max(1, m_train // (KM_SAMPLE_PER_CENTROID * k2))
+        samp = np.array([h16("s:", v) % s == 0 for v in ids]) & train
+        S = X[samp] if samp.any() else X[train]
         for _ in range(KM_ITERS):
             C = np.stack([cent[c] for c in cids])
             d2 = (S * S).sum(1)[:, None] - 2 * (S @ C.T) + (C * C).sum(1)[None, :]
@@ -1323,16 +1441,13 @@ def incremental_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(batch · cell population), proportional to the BATCH (asserted
     structurally in tests). At 100 TB the cell assignment is a
     stored table partitioned by cell; a batch probe is partition
-    pruning + the per-cell kernel."""
+    pruning + the per-cell kernel. The cell contract follows the
+    active quantizer tier (``_cell_assignments`` — the index the
+    existing corpus built with), trained on the EXISTING half only."""
     import numpy as np
     import pandas as pd
 
-    trained = _train_kmeans(spark, sf_dir, where=F.col("vec_id") % 2 == 0)
-    cells = (
-        _cell_scores(spark, sf_dir, max_rank=1, trained=trained)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
-    )
+    cells = _cell_assignments(spark, sf_dir, where=F.col("vec_id") % 2 == 0)
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     v = emb.join(cells, "vec_id")
     theta = SEMDEDUP_THETA

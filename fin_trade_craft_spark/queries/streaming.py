@@ -427,15 +427,12 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as S
     from ..sources.catalog import load_table
     from ..sources.io import TableIO
-    from .similarity import SEMDEDUP_THETA, _cell_scores, _train_kmeans
+    from .similarity import SEMDEDUP_THETA, _cell_assignments
 
     emb = load_table(spark, sf_dir, "embeddings")
-    trained = _train_kmeans(spark, sf_dir, where=F.col("vec_id") % 2 == 0)
-    cells = (
-        _cell_scores(spark, sf_dir, max_rank=1, trained=trained)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
-    )
+    # cell contract from the active quantizer tier, trained on the
+    # existing (even-id) half only — same as the batch twin
+    cells = _cell_assignments(spark, sf_dir, where=F.col("vec_id") % 2 == 0)
     with_cells = emb.select("vec_id", "embedding").join(cells, "vec_id")
 
     wh = tempfile.mkdtemp(prefix="stream_semdedup_")
