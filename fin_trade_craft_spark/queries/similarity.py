@@ -396,18 +396,22 @@ def _cell_assignments(spark: SparkSession, sf_dir: str, where=None) -> DataFrame
     )
 
 
-def _km_sql(train_pred: str = "TRUE") -> str:
+def _km_sql(train_pred: str = "TRUE", k_sql: str | None = None) -> str:
     """Shared oracle CTE block replaying the deterministic k-means
     build in pure SQL: exact integer coordinates, hash-mod seed
     spread, KM_ITERS unrolled Lloyd rounds with floor-of-mean
     updates, and a final all-vector assignment ``kranked(vec_id,
     label, cid, dist2, rn)``. ``train_pred`` restricts the TRAINING
     set (params, seeds, sample) the way _train_kmeans(where=...)
-    does; assignment still covers every vector. Generated (like the
-    PageRank oracle) because the rounds are pure repetition."""
+    does; assignment still covers every vector. ``k_sql`` replaces
+    the corpus-derived centroid-count expression (in terms of
+    COUNT(*)) the way _train_kmeans(k_override=...) does — used by
+    the hierarchical level-1 oracle. Generated (like the PageRank
+    oracle) because the rounds are pure repetition."""
+    k_expr = k_sql or f"GREATEST(2, CAST(CEIL(COUNT(*) / {KM_TARGET_CELL}.0) AS BIGINT))"
     head = f"""kparams AS (
   SELECT COUNT(*) AS n,
-         GREATEST(2, CAST(CEIL(COUNT(*) / {KM_TARGET_CELL}.0) AS BIGINT)) AS k
+         {k_expr} AS k
   FROM embeddings WHERE {train_pred}
 ),
 kparams2 AS (
@@ -1399,6 +1403,40 @@ def hierarchical_cells(spark: SparkSession, sf_dir: str, where=None) -> DataFram
     )
 
 
+def hierarchical_level1_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level build's LEVEL-1 codebook as a table (cid, i,
+    cv in exact 1e-6 integer units) — what the hierarchical tier
+    persists as its coarse index, exactly as ``kmeans_centroids``
+    is the flat tier's persisted codebook.
+
+    VALUE-VERIFIED (r05 verdict task 4): level 1 is the same
+    deterministic distributed machinery as the flat build, just with
+    k₁ = ⌈√k⌉ centroids, so the DuckDB oracle replays the entire
+    training run bit-for-bit from COUNT(*) alone (both engines
+    derive k₁ via IEEE SQRT/CEIL — identical doubles). This shrinks
+    the build's rows-only surface to the genuinely SQL-inexpressible
+    level-2 per-cell stage (see hierarchical_cells)."""
+    n = _emb(spark, sf_dir).count()
+    cids, C, _ = _train_kmeans(spark, sf_dir, k_override=_hier_k1(n))
+    rows = [
+        (int(cid), int(i), int(C[j, i]))
+        for j, cid in enumerate(cids)
+        for i in range(C.shape[1])
+    ]
+    return spark.createDataFrame(rows, "cid long, i long, cv long")
+
+
+_K1_SQL = (
+    f"GREATEST(2, CAST(CEIL(SQRT(GREATEST(2, "
+    f"CAST(CEIL(COUNT(*) / {KM_TARGET_CELL}.0) AS BIGINT)))) AS BIGINT))"
+)
+
+ORACLE_HIERARCHICAL_LEVEL1_CENTROIDS = f"""
+WITH {_km_sql(k_sql=_K1_SQL)}
+SELECT cid, i, cv FROM kcent
+"""
+
+
 def hierarchical_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row of build-quality stats for the two-level quantizer —
     the report a pipeline checks after (re)building the index (cell
@@ -1528,6 +1566,7 @@ ORDER BY c.vec_id
 
 QUERIES = {
     "semdedup_quality_representatives": semdedup_quality_representatives,
+    "hierarchical_level1_centroids": hierarchical_level1_centroids,
     "hierarchical_cell_stats": hierarchical_cell_stats,
     "incremental_semdedup_ingest": incremental_semdedup_ingest,
     "kmeans_centroids": kmeans_centroids,
@@ -1545,6 +1584,7 @@ QUERIES = {
 
 ORACLES = {
     "semdedup_quality_representatives": _semdedup_quality_oracle(),
+    "hierarchical_level1_centroids": ORACLE_HIERARCHICAL_LEVEL1_CENTROIDS,
     "incremental_semdedup_ingest": ORACLE_INCREMENTAL_SEMDEDUP_INGEST,
     "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
     "semdedup": ORACLE_SEMDEDUP,
