@@ -440,10 +440,14 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed the probe store with the existing (even-id) corpus
     io.overwrite(with_cells.filter(F.col("vec_id") % 2 == 0), "probe_store")
 
-    # stage the arriving batch as two id-ordered parquet files
+    # stage the arriving batch as two id-ordered parquet files. The
+    # split point is ONE scalar aggregate — any deterministic id
+    # boundary preserves the "arrived earlier ⟺ smaller id"
+    # invariant the oracle equality rests on, so the driver never
+    # collects the batch's ids (the r05 verdict's staging nit: at
+    # real batch sizes the old id-list collect was corpus-sized).
     odd = with_cells.filter(F.col("vec_id") % 2 == 1).localCheckpoint(eager=True)
-    ids = sorted(r.vec_id for r in odd.select("vec_id").collect())
-    median = ids[len(ids) // 2]
+    median = odd.agg(F.expr("percentile(vec_id, 0.5)").alias("m")).collect()[0]["m"]
     arrivals = Path(tempfile.mkdtemp(prefix="stream_semdedup_arrivals_"))
     odd.filter(F.col("vec_id") < median).coalesce(1).write.parquet(str(arrivals / "b0"))
     odd.filter(F.col("vec_id") >= median).coalesce(1).write.parquet(str(arrivals / "b1"))
