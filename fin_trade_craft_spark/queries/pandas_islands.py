@@ -64,35 +64,24 @@ def backtest_sma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over 100 TB would be absurd — the oracle exists to pin semantics).
 _BT_POS_VALUE = 100_000.0 * 0.02       # == 2000.0 exactly
 _BT_COMMISSION = 0.001
-_BT_COOLDOWN_US = 86_400_000_000       # cooldown_days=1 in microseconds
-
-_BT_OPENING = (
-    "s.ed IS NULL AND r.buy_signal "
-    "AND (s.lx IS NULL OR epoch_us(r.date) - epoch_us(s.lx) >= "
-    f"{_BT_COOLDOWN_US}) "
-    f"AND r.close > 0 AND FLOOR({_BT_POS_VALUE!r} / r.close) >= 1"
-)
-_BT_CLOSING = "s.ed IS NOT NULL AND r.sell_signal"
 
 
-def _backtest_oracle() -> str:
-    from .windows import ORACLE_SMA_CROSSOVER_SIGNALS
-
+def _bt_sim_sql(series_ctes: str, strategy: str, cooldown_us: int) -> str:
+    """The recursive-CTE trade-ledger replay, parameterized by the
+    bar series (``series_ctes`` must define a CTE ``series(symbol,
+    date, close, buy_signal, sell_signal, rn, n_rows)``), the
+    strategy label, and the cooldown. Shared by the SMA-crossover
+    oracle and the edge-case fixture oracle so both replay the SAME
+    transition function."""
+    opening = (
+        "s.ed IS NULL AND r.buy_signal "
+        "AND (s.lx IS NULL OR epoch_us(r.date) - epoch_us(s.lx) >= "
+        f"{cooldown_us}) "
+        f"AND r.close > 0 AND FLOOR({_BT_POS_VALUE!r} / r.close) >= 1"
+    )
+    closing = "s.ed IS NOT NULL AND r.sell_signal"
     return f"""
-WITH sigs AS (
-  SELECT user_id AS symbol, ts AS date, cross_up AS buy_signal,
-         cross_down AS sell_signal
-  FROM ({ORACLE_SMA_CROSSOVER_SIGNALS})
-), series AS (
-  SELECT e.user_id AS symbol, CAST(e.ts AS TIMESTAMP) AS date,
-         CAST(e.value AS DOUBLE) AS close,
-         COALESCE(s.buy_signal, FALSE) AS buy_signal,
-         COALESCE(s.sell_signal, FALSE) AS sell_signal,
-         ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts) AS rn,
-         COUNT(*) OVER (PARTITION BY e.user_id) AS n_rows
-  FROM events e
-  LEFT JOIN sigs s ON e.user_id = s.symbol AND CAST(e.ts AS TIMESTAMP) = s.date
-), rec AS (
+WITH {series_ctes}, rec AS (
   WITH RECURSIVE st(symbol, rn, ed, ep, sh, lx, t_ed, t_ep, t_sh, t_xd, t_xp) AS (
     SELECT symbol, CAST(0 AS BIGINT), CAST(NULL AS TIMESTAMP),
            CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
@@ -101,16 +90,16 @@ WITH sigs AS (
     FROM (SELECT DISTINCT symbol FROM series)
     UNION ALL
     SELECT s.symbol, r.rn,
-      CASE WHEN {_BT_OPENING} THEN r.date WHEN {_BT_CLOSING} THEN NULL ELSE s.ed END,
-      CASE WHEN {_BT_OPENING} THEN r.close WHEN {_BT_CLOSING} THEN NULL ELSE s.ep END,
-      CASE WHEN {_BT_OPENING} THEN CAST(FLOOR({_BT_POS_VALUE!r} / r.close) AS BIGINT)
-           WHEN {_BT_CLOSING} THEN NULL ELSE s.sh END,
-      CASE WHEN {_BT_CLOSING} THEN r.date ELSE s.lx END,
-      CASE WHEN {_BT_CLOSING} THEN s.ed END,
-      CASE WHEN {_BT_CLOSING} THEN s.ep END,
-      CASE WHEN {_BT_CLOSING} THEN s.sh END,
-      CASE WHEN {_BT_CLOSING} THEN r.date END,
-      CASE WHEN {_BT_CLOSING} THEN r.close END
+      CASE WHEN {opening} THEN r.date WHEN {closing} THEN NULL ELSE s.ed END,
+      CASE WHEN {opening} THEN r.close WHEN {closing} THEN NULL ELSE s.ep END,
+      CASE WHEN {opening} THEN CAST(FLOOR({_BT_POS_VALUE!r} / r.close) AS BIGINT)
+           WHEN {closing} THEN NULL ELSE s.sh END,
+      CASE WHEN {closing} THEN r.date ELSE s.lx END,
+      CASE WHEN {closing} THEN s.ed END,
+      CASE WHEN {closing} THEN s.ep END,
+      CASE WHEN {closing} THEN s.sh END,
+      CASE WHEN {closing} THEN r.date END,
+      CASE WHEN {closing} THEN r.close END
     FROM st s JOIN series r ON r.symbol = s.symbol AND r.rn = s.rn + 1
   )
   SELECT * FROM st
@@ -134,7 +123,7 @@ WITH sigs AS (
 ), all_trades AS (
   SELECT * FROM closed UNION ALL SELECT * FROM forced
 )
-SELECT 'sma_crossover' AS strategy, symbol, entry_date, exit_date,
+SELECT '{strategy}' AS strategy, symbol, entry_date, exit_date,
        entry_price, exit_price, shares,
        exit_price * shares - entry_price * shares
          - ((entry_price * shares + exit_price * shares) * {_BT_COMMISSION!r}) AS pnl,
@@ -147,11 +136,118 @@ FROM all_trades
 """
 
 
+def _backtest_oracle() -> str:
+    from .windows import ORACLE_SMA_CROSSOVER_SIGNALS
+
+    series = f"""sigs AS (
+  SELECT user_id AS symbol, ts AS date, cross_up AS buy_signal,
+         cross_down AS sell_signal
+  FROM ({ORACLE_SMA_CROSSOVER_SIGNALS})
+), series AS (
+  SELECT e.user_id AS symbol, CAST(e.ts AS TIMESTAMP) AS date,
+         CAST(e.value AS DOUBLE) AS close,
+         COALESCE(s.buy_signal, FALSE) AS buy_signal,
+         COALESCE(s.sell_signal, FALSE) AS sell_signal,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.ts) AS rn,
+         COUNT(*) OVER (PARTITION BY e.user_id) AS n_rows
+  FROM events e
+  LEFT JOIN sigs s ON e.user_id = s.symbol AND CAST(e.ts AS TIMESTAMP) = s.date
+)"""
+    return _bt_sim_sql(series, "sma_crossover", 86_400_000_000)
+
+
+# ------------------------------------------------------------------
+# U5 edge-case fixture (VERDICT r05 task 6): the simulator edges the
+# pytest suite pinned now ALSO ride the driver's value gate. One
+# shared literal bar table drives BOTH engines — the Spark query
+# simulates it through the real grouped-pandas kernel, the oracle
+# replays the same recursive-CTE transition function — covering:
+# same-day buy+sell while flat (buy wins) and while in position
+# (sell executes), a cooldown-skipped buy then a post-cooldown
+# reopen, end-of-period force-close of that reopened position,
+# shares=0 skip (price > position value), zero and NULL closes on
+# buy days, sell with no open position, and a symbol with prices
+# but no signals (no output rows).
+# ------------------------------------------------------------------
+_EDGE_COOLDOWN_DAYS = 2
+# (symbol, bar, close, buy, sell)
+_EDGE_BARS: list[tuple[int, int, float | None, bool, bool]] = [
+    (1, 0, 10.0, True, True),     # flat + buy&sell same bar -> opens
+    (1, 1, 11.0, True, True),     # in position + buy&sell -> closes
+    (1, 2, 12.0, True, False),    # 1 day after exit: cooldown skip
+    (1, 3, 13.0, True, False),    # 2 days after exit: reopens
+    (1, 4, 14.0, False, False),
+    (1, 5, 9.0, False, False),    # open at end -> force close @9
+    (2, 0, 5000.0, True, False),  # floor(2000/5000)=0 shares -> skip
+    (2, 1, 0.0, True, False),     # zero close -> skip
+    (2, 2, None, True, False),    # NULL close -> skip
+    (2, 3, 20.0, True, False),    # opens, 100 shares
+    (2, 4, 25.0, False, True),    # closes
+    (3, 0, 50.0, False, False),   # symbol with no signals:
+    (3, 1, 51.0, False, False),   #   no trades, no output rows
+    (4, 0, 39.0, False, True),    # sell with no position -> no-op
+    (4, 1, 40.0, True, False),    # opens, 50 shares
+    (4, 2, 44.0, False, True),    # closes
+    (4, 3, 41.0, True, False),    # cooldown skip
+    (4, 4, 42.0, True, False),    # reopens after cooldown
+    (4, 5, 43.0, True, True),     # in position: sell wins -> closes
+]
+
+
+def backtest_edge_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The U5 simulator run over the shared edge-case bar fixture
+    (see the block comment above) through the SAME grouped-pandas
+    kernel as production — value-verified against the recursive-CTE
+    ledger replay of the same literal bars."""
+    import datetime as _dt
+
+    from ..operators.backtest import simulate_trades
+
+    d0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        (s, d0 + _dt.timedelta(days=b), c, buy, sell)
+        for s, b, c, buy, sell in _EDGE_BARS
+    ]
+    bars = spark.createDataFrame(
+        rows,
+        "symbol long, date timestamp, close double, buy_signal boolean, sell_signal boolean",
+    )
+    sigs = bars.select(
+        "symbol", "date", "buy_signal", "sell_signal", F.lit("edge").alias("strategy")
+    )
+    prices = bars.select("symbol", "date", "close")
+    return simulate_trades(sigs, prices, cooldown_days=float(_EDGE_COOLDOWN_DAYS))
+
+
+def _edge_oracle() -> str:
+    def lit(c):
+        return "CAST(NULL AS DOUBLE)" if c is None else f"{c!r}"
+
+    values = ", ".join(
+        f"({s}, {b}, {lit(c)}, {str(buy).upper()}, {str(sell).upper()})"
+        for s, b, c, buy, sell in _EDGE_BARS
+    )
+    series = f"""bars(symbol, bar, close, buy_signal, sell_signal) AS (VALUES {values}),
+series AS (
+  SELECT CAST(symbol AS BIGINT) AS symbol,
+         TIMESTAMP '2024-01-01' + INTERVAL 1 DAY * bar AS date,
+         CAST(close AS DOUBLE) AS close, buy_signal, sell_signal,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY bar) AS rn,
+         COUNT(*) OVER (PARTITION BY symbol) AS n_rows
+  FROM bars
+)"""
+    return _bt_sim_sql(series, "edge", _EDGE_COOLDOWN_DAYS * 86_400_000_000)
+
+
 QUERIES = {
     "ema_features": ema_features,
     "macd_features": macd_features,
     "rsi_wilder_14": rsi_wilder_14,
     "backtest_sma_events": backtest_sma_events,
+    "backtest_edge_cases": backtest_edge_cases,
 }
 
-ORACLES: dict[str, str] = {"backtest_sma_events": _backtest_oracle()}
+ORACLES: dict[str, str] = {
+    "backtest_sma_events": _backtest_oracle(),
+    "backtest_edge_cases": _edge_oracle(),
+}
