@@ -1,9 +1,18 @@
 """Driver queries for the pandas-UDF islands (EWM family + the
-sequential backtest simulator). No DuckDB oracles by design — these
-are the genuinely non-SQL-expressible recurrences (SURVEY §7.2); the
-driver records rows-only checks and correctness comes from the
-pytest parity/golden suites (tests/test_ewm.py,
-tests/test_backtest.py)."""
+sequential backtest simulator) — WITH fixture-scale value oracles.
+
+These recurrences are not SQL-expressible at corpus scale, but at
+driver-fixture scale (≤ ~90 bars per entity) each one replays
+exactly in a recursive CTE that advances one entity-parallel state
+row per bar. The EWM oracles reproduce pandas' ``ewm(adjust=True)``
+kernel VERBATIM — including its weight recurrence (old_wt ← old_wt
+· (1−α) then +1 per observation), its skip-update-on-equal-value
+guard, and the leading-NaN observation rule — in the kernel's exact
+IEEE operation order, so Spark (running real pandas in the island)
+and DuckDB (running the CTE) agree bit-for-bit (r05 verdict task
+10: rows-only shrinks to the truly SQL-impossible set). The
+grouped-pandas islands remain the execution path; the oracles exist
+to pin semantics."""
 
 from __future__ import annotations
 
@@ -30,6 +39,154 @@ def macd_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rsi_wilder_14(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     return ewm.rsi_wilder(ev, "user_id", ["ts", "event_id"], "value", 14)
+
+
+# ------------------------------------------------------------------
+# pandas-ewm replay oracles. pandas ewm(adjust=True).mean() is the
+# recurrence (pandas/_libs/window/aggregations.pyx::ewm):
+#
+#   w = NaN; ow = 1.0
+#   per row x:
+#     if w is defined:        ow *= (1 - α)
+#       if x is defined:      if w != x: w = (ow*w + x) / (ow + 1.0)
+#                             ow += 1.0
+#     elif x is defined:      w = x           # first observation
+#   emit w  (NaN until the min_periods-th observation)
+#
+# Every branch below mirrors that order of IEEE operations; the
+# (1−α) constant is precomputed in Python and embedded via repr()
+# (round-trips to the identical double in DuckDB's literal parser).
+# Verified bit-exact against pandas.Series.ewm across spans, NaN
+# placements, and the equal-value guard before being encoded here.
+# ------------------------------------------------------------------
+
+
+def _owf(span: int | None = None, alpha: float | None = None) -> float:
+    if alpha is None:
+        alpha = 1.0 / (1.0 + (span - 1) / 2.0)
+    return 1.0 - alpha
+
+
+def _ewm_step(w: str, ow: str, x: str, owf: float) -> tuple[str, str]:
+    """(new_w, new_ow) SQL for one adjusted-EWM observation step;
+    ``x`` must be non-NULL where applied (callers gate NaN rows)."""
+    # every literal in DOUBLE form: DuckDB types bare decimal
+    # literals as DECIMAL, and the recursive CTE's column types come
+    # from the base case — decimal arithmetic would both overflow
+    # and diverge from the IEEE kernel. The (1−α) constant uses the
+    # e0 exponent form, which parses as a correctly-rounded DOUBLE;
+    # CAST(0.9090909090909091 AS DOUBLE) routes through DECIMAL and
+    # lands 1 ulp off for the span-21/26 constants (measured).
+    one = "CAST(1.0 AS DOUBLE)"
+    ow1 = f"({ow} * {owf!r}e0)"
+    new_w = (
+        f"CASE WHEN {w} IS NULL THEN {x} "
+        f"WHEN {w} <> {x} THEN ({ow1} * {w} + {x}) / ({ow1} + {one}) "
+        f"ELSE {w} END"
+    )
+    new_ow = f"CASE WHEN {w} IS NULL THEN {one} ELSE {ow1} + {one} END"
+    return new_w, new_ow
+
+
+_EVENT_SERIES_SQL = """series AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(value AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)"""
+
+
+def _ema_oracle(spans: tuple[int, ...] = (8, 21)) -> str:
+    state_cols = ", ".join(f"w{n}, ow{n}" for n in spans)
+    base = ", ".join("CAST(NULL AS DOUBLE), CAST(1.0 AS DOUBLE)" for _ in spans)
+    steps = []
+    for n in spans:
+        w, ow = _ewm_step(f"s.w{n}", f"s.ow{n}", "r.value", _owf(span=n))
+        steps.append(f"{w}, {ow}")
+    out_cols = ", ".join(
+        f"c.w{n} AS ema_{n}, r.value / c.w{n} AS value_ema_{n}_ratio" for n in spans
+    )
+    return f"""
+WITH {_EVENT_SERIES_SQL}, rec AS (
+  WITH RECURSIVE st(user_id, rn, {state_cols}) AS (
+    SELECT user_id, CAST(0 AS BIGINT), {base}
+    FROM (SELECT DISTINCT user_id FROM series)
+    UNION ALL
+    SELECT s.user_id, r.rn, {', '.join(steps)}
+    FROM st s JOIN series r ON r.user_id = s.user_id AND r.rn = s.rn + 1
+  ) SELECT * FROM st WHERE rn >= 1
+)
+SELECT r.user_id, r.ts, r.event_id, r.value, {out_cols}
+FROM series r JOIN rec c ON r.user_id = c.user_id AND r.rn = c.rn
+"""
+
+
+def _macd_oracle(fast: int = 12, slow: int = 26, signal: int = 9) -> str:
+    wf, owf_ = _ewm_step("s.wf", "s.owf", "r.value", _owf(span=fast))
+    ws, ows_ = _ewm_step("s.ws", "s.ows", "r.value", _owf(span=slow))
+    # signal EWM consumes the row's macd = (new wf) − (new ws),
+    # computed in an inner subquery so the state SELECT stays flat
+    sg, osg_ = _ewm_step("wg", "og", "macd", _owf(span=signal))
+    return f"""
+WITH {_EVENT_SERIES_SQL}, rec AS (
+  WITH RECURSIVE st(user_id, rn, wf, owf, ws, ows, wg, og) AS (
+    SELECT user_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE), CAST(1.0 AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1.0 AS DOUBLE)
+    FROM (SELECT DISTINCT user_id FROM series)
+    UNION ALL
+    SELECT user_id, rn, wf, owf, ws, ows, {sg}, {osg_}
+    FROM (
+      SELECT s.user_id, r.rn,
+             {wf} AS wf, {owf_} AS owf, {ws} AS ws, {ows_} AS ows,
+             ({wf}) - ({ws}) AS macd, s.wg AS wg, s.og AS og
+      FROM st s JOIN series r ON r.user_id = s.user_id AND r.rn = s.rn + 1
+    )
+  ) SELECT * FROM st WHERE rn >= 1
+)
+SELECT r.user_id, r.ts, r.event_id, r.value,
+       c.wf - c.ws AS macd, c.wg AS macd_signal,
+       (c.wf - c.ws) - c.wg AS macd_hist
+FROM series r JOIN rec c ON r.user_id = c.user_id AND r.rn = c.rn
+"""
+
+
+def _rsi_oracle(length: int = 14) -> str:
+    owf = _owf(alpha=1.0 / length)
+    # deltas exist from rn=2 on (diff of the first row is NaN — not
+    # an observation); gains/losses are the clipped delta; nobs at
+    # row rn is rn−1, so output is NULL until rn > length
+    wg, owg_ = _ewm_step("wg0", "owg0", "g", owf)
+    wl, owl_ = _ewm_step("wl0", "owl0", "l", owf)
+    return f"""
+WITH {_EVENT_SERIES_SQL}, rec AS (
+  WITH RECURSIVE st(user_id, rn, pv, wg, owg, wl, owl) AS (
+    SELECT user_id, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(1.0 AS DOUBLE)
+    FROM (SELECT DISTINCT user_id FROM series)
+    UNION ALL
+    SELECT user_id, rn, value,
+      CASE WHEN g IS NULL THEN wg0 ELSE {wg} END,
+      CASE WHEN g IS NULL THEN owg0 ELSE {owg_} END,
+      CASE WHEN l IS NULL THEN wl0 ELSE {wl} END,
+      CASE WHEN l IS NULL THEN owl0 ELSE {owl_} END
+    FROM (
+      SELECT s.user_id, r.rn, r.value,
+             CASE WHEN s.pv IS NULL THEN CAST(NULL AS DOUBLE)
+                  ELSE GREATEST(r.value - s.pv, CAST(0.0 AS DOUBLE)) END AS g,
+             CASE WHEN s.pv IS NULL THEN CAST(NULL AS DOUBLE)
+                  ELSE GREATEST(-(r.value - s.pv), CAST(0.0 AS DOUBLE)) END AS l,
+             s.wg AS wg0, s.owg AS owg0, s.wl AS wl0, s.owl AS owl0
+      FROM st s JOIN series r ON r.user_id = s.user_id AND r.rn = s.rn + 1
+    )
+  ) SELECT * FROM st WHERE rn >= 1
+)
+SELECT r.user_id, r.ts, r.event_id, r.value,
+       CASE WHEN c.rn <= {length} THEN CAST(NULL AS DOUBLE)
+            WHEN c.wl = CAST(0.0 AS DOUBLE) AND c.wg = CAST(0.0 AS DOUBLE) THEN CAST(NULL AS DOUBLE)
+            WHEN c.wl = CAST(0.0 AS DOUBLE) THEN CAST(100.0 AS DOUBLE)
+            ELSE CAST(100.0 AS DOUBLE) - CAST(100.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + c.wg / c.wl) END AS rsi_{length}
+FROM series r JOIN rec c ON r.user_id = c.user_id AND r.rn = c.rn
+"""
 
 
 def backtest_sma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,4 +407,7 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "backtest_sma_events": _backtest_oracle(),
     "backtest_edge_cases": _edge_oracle(),
+    "ema_features": _ema_oracle(),
+    "macd_features": _macd_oracle(),
+    "rsi_wilder_14": _rsi_oracle(),
 }
