@@ -246,3 +246,81 @@ def test_incremental_market_run_touches_only_selected_symbols(spark, tmp_path):
     # soft wall evidence for COVERAGE.md (never flaky-asserted):
     print(f"full_build_wall={full_wall:.2f}s incremental_wall={inc_wall:.2f}s "
           f"input_rows full={N_SYM * N_DAYS} inc={len(TOUCHED) * (N_DAYS + 1)}")
+
+
+def test_incremental_market_run_wall_scales_with_delta_at_sf1(spark, tmp_path):
+    """VERDICT r05 task 9: the ledger-driven incremental loop at
+    ~10x the r05 fixture (240 symbols x 220 days = 52.8k bars — the
+    sf1-class market panel). Pinned:
+
+    - discovery selects exactly the appended symbols;
+    - the recompute INPUT is only those 5 symbols' history (1/48 of
+      the corpus) — the wall-clock determinant;
+    - the partition-scoped merge leaves untouched symbols
+      byte-identical and touched symbols equal to a scoped rebuild;
+    - incremental wall < full-build wall (generous bound: the delta
+      is 1/48 of the corpus; the soft print line is what COVERAGE.md
+      records as the wall-proportional-to-delta evidence).
+    """
+    import time
+
+    from fin_trade_craft_spark.domain.indicators import compute_indicators
+    from fin_trade_craft_spark.plans.watermarks import (
+        WatermarkLedger,
+        discover_unprocessed,
+    )
+
+    N_SYM, N_DAYS, TOUCHED = 240, 220, {3, 77, 141, 198, 240}
+    io = TableIO(spark, str(tmp_path / "wh"))
+    pdf = _fixture_pdf(n_symbols=N_SYM, n_days=N_DAYS, seed=17)
+    io.overwrite(spark.createDataFrame(pdf), "raw/ts")
+
+    t0 = time.monotonic()
+    full = compute_indicators(io.read("raw/ts"))
+    io.overwrite(full, "transforms/ts", partition_by=["symbol_id"])
+    full_wall = time.monotonic() - t0
+    led = WatermarkLedger(io)
+    led.ensure_rows(io.read("raw/ts"), "market")
+    led.commit_success(
+        "market",
+        io.read("transforms/ts").groupBy("symbol_id").agg(
+            F.min("date").alias("first_date"), F.max("date").alias("last_date")
+        ),
+    )
+
+    last_day = pdf["date"].max()
+    new_rows = (
+        pdf[(pdf["symbol_id"].isin(TOUCHED)) & (pdf["date"] == last_day)]
+        .assign(date=last_day + timedelta(days=2))
+    )
+    io.append(spark.createDataFrame(new_rows), "raw/ts")
+
+    t1 = time.monotonic()
+    raw = io.read("raw/ts")
+    todo = discover_unprocessed(raw, io.read("transforms/ts"), ["symbol_id", "date"])
+    sel = {r.symbol_id for r in todo.select("symbol_id").distinct().collect()}
+    assert sel == TOUCHED
+    upd_raw = raw.filter(F.col("symbol_id").isin(sel)).localCheckpoint(eager=True)
+    assert upd_raw.count() == len(TOUCHED) * (N_DAYS + 1)  # 1/48 of corpus
+    inc = compute_indicators(upd_raw)
+    io.upsert(inc, "transforms/ts", keys=["symbol_id", "date"], partition_by=["symbol_id"])
+    inc_wall = time.monotonic() - t1
+
+    merged = io.read("transforms/ts")
+    assert merged.count() == N_SYM * N_DAYS + len(TOUCHED)
+    # spot equality vs a scoped rebuild: one touched + one untouched
+    # symbol (the full-rebuild equality is pinned at small scale)
+    probe = {3, 50}
+    rebuilt = compute_indicators(raw.filter(F.col("symbol_id").isin(probe)))
+    key = ["symbol_id", "date"]
+    a = merged.filter(F.col("symbol_id").isin(probe)).select(rebuilt.columns).orderBy(*key).collect()
+    b = rebuilt.orderBy(*key).collect()
+    assert a == b
+
+    assert inc_wall < full_wall, (inc_wall, full_wall)
+    print(
+        f"sf1-class incremental: full_build_wall={full_wall:.2f}s "
+        f"incremental_wall={inc_wall:.2f}s corpus_rows={N_SYM * N_DAYS} "
+        f"delta_input_rows={len(TOUCHED) * (N_DAYS + 1)} "
+        f"(input fraction 1/{N_SYM * N_DAYS // (len(TOUCHED) * (N_DAYS + 1))})"
+    )
