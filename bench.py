@@ -102,6 +102,9 @@ def bench_query_names() -> list[str]:
         "hierarchical_cell_stats",
         "dsir_importance_weights",
         "bigram_interpolated_scores",
+        # r06: the sequential trade-simulator island (U5) — the one
+        # operator family that had no headline entry
+        "backtest_sma_events",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -81,3 +81,23 @@ def test_no_unpartitioned_window_in_any_plan(spark):
         if hits:
             offenders[name] = hits[:2]
     assert not offenders, f"unpartitioned WindowExec planned in: {offenders}"
+
+
+def test_hierarchical_tier_plans_are_clean(spark):
+    """r06: the registry lint sees the DEFAULT (flat) tier at smoke
+    scale; this lints the hierarchical-quantizer plans of the wired
+    consumers too — no CartesianProduct, no unpartitioned windows.
+    (Building these runs the quantizer training actions — same
+    eager-build caveat as daily_screener.)"""
+    from fin_trade_craft_spark.queries import similarity as SQ
+
+    spark.conf.set(SQ.QUANTIZER_CONF, "hierarchical")
+    try:
+        for name in ("semdedup", "ivf_search", "incremental_semdedup_ingest"):
+            df = all_queries()[name](spark, SF_SMOKE)
+            plan = df._jdf.queryExecution().sparkPlan().toString()
+            assert "CartesianProduct" not in plan, name
+            hits = unpartitioned_windows(df)
+            assert not hits, f"{name}: {hits}"
+    finally:
+        spark.conf.unset(SQ.QUANTIZER_CONF)
