@@ -215,10 +215,16 @@ def connected_components_star(
 
     Both steps preserve connectivity (proved in the paper) and only
     ever decrease the partner of a node, so the fixed point is the
-    star forest (node → component min). Convergence is detected by
-    edge-set equality (``exceptAll . limit(1)`` both directions —
-    bounded work, no fingerprint collisions); each round
-    ``localCheckpoint``s to cut lineage, same as the minlabel twin.
+    star forest (node → component min). Convergence test: every
+    edge stays (larger → smaller)-oriented through both steps, so
+    the edge set is a fixed point IFF it is FLAT — no edge's dst
+    appears as another edge's src (a flat oriented forest is a star
+    forest rooted at each component's min, and both steps map a
+    star forest to itself — shown case-by-case in the loop
+    comment). One ``join . limit(1)`` job per round, and it detects
+    convergence the round the forest flattens rather than one
+    equality-confirming round later; each round ``localCheckpoint``s
+    to cut lineage, same as the minlabel twin.
 
     Skew note: a hub's edges group onto one key in the min
     aggregate — a partial-aggregating hash shuffle of (node, min)
@@ -254,16 +260,25 @@ def connected_components_star(
         hang_u = j.select("src", F.col("__m").alias("dst"))
         return hang_v.union(hang_u).distinct()
 
+    # Flatness = fixed point: with every edge (src > dst), a flat
+    # forest is stars rooted at per-star minima. Large-star at a
+    # root r (all neighbors v > r): m = r, re-emits (v, r). At a
+    # child c (sole neighbor r < c): no v > c to emit. Small-star
+    # at c (N⁻ = {r}): m = r, re-emits (c, r) and nothing else. So
+    # both steps are identities on flat forests; conversely a
+    # non-flat edge pair (a→b, b→c) changes in the next step.
     rounds = 0
     for _ in range(max_iters):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         rounds += 1
-        changed = (
-            nxt.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(nxt).limit(1).count()
-        )
         edges = nxt
-        if changed == 0:
+        chained = (
+            nxt.select(F.col("dst").alias("k"))
+            .join(nxt.select(F.col("src").alias("k")).distinct(), "k")
+            .limit(1)
+            .count()
+        )
+        if chained == 0:
             break
     if stats is not None:
         stats["rounds"] = rounds

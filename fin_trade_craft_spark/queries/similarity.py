@@ -383,7 +383,12 @@ def _cell_assignments(spark: SparkSession, sf_dir: str, where=None) -> DataFrame
     swap changes cell IDs, not the population contract."""
     emb = _emb(spark, sf_dir)
     tr = emb.filter(where) if where is not None else emb
-    mode = _quantizer_mode(spark, tr.count())
+    # only auto mode needs the corpus size; a forced tier skips the
+    # count job entirely
+    if spark.conf.get(QUANTIZER_CONF, "auto") == "auto":
+        mode = _quantizer_mode(spark, tr.count())
+    else:
+        mode = _quantizer_mode(spark, 0)
     if mode == "hierarchical":
         return hierarchical_cells(spark, sf_dir, where=where).select(
             "vec_id", F.col("cell_id").alias("cell")

@@ -1261,7 +1261,141 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ------------------------------------------------------------------
+# BM25 retrieval — the lexical-retrieval rung of a training-data /
+# RAG pipeline (Robertson-Spärck Jones probabilistic model; the
+# Lucene/Elasticsearch default scorer). Fixed benchmark query set
+# over the synthetic vocabulary; k1/b are the standard defaults.
+# Composite constants ((k1+1), (1−b)) are precomputed in Python and
+# embedded as e0 literals so both engines evaluate the same doubles
+# (the bigram-λ lesson: 1.0−0.75 is exact, but pinning the literal
+# makes that non-accidental).
+# ------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+_BM25_K1P1 = BM25_K1 + 1.0    # 2.2
+_BM25_1MB = 1.0 - BM25_B      # 0.25, exact
+BM25_TOP_K = 10
+BM25_QUERIES: dict[int, tuple[str, ...]] = {
+    1: ("hash", "join", "scan"),
+    2: ("window", "sort", "merge"),
+    3: ("stream", "batch", "spark"),
+}
+
+
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per query by BM25 (k1=1.2, b=0.75):
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) with tf saturation
+    and document-length normalization against the corpus mean.
+
+    Determinism: per-(query, doc) term contributions are sorted by
+    term and folded sequentially; the final score rounds to 9 dp in
+    both engines (libm ln policy, as the unigram/bigram LM queries)
+    and the top-k RANKS BY THE ROUNDED SCORE (doc_id tiebreak), so
+    ordering can never hinge on a last-ulp difference.
+
+    Scale shape: the exploded token stream filters to the query
+    vocabulary FIRST (a literal IN over a handful of terms — at
+    100 TB this is the inverted-index posting fetch), so the tf/df
+    aggregates and the scoring join touch only matching postings;
+    doc lengths are one map-side-combined aggregate over the
+    corpus; df and the query table broadcast; the final top-k is a
+    per-query window over matched docs only."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES.items() for t in ts], "qid int, term string"
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    nd, dfd = F.col("n_docs").cast("double"), F.col("df").cast("double")
+    tfd, dld = F.col("tf").cast("double"), F.col("dl").cast("double")
+    idf = F.log(((nd - dfd) + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
+    denom = tfd + F.lit(BM25_K1) * (
+        F.lit(_BM25_1MB) + F.lit(BM25_B) * (dld / F.col("avgdl"))
+    )
+    contrib = idf * (tfd * F.lit(_BM25_K1P1)) / denom
+    per = (
+        j.withColumn("c", contrib)
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.array_sort(F.collect_list(F.struct("term", "c"))).alias("cs"),
+        )
+    )
+    fold = F.aggregate(F.col("cs"), F.lit(0.0), lambda a, s: a + s["c"])
+    scored = per.select(
+        "qid", "doc_id", "n_terms_matched", F.round(fold, 9).alias("bm25")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("qid", "rank", "doc_id", "n_terms_matched", "bm25")
+    )
+
+
+def _bm25_oracle() -> str:
+    terms_in = ", ".join(f"'{t}'" for t in sorted({t for ts in BM25_QUERIES.values() for t in ts}))
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25_QUERIES.items() for t in ts
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+term AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM term
+       WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q(qid, term) AS (VALUES {qvals}),
+contrib AS (
+  SELECT q.qid, tf.doc_id, tf.term,
+         ln(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5e0)
+            / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+         * (CAST(tf AS DOUBLE) * {_BM25_K1P1!r}e0)
+         / (CAST(tf AS DOUBLE) + {BM25_K1!r}e0 *
+            ({_BM25_1MB!r}e0 + {BM25_B!r}e0 * (CAST(dl AS DOUBLE) / avgdl))) AS c
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) JOIN dl USING (doc_id), stats
+),
+per AS (
+  SELECT qid, doc_id, COUNT(*) AS n_terms_matched,
+         ROUND(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list(struct_pack(term := term, c := c))),
+                            s -> s['c'])),
+           (a, x) -> a + x), 9) AS bm25
+  FROM contrib GROUP BY qid, doc_id
+)
+SELECT qid, rank, doc_id, n_terms_matched, bm25 FROM (
+  SELECT qid, doc_id, n_terms_matched, bm25,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rank
+  FROM per
+) WHERE rank <= {BM25_TOP_K}
+"""
+
+
 QUERIES = {
+    "bm25_retrieval": bm25_retrieval,
     "transcript_title_share": transcript_title_share,
     "variant_props_stats": variant_props_stats,
     "unigram_logprob_scores": unigram_logprob_scores,
@@ -1287,6 +1421,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bm25_retrieval": _bm25_oracle(),
     "duplicate_spans": ORACLE_DUPLICATE_SPANS,
     "transcript_title_share": ORACLE_TRANSCRIPT_TITLE_SHARE,
     "variant_props_stats": ORACLE_VARIANT_PROPS_STATS,
