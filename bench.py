@@ -103,8 +103,10 @@ def bench_query_names() -> list[str]:
         "dsir_importance_weights",
         "bigram_interpolated_scores",
         # r06: the sequential trade-simulator island (U5) — the one
-        # operator family that had no headline entry
+        # operator family that had no headline entry — and BM25
+        # lexical retrieval (posting-filtered scoring join)
         "backtest_sma_events",
+        "bm25_retrieval",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]
