@@ -203,7 +203,23 @@ def kmeans_params(n: int) -> dict:
 _KMEANS_MEMO: dict[tuple, tuple] = {}
 
 
-def _train_kmeans(spark: SparkSession, sf_dir: str, where=None, k_override: int | None = None):
+def _fingerprint(emb: DataFrame):
+    """The codebook-memo content fingerprint (row count + exact id /
+    first-component sums) as one 3-scalar aggregate — shared by the
+    trainer and the tier dispatcher so mode selection and training
+    pay ONE scan, not two."""
+    return emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").alias("ids"),
+        F.sum(
+            F.expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)")
+        ).alias("c0"),
+    ).collect()[0]
+
+
+def _train_kmeans(
+    spark: SparkSession, sf_dir: str, where=None, k_override: int | None = None, fp=None
+):
     """Run the deterministic k-means build; returns (cids int64[k],
     C int64[k, dims], params). Centroid state lives on the driver
     between rounds (k·dims ints — bounded by design); member sums
@@ -218,13 +234,8 @@ def _train_kmeans(spark: SparkSession, sf_dir: str, where=None, k_override: int 
     emb = _emb(spark, sf_dir)
     if where is not None:
         emb = emb.filter(where)
-    fp = emb.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("vec_id").alias("ids"),
-        F.sum(
-            F.expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)")
-        ).alias("c0"),
-    ).collect()[0]
+    if fp is None:
+        fp = _fingerprint(emb)
     n_rows = fp["n"]
     memo_key = (sf_dir, n_rows, fp["ids"], fp["c0"], str(where), k_override)
     if memo_key in _KMEANS_MEMO:
@@ -383,17 +394,20 @@ def _cell_assignments(spark: SparkSession, sf_dir: str, where=None) -> DataFrame
     swap changes cell IDs, not the population contract."""
     emb = _emb(spark, sf_dir)
     tr = emb.filter(where) if where is not None else emb
-    # only auto mode needs the corpus size; a forced tier skips the
-    # count job entirely
+    # auto mode sizes the corpus off the SAME fingerprint aggregate
+    # the trainer memoizes on (one scan, reused); a forced tier
+    # skips the scan entirely
+    fp = None
     if spark.conf.get(QUANTIZER_CONF, "auto") == "auto":
-        mode = _quantizer_mode(spark, tr.count())
+        fp = _fingerprint(tr)
+        mode = _quantizer_mode(spark, fp["n"])
     else:
         mode = _quantizer_mode(spark, 0)
     if mode == "hierarchical":
-        return hierarchical_cells(spark, sf_dir, where=where).select(
+        return hierarchical_cells(spark, sf_dir, where=where, fp=fp).select(
             "vec_id", F.col("cell_id").alias("cell")
         )
-    trained = _train_kmeans(spark, sf_dir, where=where)
+    trained = _train_kmeans(spark, sf_dir, where=where, fp=fp)
     return (
         _cell_scores(spark, sf_dir, max_rank=1, trained=trained)
         .filter(F.col("rn") == 1)
@@ -524,17 +538,23 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
-    mode = _quantizer_mode(spark, emb.count())
+    if spark.conf.get(QUANTIZER_CONF, "auto") == "auto":
+        fp = _fingerprint(emb)
+        mode = _quantizer_mode(spark, fp["n"])
+    else:
+        fp, mode = None, _quantizer_mode(spark, 0)
     if mode == "hierarchical":
-        hc = hierarchical_cells(spark, sf_dir).localCheckpoint(eager=True)
+        if fp is None:
+            fp = _fingerprint(emb)
+        hc = hierarchical_cells(spark, sf_dir, fp=fp).localCheckpoint(eager=True)
         corpus = (
             hc.select("vec_id", F.col("cell_id").alias("bucket"))
             .join(emb, "vec_id")
             .select(F.col("vec_id").alias("nid"), F.col("embedding").alias("e2"), "bucket")
         )
-        k1 = _hier_k1(emb.count())
+        k1 = _hier_k1(fp["n"])
         np1 = max(2, -(-k1 // 8))
-        trained1 = _train_kmeans(spark, sf_dir, k_override=k1)
+        trained1 = _train_kmeans(spark, sf_dir, k_override=k1, fp=fp)
         l1 = _cell_scores(spark, sf_dir, max_rank=np1, trained=trained1)
         cellmap = hc.select(F.col("c1"), F.col("cell_id").alias("bucket")).distinct()
         probes = (
@@ -1310,7 +1330,7 @@ FROM keep JOIN agg USING (cluster_id)
 """
 
 
-def hierarchical_cells(spark: SparkSession, sf_dir: str, where=None) -> DataFrame:
+def hierarchical_cells(spark: SparkSession, sf_dir: str, where=None, fp=None) -> DataFrame:
     """Two-level hierarchical coarse quantizer — the EXTREME-scale
     tier above the flat k-means build. The flat path ships a k×dims
     centroid matrix in the assignment closure and pays sample×k
@@ -1349,8 +1369,10 @@ def hierarchical_cells(spark: SparkSession, sf_dir: str, where=None) -> DataFram
 
     emb = _emb(spark, sf_dir)
     train_emb = emb.filter(where) if where is not None else emb
-    k1 = _hier_k1(train_emb.count())
-    trained1 = _train_kmeans(spark, sf_dir, where=where, k_override=k1)
+    if fp is None:
+        fp = _fingerprint(train_emb)
+    k1 = _hier_k1(fp["n"])
+    trained1 = _train_kmeans(spark, sf_dir, where=where, k_override=k1, fp=fp)
     a1 = (
         _cell_scores(spark, sf_dir, max_rank=1, trained=trained1)
         .filter(F.col("rn") == 1)
@@ -1425,8 +1447,8 @@ def hierarchical_level1_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
     derive k₁ via IEEE SQRT/CEIL — identical doubles). This shrinks
     the build's rows-only surface to the genuinely SQL-inexpressible
     level-2 per-cell stage (see hierarchical_cells)."""
-    n = _emb(spark, sf_dir).count()
-    cids, C, _ = _train_kmeans(spark, sf_dir, k_override=_hier_k1(n))
+    fp = _fingerprint(_emb(spark, sf_dir))
+    cids, C, _ = _train_kmeans(spark, sf_dir, k_override=_hier_k1(fp["n"]), fp=fp)
     rows = [
         (int(cid), int(i), int(C[j, i]))
         for j, cid in enumerate(cids)

@@ -138,8 +138,8 @@ def test_hierarchical_consumers_never_train_flat_codebook(spark, force_mode, mon
     trained_ks = []
     orig = SQ._train_kmeans
 
-    def spy(spark_, sf_dir, where=None, k_override=None):
-        out = orig(spark_, sf_dir, where=where, k_override=k_override)
+    def spy(spark_, sf_dir, where=None, k_override=None, fp=None):
+        out = orig(spark_, sf_dir, where=where, k_override=k_override, fp=fp)
         trained_ks.append(out[2]["k"])
         return out
 
