@@ -268,6 +268,7 @@ def connected_components_star(
     # both steps are identities on flat forests; conversely a
     # non-flat edge pair (a→b, b→c) changes in the next step.
     rounds = 0
+    chained = 1
     for _ in range(max_iters):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         rounds += 1
@@ -280,6 +281,17 @@ def connected_components_star(
         )
         if chained == 0:
             break
+    if chained != 0 and rounds:
+        # the children∪roots labeling below is only valid AT the flat
+        # fixed point — on exhaustion a node could surface both as a
+        # child and a self-labeled root (duplicate conflicting rows),
+        # which is silent corruption, not mere non-convergence. With
+        # O(log n) rounds, 50 iterations covers ~2^50 nodes; hitting
+        # this means the caller passed a tiny max_iters.
+        raise RuntimeError(
+            f"connected_components_star did not converge in {rounds} rounds "
+            f"(max_iters={max_iters}); raise max_iters — O(log n) rounds suffice"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     # fixed point: edges = (node, component-min). Roots label themselves.
@@ -287,7 +299,19 @@ def connected_components_star(
     roots = edges.select(F.col("dst").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
-    return children.unionByName(roots).distinct()
+    labels = children.unionByName(roots).distinct()
+    # nodes whose ONLY edges were self-pairs were dropped by the
+    # orientation filter; the minlabel twin labels them as
+    # singletons — match it (left-anti keeps the main path untouched
+    # when, as in every in-repo caller, no self-pairs exist)
+    selfs = (
+        pairs.filter(F.col("d1") == F.col("d2"))
+        .select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .join(labels, "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return labels.unionByName(selfs)
 
 
 def connected_components_minlabel(

@@ -389,10 +389,7 @@ rec AS MATERIALIZED (
     SELECT symbol_id, rn, close,
            w8n, ow8n, w21n, ow21n, w12n, ow12n, w26n, ow26n,
            {sg}, {osg},
-           CASE WHEN g IS NULL THEN wg0 ELSE {rg} END,
-           CASE WHEN g IS NULL THEN owg0 ELSE {org_} END,
-           CASE WHEN l IS NULL THEN wl0 ELSE {rl} END,
-           CASE WHEN l IS NULL THEN owl0 ELSE {orl} END
+           {rg}, {org_}, {rl}, {orl}
     FROM (
       SELECT s.symbol_id, r.rn, r.close,
              {w8} AS w8n, {ow8} AS ow8n,

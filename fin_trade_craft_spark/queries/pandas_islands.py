@@ -68,8 +68,17 @@ def _owf(span: int | None = None, alpha: float | None = None) -> float:
 
 
 def _ewm_step(w: str, ow: str, x: str, owf: float) -> tuple[str, str]:
-    """(new_w, new_ow) SQL for one adjusted-EWM observation step;
-    ``x`` must be non-NULL where applied (callers gate NaN rows)."""
+    """(new_w, new_ow) SQL for one adjusted-EWM step, INCLUDING the
+    NULL-observation (NaN) branches of the pandas kernel with
+    ignore_na=False (ADVICE-of-round fix — the first cut required
+    non-NULL x and would have diverged on a mid-series NULL):
+
+    - x NULL, w undefined → nothing happens;
+    - x NULL, w defined   → the weight DECAYS (ow·(1−α)) but no
+      observation is added and w is unchanged;
+    - x defined, w undefined → w = x, ow stays 1 (no decay);
+    - x defined, w defined → decay, update-unless-equal, ow += 1.
+    """
     # every literal in DOUBLE form: DuckDB types bare decimal
     # literals as DECIMAL, and the recursive CTE's column types come
     # from the base case — decimal arithmetic would both overflow
@@ -80,11 +89,16 @@ def _ewm_step(w: str, ow: str, x: str, owf: float) -> tuple[str, str]:
     one = "CAST(1.0 AS DOUBLE)"
     ow1 = f"({ow} * {owf!r}e0)"
     new_w = (
-        f"CASE WHEN {w} IS NULL THEN {x} "
+        f"CASE WHEN {x} IS NULL THEN {w} "
+        f"WHEN {w} IS NULL THEN {x} "
         f"WHEN {w} <> {x} THEN ({ow1} * {w} + {x}) / ({ow1} + {one}) "
         f"ELSE {w} END"
     )
-    new_ow = f"CASE WHEN {w} IS NULL THEN {one} ELSE {ow1} + {one} END"
+    new_ow = (
+        f"CASE WHEN {w} IS NULL THEN {ow} "
+        f"WHEN {x} IS NULL THEN {ow1} "
+        f"ELSE {ow1} + {one} END"
+    )
     return new_w, new_ow
 
 
@@ -153,8 +167,10 @@ FROM series r JOIN rec c ON r.user_id = c.user_id AND r.rn = c.rn
 def _rsi_oracle(length: int = 14) -> str:
     owf = _owf(alpha=1.0 / length)
     # deltas exist from rn=2 on (diff of the first row is NaN — not
-    # an observation); gains/losses are the clipped delta; nobs at
-    # row rn is rn−1, so output is NULL until rn > length
+    # an observation; _ewm_step handles the NULL internally); the
+    # min_periods mask assumes nobs at row rn is rn−1, which holds
+    # because events.value is non-NULL in every fixture (a mid-series
+    # NULL value would need a real observation counter here)
     wg, owg_ = _ewm_step("wg0", "owg0", "g", owf)
     wl, owl_ = _ewm_step("wl0", "owl0", "l", owf)
     return f"""
@@ -165,10 +181,7 @@ WITH {_EVENT_SERIES_SQL}, rec AS (
     FROM (SELECT DISTINCT user_id FROM series)
     UNION ALL
     SELECT user_id, rn, value,
-      CASE WHEN g IS NULL THEN wg0 ELSE {wg} END,
-      CASE WHEN g IS NULL THEN owg0 ELSE {owg_} END,
-      CASE WHEN l IS NULL THEN wl0 ELSE {wl} END,
-      CASE WHEN l IS NULL THEN owl0 ELSE {owl_} END
+      {wg}, {owg_}, {wl}, {owl_}
     FROM (
       SELECT s.user_id, r.rn, r.value,
              CASE WHEN s.pv IS NULL THEN CAST(NULL AS DOUBLE)

@@ -394,13 +394,18 @@ def _cell_assignments(spark: SparkSession, sf_dir: str, where=None) -> DataFrame
     swap changes cell IDs, not the population contract."""
     emb = _emb(spark, sf_dir)
     tr = emb.filter(where) if where is not None else emb
-    # auto mode sizes the corpus off the SAME fingerprint aggregate
-    # the trainer memoizes on (one scan, reused); a forced tier
-    # skips the scan entirely
+    # auto mode sizes the CORPUS (not the training subset — the tier
+    # must match the index the whole corpus was built with; a
+    # half-corpus training filter around the threshold would
+    # otherwise flip the ingest to a different tier than the stored
+    # assignment, review finding r06) off the same fingerprint
+    # aggregate the trainer memoizes on where possible; a forced
+    # tier skips the scan entirely
     fp = None
     if spark.conf.get(QUANTIZER_CONF, "auto") == "auto":
         fp = _fingerprint(tr)
-        mode = _quantizer_mode(spark, fp["n"])
+        n_corpus = fp["n"] if where is None else emb.count()
+        mode = _quantizer_mode(spark, n_corpus)
     else:
         mode = _quantizer_mode(spark, 0)
     if mode == "hierarchical":
@@ -568,7 +573,7 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     else:
-        trained = _train_kmeans(spark, sf_dir)
+        trained = _train_kmeans(spark, sf_dir, fp=fp)
         nprobe = trained[2]["nprobe"]
         scores = _cell_scores(
             spark, sf_dir, max_rank=nprobe, trained=trained

@@ -145,3 +145,32 @@ def test_star_contraction_chain_round_count_logarithmic(spark):
     assert got == {i: root for i in ids}
     bound = 2 * math.ceil(math.log2(n))
     assert stats["rounds"] <= bound, f"star took {stats['rounds']} rounds > {bound}"
+
+
+def test_star_contraction_self_pairs_and_exhaustion(spark):
+    """Review findings r06: (a) nodes whose only edges are
+    self-pairs must label as singletons, matching the minlabel twin;
+    (b) exhausting max_iters before the forest flattens must RAISE,
+    never return the (corrupt at non-fixed-point) children+roots
+    union."""
+    import pytest
+
+    from fin_trade_craft_spark.operators.dedup import (
+        connected_components_minlabel,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 3), (9, 9), (3, 3)], "d1 long, d2 long"
+    )
+    star = {r.doc_id: r.cluster_id for r in connected_components_star(pairs).collect()}
+    mini = {
+        r.doc_id: r.cluster_id for r in connected_components_minlabel(pairs).collect()
+    }
+    assert star == mini == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "d1 long, d2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(chain, max_iters=1).collect()
