@@ -1394,7 +1394,64 @@ SELECT qid, rank, doc_id, n_terms_matched, bm25 FROM (
 """
 
 
+BPE_TOP_K = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer induction: count every
+    ADJACENT CHARACTER PAIR inside whitespace tokens across the
+    corpus (occurrence-weighted, exactly the statistic the classic
+    merge loop greedily consumes) and keep the top-20 merge
+    candidates, tie-broken by pair text. Also reports the distinct
+    token-type count carrying each pair — a merge that concentrates
+    in few types is boilerplate, one spread over many types is a
+    genuine subword.
+
+    Scale shape: this is byte-level wordcount — explode to
+    (pair) keys, ONE hash aggregate with map-side partial counts
+    (the shuffle carries distinct pairs per partition, bounded by
+    the pair alphabet, not corpus size), then a distributed
+    TakeOrderedAndProject for the top-k; no window, no sort of the
+    full pair table. Cost ∝ corpus bytes, the same linear family as
+    the n-gram scorers."""
+    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    tok = d.select(F.explode("toks").alias("tok")).filter(F.length("tok") >= 2)
+    pairs = tok.select(
+        "tok",
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("tok").alias("n_token_types"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+ORACLE_BPE_MERGE_CANDIDATES = f"""
+WITH tok AS (
+  SELECT t.tok FROM (SELECT unnest({_TOKS}) AS tok FROM documents) t
+  WHERE length(t.tok) >= 2
+),
+pairs AS (
+  SELECT tok, substr(tok, CAST(i AS INT), 2) AS pair
+  FROM tok, LATERAL (SELECT unnest(range(1, length(tok))) AS i)
+)
+SELECT pair, COUNT(*) AS n_occurrences, COUNT(DISTINCT tok) AS n_token_types
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {BPE_TOP_K}
+"""
+
+
 QUERIES = {
+    "bpe_merge_candidates": bpe_merge_candidates,
     "bm25_retrieval": bm25_retrieval,
     "transcript_title_share": transcript_title_share,
     "variant_props_stats": variant_props_stats,
@@ -1421,6 +1478,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
     "bm25_retrieval": _bm25_oracle(),
     "duplicate_spans": ORACLE_DUPLICATE_SPANS,
     "transcript_title_share": ORACLE_TRANSCRIPT_TITLE_SHARE,
