@@ -191,3 +191,52 @@ def test_wilder_rma_warmup_seam_contract():
         pd.testing.assert_series_equal(
             engine[n - 1 :], lib[n - 1 :], check_names=False
         )
+
+
+def test_ewm_oracle_step_matches_pandas_on_mid_series_nulls():
+    """Review-fix regression (r06): the shared SQL EWM step must
+    implement pandas' NULL-observation branches (weight decays with
+    no observation added; leading NaNs leave state untouched) —
+    pinned by running the actual EMA/MACD oracles on a series with
+    leading, mid, and consecutive NULLs and comparing bit-for-bit
+    against pandas ewm."""
+    import datetime
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from fin_trade_craft_spark.queries import pandas_islands as PI
+
+    con = duckdb.connect()
+    vals = [None, 1.0, 2.0, None, 4.0, 5.0, None, None, 7.5, 2.0, 2.0, 3.0]
+    rows = pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "ts": [
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i)
+                for i in range(len(vals))
+            ],
+            "user_id": [1] * len(vals),
+            "value": vals,
+        }
+    )
+    con.register("events", rows)
+    s = pd.Series(vals, dtype=float)
+
+    got = con.sql(PI._ema_oracle(spans=(8, 21))).df().sort_values("event_id")
+    for n in (8, 21):
+        want = s.ewm(span=n).mean().to_numpy()
+        assert np.array_equal(
+            np.nan_to_num(got[f"ema_{n}"].to_numpy(), nan=-1),
+            np.nan_to_num(want, nan=-1),
+        ), f"span {n} diverged on NULL series"
+
+    got2 = con.sql(PI._macd_oracle()).df().sort_values("event_id")
+    macd = s.ewm(span=12).mean() - s.ewm(span=26).mean()
+    sig = macd.ewm(span=9).mean()
+    for col, want in (("macd", macd), ("macd_signal", sig), ("macd_hist", macd - sig)):
+        assert np.array_equal(
+            np.nan_to_num(got2[col].to_numpy(), nan=-1),
+            np.nan_to_num(want.to_numpy(), nan=-1),
+        ), f"{col} diverged on NULL series"
