@@ -218,13 +218,24 @@ def connected_components_star(
     star forest (node → component min). Convergence test: every
     edge stays (larger → smaller)-oriented through both steps, so
     the edge set is a fixed point IFF it is FLAT — no edge's dst
-    appears as another edge's src (a flat oriented forest is a star
-    forest rooted at each component's min, and both steps map a
-    star forest to itself — shown case-by-case in the loop
-    comment). One ``join . limit(1)`` job per round, and it detects
-    convergence the round the forest flattens rather than one
-    equality-confirming round later; each round ``localCheckpoint``s
-    to cut lineage, same as the minlabel twin.
+    appears as another edge's src — AND every src has exactly ONE
+    dst. Flatness alone is NOT sufficient: a flat edge set where
+    some node keeps two distinct parents (e.g. pairs
+    (5,3),(6,5),(6,1),(3,2) flatten after one round to
+    {(3,1),(3,2),(5,2),(6,1)}) is not a star forest — the
+    children∪roots labeling below would emit that node under BOTH
+    parents and split the component (the r06 advisor's
+    silent-corruption repro, pinned in
+    tests/test_dedup_clusters.py::test_star_multi_parent_flat_regression);
+    one more small-star round re-hangs the extra parent and the
+    loop proceeds to the true fixed point. Flat + out-degree-1 IS
+    sufficient: the edges then form a function src→dst with
+    dsts ∩ srcs = ∅, i.e. disjoint stars, each rooted at its min by
+    the orientation invariant, and connectivity preservation makes
+    each star a whole component. Both violations are probed in ONE
+    ``limit(1)`` job per round (union of the two violation frames);
+    each round ``localCheckpoint``s to cut lineage, same as the
+    minlabel twin.
 
     Skew note: a hub's edges group onto one key in the min
     aggregate — a partial-aggregating hash shuffle of (node, min)
@@ -260,34 +271,48 @@ def connected_components_star(
         hang_u = j.select("src", F.col("__m").alias("dst"))
         return hang_v.union(hang_u).distinct()
 
-    # Flatness = fixed point: with every edge (src > dst), a flat
-    # forest is stars rooted at per-star minima. Large-star at a
-    # root r (all neighbors v > r): m = r, re-emits (v, r). At a
-    # child c (sole neighbor r < c): no v > c to emit. Small-star
-    # at c (N⁻ = {r}): m = r, re-emits (c, r) and nothing else. So
-    # both steps are identities on flat forests; conversely a
-    # non-flat edge pair (a→b, b→c) changes in the next step.
+    # Fixed point = FLAT (no dst is also a src) AND out-degree ≤ 1
+    # per src: with every edge (src > dst), that is exactly a star
+    # forest rooted at per-star minima. Large-star at a root r (all
+    # neighbors v > r): m = r, re-emits (v, r). At a child c (sole
+    # neighbor r < c): no v > c to emit. Small-star at c
+    # (N⁻ = {r}): m = r, re-emits (c, r) and nothing else. So both
+    # steps are identities on star forests; conversely a chained
+    # pair (a→b, b→c) or a double-parent pair (a→b, a→c) changes in
+    # the next step (small-star re-hangs c onto b). Probing flatness
+    # ONLY mislabels flat-but-multi-parent states as converged — the
+    # r06 advisor's corruption repro — so both violations are probed
+    # together.
+    if max_iters < 1:
+        raise ValueError(f"connected_components_star needs max_iters >= 1, got {max_iters}")
     rounds = 0
-    chained = 1
+    not_fixed = 1
     for _ in range(max_iters):
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         rounds += 1
         edges = nxt
-        chained = (
+        viol_chain = (
             nxt.select(F.col("dst").alias("k"))
             .join(nxt.select(F.col("src").alias("k")).distinct(), "k")
-            .limit(1)
-            .count()
+            .select(F.lit(1).alias("__v"))
         )
-        if chained == 0:
+        viol_multi_parent = (
+            nxt.groupBy("src")
+            .agg(F.count_distinct("dst").alias("__nd"))
+            .filter(F.col("__nd") > 1)
+            .select(F.lit(1).alias("__v"))
+        )
+        not_fixed = viol_chain.unionByName(viol_multi_parent).limit(1).count()
+        if not_fixed == 0:
             break
-    if chained != 0 and rounds:
-        # the children∪roots labeling below is only valid AT the flat
-        # fixed point — on exhaustion a node could surface both as a
-        # child and a self-labeled root (duplicate conflicting rows),
-        # which is silent corruption, not mere non-convergence. With
-        # O(log n) rounds, 50 iterations covers ~2^50 nodes; hitting
-        # this means the caller passed a tiny max_iters.
+    if not_fixed != 0:
+        # the children∪roots labeling below is only valid AT the star-
+        # forest fixed point — on exhaustion a node could surface under
+        # two parents or as both child and self-labeled root (duplicate
+        # conflicting rows), which is silent corruption, not mere
+        # non-convergence. Raise UNCONDITIONALLY on a non-fixed final
+        # state. With O(log n) rounds, 50 iterations covers ~2^50
+        # nodes; hitting this means the caller passed a tiny max_iters.
         raise RuntimeError(
             f"connected_components_star did not converge in {rounds} rounds "
             f"(max_iters={max_iters}); raise max_iters — O(log n) rounds suffice"

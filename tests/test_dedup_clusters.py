@@ -174,3 +174,43 @@ def test_star_contraction_self_pairs_and_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components_star(chain, max_iters=1).collect()
+
+
+def test_star_multi_parent_flat_regression(spark):
+    """ADVICE r06 (high): pairs (5,3),(6,5),(6,1),(3,2) flatten
+    after one large+small round to {(3,1),(3,2),(5,2),(6,1)} — flat
+    (no dst is a src) but NOT a star forest (node 3 keeps two
+    parents). A flatness-only convergence probe declared this
+    converged and emitted doc 3 under BOTH cluster 1 and cluster 2,
+    splitting the single component into {1,3,6} and {2,3,5}. The
+    fixed-point test must also require out-degree 1 per src, so the
+    loop keeps contracting to the true single-star fixed point."""
+    from fin_trade_craft_spark.operators.dedup import (
+        connected_components_minlabel,
+        connected_components_star,
+    )
+
+    fx = [(5, 3), (6, 5), (6, 1), (3, 2)]
+    pairs = spark.createDataFrame(fx, "d1 long, d2 long")
+    star_rows = connected_components_star(pairs).collect()
+    # exactly one label row per node — no duplicate conflicting rows
+    assert len(star_rows) == len({r.doc_id for r in star_rows}) == 5
+    star = {r.doc_id: r.cluster_id for r in star_rows}
+    mini = {
+        r.doc_id: r.cluster_id for r in connected_components_minlabel(pairs).collect()
+    }
+    want = _union_find_clusters(fx)
+    assert star == mini == want == {1: 1, 2: 1, 3: 1, 5: 1, 6: 1}
+
+
+def test_star_max_iters_zero_rejected(spark):
+    """ADVICE r06 (low): max_iters=0 used to skip the
+    non-convergence guard entirely (rounds stayed 0) and label the
+    raw unconverged edge set. It must raise up front now."""
+    import pytest
+
+    from fin_trade_craft_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    with pytest.raises(ValueError, match="max_iters >= 1"):
+        connected_components_star(pairs, max_iters=0)
