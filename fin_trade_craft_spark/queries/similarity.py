@@ -652,7 +652,7 @@ def exact_near_dupe_pairs(emb: DataFrame, max_rows: int = EXACT_NEAR_DUPES_MAX_R
 
     from ..operators.dedup import guard_exact_tier
 
-    guard_exact_tier(
+    emb = guard_exact_tier(
         emb,
         max_rows,
         "embedding_near_dupes",

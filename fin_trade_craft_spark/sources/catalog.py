@@ -10,10 +10,12 @@ flat directory.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as ST
 from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = (
@@ -31,17 +33,106 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# path → (StructType to pass to spark.read.schema, needs_nanos_conf).
+# A real deployment swaps this for the warehouse catalog's schema
+# registry; here the footer is read ONCE per path on the driver.
+_SCHEMA_CACHE: dict[str, tuple[ST.StructType, bool]] = {}
+
+
+def _arrow_field_to_spark(field, physical: str | None = None) -> tuple[ST.DataType, bool]:
+    """Map one pyarrow field type to the Spark type ``load_table``
+    declares for it. Returns (spark_type, is_nanos_timestamp).
+    Explicit and fail-fast — only the types the test tables actually
+    ship are mapped; an unknown type raises with the column named
+    rather than silently mis-typing a scan. ``physical`` is the
+    parquet PHYSICAL type: legacy INT96 timestamps also surface as
+    arrow timestamp[ns] but Spark reads them natively as TIMESTAMP —
+    only INT64 TIMESTAMP(NANOS) needs the nanosAsLong long path."""
+    import pyarrow as pa
+
+    t = field.type
+    simple = {
+        pa.int64(): ST.LongType(),
+        pa.int32(): ST.IntegerType(),
+        pa.int16(): ST.ShortType(),
+        pa.float64(): ST.DoubleType(),
+        pa.float32(): ST.FloatType(),
+        pa.string(): ST.StringType(),
+        pa.large_string(): ST.StringType(),
+        pa.bool_(): ST.BooleanType(),
+        pa.date32(): ST.DateType(),
+        pa.binary(): ST.BinaryType(),
+        pa.large_binary(): ST.BinaryType(),
+    }
+    if t in simple:
+        return simple[t], False
+    if pa.types.is_timestamp(t):
+        if t.unit == "ns" and physical != "INT96":
+            # parquet INT64 TIMESTAMP(NANOS): Spark's reader only
+            # accepts it as INT64 under nanosAsLong — declare long;
+            # the caller truncates to micros (normalize_event_ts)
+            return ST.LongType(), True
+        if physical == "INT96":
+            # legacy INT96: Spark reads it as session-TZ TIMESTAMP
+            return ST.TimestampType(), False
+        return (ST.TimestampType() if t.tz else ST.TimestampNTZType()), False
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        inner, _ = _arrow_field_to_spark(t.value_field)
+        return ST.ArrayType(inner, t.value_field.nullable), False
+    raise TypeError(f"unmapped parquet type {t} for column {field.name}")
+
+
+def table_schema(path: str) -> tuple[ST.StructType, bool]:
+    """Spark schema for a parquet table, from ONE footer read on the
+    driver (pyarrow) — no Spark job, no executor round-trip. Cached
+    per path: at cluster scale this is the catalog lookup; here it
+    keeps query CONSTRUCTION free of schema-inference jobs (the
+    r06 plan-lint premise: building a plan must execute nothing)."""
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    footer = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        footer = parts[0]
+    pf = pq.ParquetFile(footer)
+    arrow = pf.schema_arrow
+    # top-level physical types (nested/list columns have dotted
+    # paths; only scalar timestamps need the INT96-vs-INT64 split)
+    physical = {}
+    for i in range(len(pf.schema)):
+        col = pf.schema.column(i)
+        physical.setdefault(col.path.split(".")[0], col.physical_type)
+    fields, nanos = [], False
+    for f in arrow:
+        st, is_ns = _arrow_field_to_spark(f, physical.get(f.name))
+        nanos = nanos or is_ns
+        fields.append(ST.StructField(f.name, st, f.nullable))
+    out = (ST.StructType(fields), nanos)
+    _SCHEMA_CACHE[path] = out
+    return out
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Filters/projections applied by callers
     are pushed into the parquet scan by Catalyst (verify with
     ``.explain`` → PushedFilters / ReadSchema).
 
+    The schema is passed EXPLICITLY (from the driver-side footer
+    cache, :func:`table_schema`) so constructing the scan launches no
+    schema-inference job — plan building stays job-free, which the
+    plan lint and the construction-purity lint
+    (tests/test_construction_purity.py) rely on.
+
     ``events.ts`` has been written by the driver as either parquet
     TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
     as long via nanosAsLong and truncate to microseconds, matching
     DuckDB's ``CAST(ts AS TIMESTAMP)``) or TIMESTAMP(MICROS) (read
-    natively). Detect which from the loaded type so both driver data
+    natively). Detect which from the footer so both driver data
     generations work.
     """
     # The driver hands us ITS session — pin the runtime confs our
@@ -51,11 +142,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # of Spark 4's default ANSI exception).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    if name == "events":
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    schema, nanos = table_schema(path)
+    if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    df = spark.read.schema(schema).parquet(path)
+    if name == "events":
         return normalize_event_ts(df)
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    return df
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:

@@ -29,9 +29,10 @@ def test_dedup_vs_oracle(spark, duck, name):
 
 def test_exact_tier_guards_refuse_corpus_sized_inputs(spark):
     """The exact/verifier tiers must refuse to silently launch an
-    O(n²) stage on a corpus-sized input: both guards raise with the
-    scale-path alternative named; small inputs are unaffected; an
-    explicit max_rows override is the escape hatch."""
+    O(n²) stage on a corpus-sized input: both guards raise AT FIRST
+    ACTION (construction launches no job — r06 verdict task 2) with
+    the scale-path alternative named; small inputs are unaffected;
+    an explicit max_rows override is the escape hatch."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -42,8 +43,11 @@ def test_exact_tier_guards_refuse_corpus_sized_inputs(spark):
         F.col("id").alias("doc_id"),
         F.array(F.lit("a b c"), F.lit("b c d")).alias("shingles"),
     )
-    with pytest.raises(ValueError, match="lsh_candidate_pairs"):
-        exact_jaccard_pairs(big_sets).count()
+    # construction is job-free (asserted with a clean-session protocol
+    # in test_construction_purity.py); the refuse fires on action
+    over_budget = exact_jaccard_pairs(big_sets)
+    with pytest.raises(Exception, match="lsh_candidate_pairs"):
+        over_budget.count()
     # candidate-driven branch (the scale path) has no row cap
     cands = spark.createDataFrame([(0, 1)], "d1 long, d2 long")
     assert exact_jaccard_pairs(big_sets, candidates=cands).count() == 1
@@ -52,7 +56,7 @@ def test_exact_tier_guards_refuse_corpus_sized_inputs(spark):
         F.col("id").alias("vec_id"),
         F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
     )
-    with pytest.raises(ValueError, match="srp_lsh_near_dupes"):
+    with pytest.raises(Exception, match="srp_lsh_near_dupes"):
         exact_near_dupe_pairs(big_emb).count()
     # override hatch + small inputs still work
     small = big_emb.filter(F.col("vec_id") < 5)
@@ -70,19 +74,19 @@ def test_exact_tier_budget_is_conf_configurable(spark):
     from fin_trade_craft_spark.operators.dedup import EXACT_TIER_CONF, guard_exact_tier
 
     big = spark.range(25_001).select(F.col("id").alias("vec_id"))
-    # default: over-budget input refused
-    with pytest.raises(ValueError, match="exactTierMaxRows"):
-        guard_exact_tier(big, 25_000, "probe", "alt")
+    # default: over-budget input refused (at action — the gate is in-plan)
+    with pytest.raises(Exception, match="exactTierMaxRows"):
+        guard_exact_tier(big, 25_000, "probe", "alt").count()
     # conf raises the budget -> same input passes
     spark.conf.set(EXACT_TIER_CONF, "30000")
     try:
-        assert guard_exact_tier(big, 25_000, "probe", "alt") == 25_001
+        assert guard_exact_tier(big, 25_000, "probe", "alt").count() == 25_001
         # conf can also LOWER the budget below the call-site default
         spark.conf.set(EXACT_TIER_CONF, "10")
-        with pytest.raises(ValueError, match="session conf"):
-            guard_exact_tier(big.limit(11), 25_000, "probe", "alt")
+        with pytest.raises(Exception, match="session conf"):
+            guard_exact_tier(big.limit(11), 25_000, "probe", "alt").count()
     finally:
         spark.conf.unset(EXACT_TIER_CONF)
     # conf unset again: default refuse restored
-    with pytest.raises(ValueError, match="max_rows"):
-        guard_exact_tier(big, 25_000, "probe", "alt")
+    with pytest.raises(Exception, match="max_rows"):
+        guard_exact_tier(big, 25_000, "probe", "alt").count()
