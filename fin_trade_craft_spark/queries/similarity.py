@@ -535,10 +535,26 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each query probes its nprobe = ⌈k/8⌉ nearest cells (the
     oracle replays this bit-for-bit). Above HIER_MIN_ROWS (or when
     forced via the quantizer conf) cells come from the two-level
-    build and a query probes every sub-cell of its ⌈k₁/8⌉ nearest
-    LEVEL-1 cells — the probed corpus FRACTION stays ~1/8 while the
-    query-side distance evaluations drop from k to k₁ ≈ √k (FAISS
-    IVF-with-coarse-pruning shape); the candidate-join tail is
+    build and the probe runs in two ranked stages (FAISS
+    IVF-with-coarse-pruning / multi-probe shape): (1) coarse
+    multi-probe — the query's m₁ = ⌈k₁/4⌉ nearest LEVEL-1 cells by
+    the k₁-centroid codebook; (2) fine ranking — the FINE cells
+    under those coarse cells are ranked by exact integer L2 to a
+    per-cell representative (the floor-of-mean of member vectors,
+    one corpus groupBy computed at index-build time) and only the
+    top nprobe = ⌈k/8⌉ fine cells are probed. The probed corpus
+    FRACTION therefore matches the flat tier's ~1/8 AND the probed
+    cells are (approximately) the NEAREST fine cells — the r06
+    coarse-granularity recall loss (descending into ALL sub-cells
+    of 2 coarse cells probed ~the right fraction but the WRONG
+    cells) is gone; measured mean recall@5 is within 0.05 of the
+    flat tier at sf0.1 and the sf1 replica (SCALING.md). Query-side
+    cost: k₁ closure distances (the only centroid matrix shipped)
+    plus m₁·k/k₁ ≈ k/4 representative distances — but those run as
+    a broadcast JOIN against the persisted representative table,
+    never a k×dims closure matrix, so the hierarchical tier's
+    memory contract (closure ~√k×dims, assignment ~2√k per corpus
+    vector) is untouched; the candidate-join tail is
     tier-identical."""
     from pyspark.sql import Window
 
@@ -558,14 +574,56 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("vec_id").alias("nid"), F.col("embedding").alias("e2"), "bucket")
         )
         k1 = _hier_k1(fp["n"])
-        np1 = max(2, -(-k1 // 8))
+        # coarse multi-probe: top-m1 level-1 cells (≥3 so the fine
+        # ranking below always has slack over nprobe)
+        m1 = max(3, -(-k1 // 4))
+        # fine-probe budget: the FLAT design's nprobe for this
+        # corpus (same cell count/fraction as the flat tier),
+        # floored at 2·m1 — two fine cells per probed coarse cell,
+        # so the fine stage keeps real choice inside every coarse
+        # probe. The floor binds only at fixture scale: ⌈k/8⌉
+        # overtakes 2·⌈√k/4⌉ for k ≳ 32, so the probed fraction at
+        # corpus scale is the flat tier's ~1/8
+        nprobe = max(kmeans_params(fp["n"])["nprobe"], 2 * m1)
         trained1 = _train_kmeans(spark, sf_dir, k_override=k1, fp=fp)
-        l1 = _cell_scores(spark, sf_dir, max_rank=np1, trained=trained1)
+        l1 = _cell_scores(spark, sf_dir, max_rank=m1, trained=trained1)
         cellmap = hc.select(F.col("c1"), F.col("cell_id").alias("bucket")).distinct()
-        probes = (
-            l1.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= np1))
+        # fine-cell representatives: exact floor-of-mean of member
+        # vectors per dimension (same posmod floor-division rule as
+        # the Lloyd update) — at 100 TB this is one corpus groupBy
+        # persisted with the index, not a per-query cost
+        repx = (
+            hc.select("vec_id", F.col("cell_id").alias("bucket"))
+            .join(emb.select("vec_id", F.expr(_QV_EXPR).alias("qv")), "vec_id")
+            .select("bucket", F.posexplode("qv").alias("i", "q"))
+            .groupBy("bucket", "i")
+            .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "bucket",
+                "i",
+                F.expr("(sq - (((sq % cnt) + cnt) % cnt)) div cnt").alias("rv"),
+            )
+        )
+        qx = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.posexplode(F.expr(_QV_EXPR)).alias("i", "q")
+        )
+        cand_cells = (
+            l1.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= m1))
             .select(F.col("vec_id").alias("qid"), F.col("cid").alias("c1"))
             .join(cellmap, "c1")
+            .select("qid", "bucket")
+        )
+        fine_d2 = (
+            F.broadcast(cand_cells)
+            .join(qx, "qid")
+            .join(repx, ["bucket", "i"])
+            .groupBy("qid", "bucket")
+            .agg(F.sum((F.col("q") - F.col("rv")) * (F.col("q") - F.col("rv"))).alias("d2"))
+        )
+        wf = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("bucket"))
+        probes = (
+            fine_d2.withColumn("frn", F.row_number().over(wf))
+            .filter(F.col("frn") <= nprobe)
             .select("qid", "bucket")
             .join(
                 emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("e1")),
