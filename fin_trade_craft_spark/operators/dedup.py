@@ -558,7 +558,8 @@ def simhash_hamming_pairs(
     # Materialize: the signature plan (n_bits aggregates over every
     # token) feeds both sides of the band self-join — don't run it
     # twice. At cluster scale this is a temp-table write instead.
-    sigs = sigs.localCheckpoint(eager=True)
+    # persist() keeps construction job-free.
+    sigs = sigs.persist()
     bands = F.array(
         *[
             F.concat_ws("|", F.lit(str(b)), F.substring("simhash", b * band_w + 1, band_w))

@@ -87,11 +87,13 @@ def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from band-bucket collisions, and verification intersects
     only the candidates' shingle arrays (array_intersect) instead
     of a corpus-wide shingle self-join. The shingle-set frame is
-    materialized once (lazy localCheckpoint: stored at first touch
-    INSIDE the main job — eager would pay an extra scheduling round
-    for a separate materialization job) — it feeds the signature
-    build AND both verification join branches."""
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=False)
+    materialized once (persist(): stored at first touch INSIDE the
+    main job, construction stays job-free — eager checkpointing
+    would pay an extra scheduling round, and even a lazy
+    localCheckpoint runs upstream exchanges at toRdd time under
+    AQE) — it feeds the signature build AND both verification join
+    branches."""
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
     sigs = D.minhash_signatures(sets, num_perm=8)
     cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
     return D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
@@ -106,7 +108,7 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in candidates, the shape that survives 100 TB. (The
     full-corpus variant stays registered as the fixture-scale
     recall oracle; THIS one is the bench headline.)"""
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=False)
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
     sigs = D.minhash_signatures(sets, num_perm=8)
     cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
     return D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
@@ -131,7 +133,7 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_recall's brute-force side); the candidate side is the
     production banding; the comparison joins two pair sets on
     (d1, d2)."""
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=False)
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
     truth = D.exact_jaccard_pairs(sets, min_jaccard=0.5).select("d1", "d2", "jaccard")
     sigs = D.minhash_signatures(sets, num_perm=8)
     cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2).withColumn(
@@ -262,7 +264,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the component) → per-cluster size + canonical flag. The
     verified pair graph is tiny relative to the corpus, so the
     iterative label propagation runs over edges only."""
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=True)
+    # persist(): the shingle sets feed the signature build AND the
+    # exact-verify pass — one materialization, job-free construction
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
     sigs = D.minhash_signatures(sets, num_perm=8)
     cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
     pairs = D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands)
@@ -421,10 +425,10 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     band equi-join and appends its own signatures; the historical
     corpus is never re-tokenized or re-hashed, and the probe cost is
     proportional to the BATCH, not the corpus."""
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=False)
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
     # materialize: the signature build feeds BOTH sides of the band
     # self-join — without this the md5 hashing runs twice
-    sigs = D.minhash_signatures(sets, num_perm=8).localCheckpoint(eager=False)
+    sigs = D.minhash_signatures(sets, num_perm=8).persist()
     bands = F.array(
         *[
             F.concat_ws("|", F.lit(str(b)), F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
@@ -514,7 +518,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the containment tier seeds candidates from the SHORTER
     side's shingles instead (probe-side banding) — same join shape,
     different signature build."""
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).localCheckpoint(eager=False)
+    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
     sigs = D.minhash_signatures(sets, num_perm=8)
     cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
     scored = D.exact_jaccard_pairs(sets, min_jaccard=0.0, candidates=cands)

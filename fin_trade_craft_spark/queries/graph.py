@@ -67,7 +67,7 @@ def triangle_count(e: DataFrame, deg: DataFrame) -> DataFrame:
     degree orientation is ≤ ~√(2m), so per-source wedge fan-out is
     bounded even when a hub holds a constant fraction of all edges
     (the hub's edges all point INTO it — it generates zero wedges)."""
-    o = degree_oriented_edges(e, deg).localCheckpoint(eager=False)
+    o = degree_oriented_edges(e, deg).persist()
     a = o.select("src", F.col("dst").alias("b"), F.col("dst_deg").alias("bd"))
     b = o.select("src", F.col("dst").alias("c"), F.col("dst_deg").alias("cd"))
     wedges = a.join(b, "src").filter(
@@ -96,13 +96,13 @@ def triangles_id_oriented(e: DataFrame) -> DataFrame:
 def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One stats row: nodes, edges, triangles, average degree, and
     the global clustering coefficient (3·triangles / wedges)."""
-    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = _edges(spark, sf_dir).persist()
     deg = (
         e.select(F.col("p1").alias("p"))
         .unionByName(e.select(F.col("p2").alias("p")))
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)  # feeds orientation, wedge total, node count
+        .persist()  # feeds orientation, wedge total, node count
     )
     tri = triangle_count(e, deg)
     wedge_total = deg.agg(
@@ -186,18 +186,18 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         e.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .unionByName(e.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     # every reused frame is (lazily) checkpointed: deg feeds the
     # |V| count, the final join AND the per-round division — without
     # the checkpoint each consumer re-runs the lineitem self-join
     # (measured 2-3× the whole query)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     # hoist the degree join out of the loop: each Pregel round is
     # then ONE join (ranks on src) + ONE aggregate (on dst) —
     # measured 4.2s -> 3.5s steady-state at sf0.1 together with the
     # reuse checkpoints above; the floor is per-round scheduling
-    edges_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    edges_deg = edges.join(deg, "src").persist()
     n_nodes = deg.count()  # bounded driver scalar: |V|
     ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("pr"))
     fx = "CAST(floor((contrib) * 1e12 + 0.5) AS BIGINT)"

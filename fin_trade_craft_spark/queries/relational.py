@@ -1462,30 +1462,28 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col(c).cast("double")).alias(f"max_{c}"),
             (dsum(F.col(c)) / F.count(c)).alias(f"mean_{c}"),
         ]
-    # ONE scan, ONE bounded driver row: referencing the aggregate
+    # ONE scan, ZERO construction jobs: referencing the aggregate
     # frame from every per-column union branch made Catalyst
-    # duplicate it — five scans of the table (PLANS.md caught it),
-    # and a checkpoint fixes the scans but serializes the job. The
-    # stats frame is a single row BY CONSTRUCTION, so collecting it
-    # and stacking literals is both scan-once and job-once.
-    s = o.agg(*aggs).collect()[0]
-    out = [
-        (
-            c,
-            s["n_rows"],
-            s[f"nulls_{c}"],
-            s[f"dist_{c}"],
-            float(s[f"min_{c}"]) if c in num_cols else None,
-            float(s[f"max_{c}"]) if c in num_cols else None,
-            float(s[f"mean_{c}"]) if c in num_cols else None,
+    # duplicate it — five scans of the table (PLANS.md caught it) —
+    # and the r06 collect-and-stack fixed the scans by running the
+    # aggregate at CONSTRUCTION time. Exploding a literal array of
+    # per-column structs over the one-row aggregate keeps both: the
+    # aggregate is one subplan consumed once, and the stack is pure
+    # projection.
+    s = o.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"nulls_{c}").alias("n_nulls"),
+            F.col(f"dist_{c}").alias("n_distinct"),
+            (F.col(f"min_{c}") if c in num_cols else F.lit(None).cast("double")).alias("min_value"),
+            (F.col(f"max_{c}") if c in num_cols else F.lit(None).cast("double")).alias("max_value"),
+            (F.col(f"mean_{c}") if c in num_cols else F.lit(None).cast("double")).alias("mean_value"),
         )
         for c in all_cols
     ]
-    return spark.createDataFrame(
-        out,
-        "column_name string, n_rows long, n_nulls long, n_distinct long,"
-        " min_value double, max_value double, mean_value double",
-    )
+    return s.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 
 ORACLE_COLUMN_PROFILE = """

@@ -14,13 +14,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, table_row_count
 
 N_QUERIES = 10  # vec_id < 10 are the probe vectors
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
+
+
+_DIMS_CACHE: dict[str, int] = {}
+
+
+def _embedding_dims(sf_dir: str) -> int:
+    """Embedding dimensionality from ONE driver-side arrow batch of
+    one row — the companion catalog stat to ``table_row_count``
+    (fixed-width embedding tables record dims in the table spec; the
+    parquet list type doesn't carry the length, so peek one value).
+    Cached per directory; no Spark job."""
+    cached = _DIMS_CACHE.get(sf_dir)
+    if cached is None:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        part = sorted(glob.glob(os.path.join(path, "*.parquet")))[0] if os.path.isdir(path) else path
+        batch = next(pq.ParquetFile(part).iter_batches(batch_size=1, columns=["embedding"]))
+        cached = _DIMS_CACHE[sf_dir] = len(batch.column(0)[0])
+    return cached
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,27 +415,23 @@ def _cell_assignments(spark: SparkSession, sf_dir: str, where=None) -> DataFrame
     forces). ``where`` restricts TRAINING only; assignment covers
     every vector. Downstream within-cell work is tier-agnostic: the
     swap changes cell IDs, not the population contract."""
-    emb = _emb(spark, sf_dir)
-    tr = emb.filter(where) if where is not None else emb
     # auto mode sizes the CORPUS (not the training subset — the tier
     # must match the index the whole corpus was built with; a
     # half-corpus training filter around the threshold would
     # otherwise flip the ingest to a different tier than the stored
-    # assignment, review finding r06) off the same fingerprint
-    # aggregate the trainer memoizes on where possible; a forced
-    # tier skips the scan entirely
-    fp = None
+    # assignment, review finding r06). The size comes from the
+    # catalog row count (parquet footer metadata) — r07: the tier
+    # DECISION no longer costs a construction-time scan; the
+    # trainers compute/memoize their own content fingerprint.
     if spark.conf.get(QUANTIZER_CONF, "auto") == "auto":
-        fp = _fingerprint(tr)
-        n_corpus = fp["n"] if where is None else emb.count()
-        mode = _quantizer_mode(spark, n_corpus)
+        mode = _quantizer_mode(spark, table_row_count(sf_dir, "embeddings"))
     else:
         mode = _quantizer_mode(spark, 0)
     if mode == "hierarchical":
-        return hierarchical_cells(spark, sf_dir, where=where, fp=fp).select(
+        return hierarchical_cells(spark, sf_dir, where=where).select(
             "vec_id", F.col("cell_id").alias("cell")
         )
-    trained = _train_kmeans(spark, sf_dir, where=where, fp=fp)
+    trained = _train_kmeans(spark, sf_dir, where=where)
     return (
         _cell_scores(spark, sf_dir, max_rank=1, trained=trained)
         .filter(F.col("rn") == 1)
@@ -559,15 +578,19 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = _emb(spark, sf_dir)
+    # tier decision from the catalog row count (footer metadata) —
+    # no construction-time scan; the trainers compute/memoize their
+    # own content fingerprint when they run
     if spark.conf.get(QUANTIZER_CONF, "auto") == "auto":
-        fp = _fingerprint(emb)
-        mode = _quantizer_mode(spark, fp["n"])
+        mode = _quantizer_mode(spark, table_row_count(sf_dir, "embeddings"))
     else:
-        fp, mode = None, _quantizer_mode(spark, 0)
+        mode = _quantizer_mode(spark, 0)
     if mode == "hierarchical":
-        if fp is None:
-            fp = _fingerprint(emb)
-        hc = hierarchical_cells(spark, sf_dir, fp=fp).localCheckpoint(eager=True)
+        fp = _fingerprint(emb)
+        # persist(), not eager localCheckpoint: hc feeds the corpus
+        # bucketing, the cellmap, and the representative build — one
+        # materialization at first action, none at construction
+        hc = hierarchical_cells(spark, sf_dir, fp=fp).persist()
         corpus = (
             hc.select("vec_id", F.col("cell_id").alias("bucket"))
             .join(emb, "vec_id")
@@ -631,11 +654,14 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     else:
-        trained = _train_kmeans(spark, sf_dir, fp=fp)
+        trained = _train_kmeans(spark, sf_dir)
         nprobe = trained[2]["nprobe"]
+        # persist(): corpus bucketing and the probe set both read
+        # the assignment scores — one materialization at first
+        # action, none at construction
         scores = _cell_scores(
             spark, sf_dir, max_rank=nprobe, trained=trained
-        ).localCheckpoint(eager=True)
+        ).persist()
         corpus = (
             scores.filter(F.col("rn") == 1)
             .select("vec_id", F.col("cid").alias("bucket"))
@@ -822,14 +848,17 @@ def srp_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = _emb(spark, sf_dir)
-    w_band = srp_band_width(emb.count())
+    # corpus size and dims from parquet footer metadata / one
+    # driver-side arrow batch — catalog statistics, not Spark jobs:
+    # query CONSTRUCTION stays job-free
+    w_band = srp_band_width(table_row_count(sf_dir, "embeddings"))
     n_bits = SRP_BANDS * w_band
     # The hyperplane entries depend only on (j, i) — bits × dims
     # distinct values. Computing md5('j:i') per ROW re-hashes the
     # same 2048 strings millions of times; instead evaluate the
     # same md5 here (hashlib ≡ SQL md5) and ship the ±1 matrix in
     # the kernel closure (a few KB).
-    dims = len(emb.select("embedding").head()[0])
+    dims = _embedding_dims(sf_dir)
     signs = np.array(
         [
             [
@@ -865,10 +894,11 @@ def srp_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "sig": sig_strs})
 
     # Materialize: sigs feeds both sides of the candidate self-join;
-    # without this the signature kernel runs twice.
+    # without this the signature kernel runs twice. persist() keeps
+    # construction job-free.
     sigs = emb.select("vec_id", "embedding").mapInPandas(
         sig_fn, "vec_id long, sig string"
-    ).localCheckpoint(eager=True)
+    ).persist()
     bands = F.array(
         *[
             F.concat_ws("|", F.lit(str(b)), F.substring("sig", b * w_band + 1, w_band))
@@ -1217,7 +1247,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells = _cell_assignments(spark, sf_dir)
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    v = emb.join(cells, "vec_id").localCheckpoint(eager=False)
+    v = emb.join(cells, "vec_id").persist()
 
     # within-cell all-pairs as ONE vectorized numpy kernel per cell
     # (the expression form — a self-join with three interpreted

@@ -518,12 +518,14 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.substring("h", 1, 1).isin("0", "1")
     # materialize: the tokenize→shingle→explode chain feeds the eval
     # gram set AND both train-side aggregates — three plan walks
-    # without it (temp-table write at cluster scale, SCALING.md)
+    # without it (temp-table write at cluster scale, SCALING.md).
+    # persist(), not eager localCheckpoint: populates at the first
+    # action, so CONSTRUCTING the query launches no job.
     sh = d.select(
         "doc_id",
         is_eval.alias("is_eval"),
         F.explode(T.shingles("toks", CONTAM_K)).alias("g"),
-    ).localCheckpoint(eager=True)
+    ).persist()
     eval_g = sh.filter(F.col("is_eval")).select("g").distinct()
     train = sh.filter(~F.col("is_eval"))
     base = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -599,9 +601,10 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (gram counts, per-doc base counts, the semi-join
     # probe) — without this it runs three times. At cluster scale
     # this is a temp-table write (SCALING.md localCheckpoint note).
+    # persist() keeps construction job-free.
     sh = d.select(
         "doc_id", F.explode(T.shingles("toks", BOILER_K)).alias("g")
-    ).localCheckpoint(eager=True)
+    ).persist()
     boiler = (
         sh.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_docs"))

@@ -117,6 +117,30 @@ def table_schema(path: str) -> tuple[ST.StructType, bool]:
     return out
 
 
+_ROWCOUNT_CACHE: dict[str, int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a test table from parquet footer metadata
+    (summed over part files) — one driver-side pyarrow read per
+    path, no Spark job. This is the catalog-statistics lookup a
+    warehouse serves for free; use it wherever a query needs the
+    corpus SIZE (adaptive band widths, quantizer tier selection)
+    so that sizing never costs a construction-time count() scan."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    cached = _ROWCOUNT_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    parts = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    if not parts:
+        raise FileNotFoundError(f"no parquet part files under {path}")
+    n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+    _ROWCOUNT_CACHE[path] = n
+    return n
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. Filters/projections applied by callers
     are pushed into the parquet scan by Catalyst (verify with

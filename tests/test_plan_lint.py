@@ -101,3 +101,63 @@ def test_hierarchical_tier_plans_are_clean(spark):
             assert not hits, f"{name}: {hits}"
     finally:
         spark.conf.unset(SQ.QUANTIZER_CONF)
+
+
+# Queries whose CONSTRUCTION legitimately launches Spark jobs, each
+# with the reason the work cannot be a single lazy plan. Everything
+# else must build with ZERO jobs (VERDICT r06 task 2: the lint's
+# "inspect every plan without executing anything" premise).
+CONSTRUCTION_JOBS_ALLOWED = {
+    # --- k-means coarse-quantizer trainers: the codebook is a
+    # driver-side numpy matrix produced by Lloyd iterations (each a
+    # Spark aggregate job) and shipped in the assignment closure —
+    # index BUILD, memoized per (data, filter, k) fingerprint.
+    "kmeans_centroids": "trains the codebook (Lloyd rounds are jobs)",
+    "ivf_assignments": "trains the codebook",
+    "ivf_search": "trains the codebook",
+    "ann_recall": "trains the codebook + query-matrix collect",
+    "semdedup": "trains the codebook",
+    "semdedup_quality_representatives": "trains the codebook",
+    "hierarchical_level1_centroids": "trains the level-1 codebook",
+    "hierarchical_assignments": "trains both quantizer levels",
+    "hierarchical_cell_stats": "trains both quantizer levels",
+    "incremental_semdedup_ingest": "re-trains on the base snapshot",
+    "knn_bruteforce": "query-matrix collect (benchmark-sized by contract)",
+    # --- driver-coordinated iteration: per-round convergence probes
+    # / lineage cuts are actions by design (unrolling to a fixed
+    # round count would drop the convergence guarantee).
+    "dedup_clusters": "star-contraction rounds probe convergence",
+    "pagerank_copurchase": "per-iteration lineage cut (localCheckpoint)",
+    "quality_classifier_filter": "L-BFGS training iterations are jobs",
+    # --- sketch-then-verify: the freqItems candidate sweep is a
+    # driver-side sketch whose output parameterizes the verify plan.
+    "frequent_tokens": "freqItems sketch collect feeds the verify filter",
+    # --- measured materialization boundary: lazy persist lets the
+    # 11 strategy branches race the cache (13.8s vs 8.0s at sf0.1,
+    # see domain/trading_signals.all_signals).
+    "fin_signals_pipeline": "eager feature checkpoint (measured 1.7x)",
+}
+
+
+def test_construction_launches_no_jobs(spark):
+    """Constructing any registered single-plan query must launch
+    ZERO Spark jobs — plans are inspectable without executing
+    anything. Queries on CONSTRUCTION_JOBS_ALLOWED (trainers,
+    driver-coordinated iteration, sketch collects, one measured
+    materialization boundary) and the streaming batch-harnesses
+    (building them RUNS the stream) are exempt."""
+    sc = spark.sparkContext
+
+    def njobs():
+        return sc._jsc.sc().dagScheduler().numTotalJobs()
+
+    offenders = {}
+    for name, fn in sorted(all_queries().items()):
+        if name.startswith("streaming_") or name in CONSTRUCTION_JOBS_ALLOWED:
+            continue
+        before = njobs()
+        fn(spark, SF_SMOKE)
+        after = njobs()
+        if after != before:
+            offenders[name] = after - before
+    assert not offenders, f"construction-time Spark jobs in: {offenders}"
