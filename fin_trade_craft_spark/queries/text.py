@@ -1411,12 +1411,14 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine subword.
 
     Scale shape: this is byte-level wordcount — explode to
-    (pair) keys, ONE hash aggregate with map-side partial counts
-    (the shuffle carries distinct pairs per partition, bounded by
-    the pair alphabet, not corpus size), then a distributed
-    TakeOrderedAndProject for the top-k; no window, no sort of the
-    full pair table. Cost ∝ corpus bytes, the same linear family as
-    the n-gram scorers."""
+    (pair) keys, ONE hash aggregate with map-side partial counts,
+    then a distributed TakeOrderedAndProject for the top-k; no
+    window, no sort of the full pair table. The shuffle carries
+    per-partition distinct (pair, token-type) combinations — the
+    countDistinct("tok") leg means it is VOCABULARY-bounded, not
+    pair-alphabet-bounded (r06 review); still corpus-independent.
+    Cost ∝ corpus bytes, the same linear family as the n-gram
+    scorers."""
     d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
     tok = d.select(F.explode("toks").alias("tok")).filter(F.length("tok") >= 2)
     pairs = tok.select(
@@ -1453,8 +1455,142 @@ LIMIT {BPE_TOP_K}
 """
 
 
+BPE_ROUNDS = 3
+
+
+def bpe_rounds_on(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """The BPE merge LOOP over an arbitrary documents frame — the
+    statistic tokenizer induction actually consumes (r06 verdict
+    task 4: ``bpe_merge_candidates`` is iteration 1 only). Classic
+    greedy BPE: start from character symbols, pick the most
+    frequent adjacent symbol pair (occurrence-weighted by word
+    frequency; ties broken (s1, s2) ascending), merge it
+    NON-OVERLAPPING left-to-right in every word, re-count, repeat.
+    Emits one row per round: (round, s1, s2, merged,
+    n_occurrences) — the merge table.
+
+    Spark shape: after ONE corpus-scale wordcount (persisted), the
+    whole loop runs on the VOCABULARY-sized word-frequency table —
+    exactly how production BPE trainers work (HuggingFace
+    tokenizers trains on word counts, not the raw corpus). Each
+    round is a lazy plan fragment: pair counts via explode + hash
+    aggregate, the argmax pair as a 1-row LIMIT subplan kept
+    IN-PLAN via a broadcast nested-loop join (never collected —
+    construction launches no job), and the merge itself as an
+    ``aggregate`` fold over the symbol array (whole-stage codegen,
+    no UDF): append x, or replace the accumulator tail with
+    s1||s2 when (tail, x) = (s1, s2) — tail-replacement cannot
+    re-merge because s1||s2 ≠ s1, which is precisely the
+    non-overlapping left-to-right rule."""
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    words = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))").alias(
+                "syms"
+            ),
+            "cnt",
+        )
+        .persist()
+    )
+    reports = []
+    for r in range(1, rounds + 1):
+        pr = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS s1, syms[i] AS s2))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.s1", "p.s2")
+            .agg(F.sum("cnt").alias("n_occurrences"))
+        )
+        best = pr.orderBy(F.desc("n_occurrences"), F.asc("s1"), F.asc("s2")).limit(1)
+        reports.append(
+            best.select(
+                F.lit(r).alias("round"),
+                "s1",
+                "s2",
+                F.concat("s1", "s2").alias("merged"),
+                "n_occurrences",
+            )
+        )
+        words = words.crossJoin(F.broadcast(best.select("s1", "s2"))).select(
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>), (acc, x) ->"
+                " IF(size(acc) > 0 AND element_at(acc, -1) = s1 AND x = s2,"
+                " concat(slice(acc, 1, size(acc) - 1), array(concat(s1, s2))),"
+                " concat(acc, array(x))))"
+            ).alias("syms"),
+            "cnt",
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.orderBy("round")
+
+
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_rounds_on(_docs(spark, sf_dir))
+
+
+def _bpe_sql(rounds: int = BPE_ROUNDS) -> str:
+    """Oracle replaying the unrolled merge loop in DuckDB: symbol
+    sequences flattened to chr(30)-delimited strings (the corpus is
+    delimiter-free — asserted cheap in the pytest), the merge fold
+    via ``list_reduce`` with the same tail-replacement rule.
+    Generated (like the Lloyd/PageRank unrolls) because the rounds
+    are pure repetition."""
+    d = "chr(30)"
+    parts = [
+        f"""bw0 AS (
+  SELECT tok, COUNT(*) AS cnt
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok
+),
+bl1 AS (
+  SELECT list_transform(range(1, length(tok) + 1),
+                        i -> substr(tok, CAST(i AS INT), 1)) AS l, cnt
+  FROM bw0
+)"""
+    ]
+    sel = []
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+bp{r} AS (
+  SELECT l[CAST(i AS INT)] AS s1, l[CAST(i AS INT) + 1] AS s2,
+         CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+  FROM bl{r}, LATERAL (SELECT unnest(range(1, len(l))) AS i)
+  WHERE len(l) >= 2
+  GROUP BY 1, 2
+),
+bb{r} AS (SELECT s1, s2, n_occurrences FROM bp{r}
+          ORDER BY n_occurrences DESC, s1, s2 LIMIT 1),
+bl{r + 1} AS (
+  SELECT string_split(
+    list_reduce(w.l, (acc, x) -> CASE
+      WHEN x = b.s2 AND (acc = b.s1 OR (length(acc) > length(b.s1) AND
+           substr(acc, length(acc) - length(b.s1), length(b.s1) + 1) = {d} || b.s1))
+      THEN acc || x
+      ELSE acc || {d} || x END), {d}) AS l, w.cnt
+  FROM bl{r} w, bb{r} b
+)""")
+        sel.append(
+            f"SELECT {r} AS round, s1, s2, s1 || s2 AS merged, n_occurrences FROM bb{r}"
+        )
+    return "WITH " + "".join(parts) + "\n" + "\nUNION ALL ".join(sel) + "\nORDER BY round"
+
+
+ORACLE_BPE_MERGE_ROUNDS = _bpe_sql()
+
+
 QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
+    "bpe_merge_rounds": bpe_merge_rounds,
     "bm25_retrieval": bm25_retrieval,
     "transcript_title_share": transcript_title_share,
     "variant_props_stats": variant_props_stats,
@@ -1482,6 +1618,7 @@ QUERIES = {
 
 ORACLES = {
     "bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
+    "bpe_merge_rounds": ORACLE_BPE_MERGE_ROUNDS,
     "bm25_retrieval": _bm25_oracle(),
     "duplicate_spans": ORACLE_DUPLICATE_SPANS,
     "transcript_title_share": ORACLE_TRANSCRIPT_TITLE_SHARE,

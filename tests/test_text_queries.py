@@ -103,3 +103,72 @@ def test_duplicate_spans_planted_extents(spark, tmp_path):
         (3, 1, 8, 1),
         (3, 14, 8, 1),
     ]
+
+
+def _py_bpe(word_counts: dict, rounds: int):
+    """Reference greedy BPE on a word-frequency dict — the textbook
+    algorithm (count adjacent symbol pairs weighted by word
+    frequency, merge the argmax non-overlapping left-to-right),
+    used as the differential twin for ``bpe_rounds_on``."""
+    merges = []
+    words = {tuple(w): c for w, c in word_counts.items()}
+    for r in range(1, rounds + 1):
+        counts = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + c
+        if not counts:
+            break
+        (s1, s2), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, s1, s2, s1 + s2, n))
+        new_words = {}
+        for syms, c in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == s1 and x == s2:
+                    out[-1] = s1 + s2
+                else:
+                    out.append(x)
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+    return merges
+
+
+def test_bpe_rounds_planted_merge_sequence(spark):
+    """VERDICT r06 task 4: on a planted corpus the merge loop must
+    recover the known merge sequence. 'lo' dominates round 1 by
+    construction (low/lower/lowest/low), then ('lo','w') — pinned
+    by hand AND differentially against the pure-Python reference
+    BPE (including the overlap rule: 'aaaa' merges to two 'aa's,
+    never three)."""
+    docs = [
+        (1, "low lower lowest low"),
+        (2, "low lowest newer new"),
+        (3, "aaaa aaaa newer"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [tuple(r) for r in text.bpe_rounds_on(df, rounds=4).collect()]
+    # reference twin over the same whitespace tokenization
+    wc = {}
+    for _, t in docs:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _py_bpe(wc, 4)
+    assert got == want
+    # hand-pinned head: ('a','a') counts 3 overlapping slots per
+    # 'aaaa' x 2 instances = 6, tying ('l','o') at 6 and winning
+    # lexicographically; round 2 then takes ('l','o') because the
+    # NON-overlapping merge left only ('aa','aa') x 2 in doc 3
+    assert got[0] == (1, "a", "a", "aa", 6)
+    assert got[1] == (2, "l", "o", "lo", 6)
+    assert got[2] == (3, "lo", "w", "low", 6)
+
+
+def test_corpus_is_bpe_delimiter_free(duck):
+    """The bpe_merge_rounds oracle flattens symbol sequences with
+    chr(30); guard the assumption that the test corpus never
+    contains it."""
+    n, = duck.execute(
+        "SELECT COUNT(*) FROM documents WHERE contains(text, chr(30))"
+    ).fetchone()
+    assert n == 0
