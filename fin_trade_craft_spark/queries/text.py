@@ -1304,17 +1304,29 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc lengths are one map-side-combined aggregate over the
     corpus; df and the query table broadcast; the final top-k is a
     per-query window over matched docs only."""
+    return bm25_on(_docs(spark, sf_dir), BM25_QUERIES)
+
+
+def bm25_on(
+    docs: DataFrame, queries: dict[int, list[str]], top_k: int = BM25_TOP_K
+) -> DataFrame:
+    """BM25 core over an arbitrary documents frame — factored out
+    so the planted-relevance quality harness (nDCG@10 / MRR pins in
+    tests/test_text_queries.py, r06 verdict task 7) exercises the
+    EXACT production scorer; ``bm25_retrieval`` is this over the
+    corpus with the registered query set."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    spark = docs.sparkSession
+    d = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
     dl = d.select("doc_id", F.size("toks").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
     )
-    all_terms = sorted({t for ts in BM25_QUERIES.values() for t in ts})
+    all_terms = sorted({t for ts in queries.values() for t in ts})
     qdf = spark.createDataFrame(
-        [(qid, t) for qid, ts in BM25_QUERIES.items() for t in ts], "qid int, term string"
+        [(qid, t) for qid, ts in queries.items() for t in ts], "qid int, term string"
     )
     tf = (
         d.select("doc_id", F.explode("toks").alias("term"))
@@ -1351,7 +1363,7 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select("qid", "rank", "doc_id", "n_terms_matched", "bm25")
     )
 

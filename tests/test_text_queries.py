@@ -136,10 +136,9 @@ def _py_bpe(word_counts: dict, rounds: int):
 
 def test_bpe_rounds_planted_merge_sequence(spark):
     """VERDICT r06 task 4: on a planted corpus the merge loop must
-    recover the known merge sequence. 'lo' dominates round 1 by
-    construction (low/lower/lowest/low), then ('lo','w') — pinned
-    by hand AND differentially against the pure-Python reference
-    BPE (including the overlap rule: 'aaaa' merges to two 'aa's,
+    recover the known merge sequence — pinned by hand AND
+    differentially against the pure-Python reference BPE
+    (including the overlap rule: 'aaaa' merges to two 'aa's,
     never three)."""
     docs = [
         (1, "low lower lowest low"),
@@ -172,3 +171,65 @@ def test_corpus_is_bpe_delimiter_free(duck):
         "SELECT COUNT(*) FROM documents WHERE contains(text, chr(30))"
     ).fetchone()
     assert n == 0
+
+
+def test_bm25_planted_relevance_ndcg_mrr(spark):
+    """VERDICT r06 task 7: retrieval-quality harness for the BM25
+    scorer — planted corpus with hand-derivable ranking (equal doc
+    lengths, strictly decreasing tf ⇒ BM25 order is tf-dominance
+    order) and graded relevance, with nDCG@10 / MRR asserted
+    against literals computed from the EXPECTED ranking. A scoring
+    or rounding-policy change that reorders results moves the
+    metric off the pin."""
+    import math
+
+    docs = [
+        # q1 'apple banana': all length 8, tf strictly decreasing
+        (1, "apple banana apple banana apple banana f1 f2"),
+        (2, "apple banana apple banana f1 f2 f3 f4"),
+        (3, "apple banana f1 f2 f3 f4 f5 f6"),
+        (4, "apple f1 f2 f3 f4 f5 f6 f7"),
+        (5, "f1 f2 f3 f4 f5 f6 f7 f8"),
+        # q2 'cherry': doc 7 outranks doc 6 (tf 2 vs 1, same length)
+        (6, "cherry g1 g2 g3 g4 g5 g6 g7"),
+        (7, "cherry cherry g1 g2 g3 g4 g5 g6"),
+    ]
+    queries = {1: ["apple", "banana"], 2: ["cherry"]}
+    # graded relevance: doc 5 is relevant-but-unretrievable (no
+    # query terms) so ideal DCG strictly exceeds attainable DCG;
+    # for q2 the grades disagree with tf order (doc 7 is spam)
+    rel = {1: {1: 3, 2: 2, 3: 1, 5: 1}, 2: {6: 1, 7: 0}}
+    expected_order = {1: [1, 2, 3, 4], 2: [7, 6]}
+
+    from fin_trade_craft_spark.queries import text as TQ
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = TQ.bm25_on(df, queries).orderBy("qid", "rank").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r.doc_id)
+    assert by_q == expected_order
+
+    def dcg(gains):
+        return sum((2**g - 1) / math.log2(i + 2) for i, g in enumerate(gains))
+
+    def ndcg(qid, ranking):
+        gains = [rel[qid].get(d, 0) for d in ranking[:10]]
+        ideal = sorted(rel[qid].values(), reverse=True)[:10]
+        return dcg(gains) / dcg(ideal)
+
+    def mrr(qid, ranking):
+        for i, d in enumerate(ranking):
+            if rel[qid].get(d, 0) > 0:
+                return 1.0 / (i + 1)
+        return 0.0
+
+    got_ndcg = sum(ndcg(q, by_q[q]) for q in queries) / len(queries)
+    got_mrr = sum(mrr(q, by_q[q]) for q in queries) / len(queries)
+    # pins computed by hand from expected_order:
+    # q1 DCG = 7 + 3/log2(3) + 1/2 + 0, ideal adds 1/log2(5)
+    q1 = (7 + 3 / math.log2(3) + 0.5) / (7 + 3 / math.log2(3) + 0.5 + 1 / math.log2(5))
+    # q2: the only relevant doc sits at rank 2; ideal has it at 1
+    q2 = (1 / math.log2(3)) / 1.0
+    assert abs(got_ndcg - (q1 + q2) / 2) < 1e-12
+    assert abs(got_mrr - 0.75) < 1e-12
