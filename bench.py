@@ -107,6 +107,9 @@ def bench_query_names() -> list[str]:
         # lexical retrieval (posting-filtered scoring join)
         "backtest_sma_events",
         "bm25_retrieval",
+        # r07: the full greedy BPE merge loop (vocabulary-sized
+        # iteration after one corpus wordcount)
+        "bpe_merge_rounds",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

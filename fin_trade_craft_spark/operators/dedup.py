@@ -78,10 +78,11 @@ def guard_exact_tier(df: DataFrame, max_rows: int, what: str, alternatives: str)
     corpus count.
 
     Deferred-to-first-action BY DESIGN (r06 verdict task 2): query
-    CONSTRUCTION must launch no Spark job — the plan lint and
-    tests/test_construction_purity.py inspect every registered plan
-    without executing anything, and the r05 eager probe both broke
-    that premise and double-ran the shingle pipeline."""
+    CONSTRUCTION must launch no Spark job — the plan lint
+    (tests/test_plan_lint.py::test_construction_launches_no_jobs)
+    inspects every registered plan without executing anything, and
+    the r05 eager probe both broke that premise and double-ran the
+    shingle pipeline."""
     conf = df.sparkSession.conf.get(EXACT_TIER_CONF, None)
     budget = int(conf) if conf else max_rows
     msg = (

@@ -1471,6 +1471,11 @@ BPE_ROUNDS = 3
 
 
 def bpe_rounds_on(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Merge table only — see ``_bpe_loop``."""
+    return _bpe_loop(docs, rounds)[0]
+
+
+def _bpe_loop(docs: DataFrame, rounds: int = BPE_ROUNDS):
     """The BPE merge LOOP over an arbitrary documents frame — the
     statistic tokenizer induction actually consumes (r06 verdict
     task 4: ``bpe_merge_candidates`` is iteration 1 only). Classic
@@ -1493,12 +1498,18 @@ def bpe_rounds_on(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     no UDF): append x, or replace the accumulator tail with
     s1||s2 when (tail, x) = (s1, s2) — tail-replacement cannot
     re-merge because s1||s2 ≠ s1, which is precisely the
-    non-overlapping left-to-right rule."""
+    non-overlapping left-to-right rule.
+
+    Returns (merge_table, final_words): the per-round report frame
+    and the post-merge word-type state (tok, syms, cnt) that
+    ``bpe_apply_compression`` joins back onto the corpus."""
     tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
     words = (
-        tok.groupBy("tok")
+        tok.filter(F.length("tok") >= 1)  # sequence(1, 0) is DESCENDING in Spark
+        .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
+            "tok",
             F.expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))").alias(
                 "syms"
             ),
@@ -1533,6 +1544,7 @@ def bpe_rounds_on(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
             )
         )
         words = words.crossJoin(F.broadcast(best.select("s1", "s2"))).select(
+            "tok",
             F.expr(
                 "aggregate(syms, cast(array() as array<string>), (acc, x) ->"
                 " IF(size(acc) > 0 AND element_at(acc, -1) = s1 AND x = s2,"
@@ -1544,33 +1556,35 @@ def bpe_rounds_on(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     out = reports[0]
     for rep in reports[1:]:
         out = out.unionByName(rep)
-    return out.orderBy("round")
+    return out.orderBy("round"), words
 
 
 def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_rounds_on(_docs(spark, sf_dir))
 
 
-def _bpe_sql(rounds: int = BPE_ROUNDS) -> str:
-    """Oracle replaying the unrolled merge loop in DuckDB: symbol
-    sequences flattened to chr(30)-delimited strings (the corpus is
-    delimiter-free — asserted cheap in the pytest), the merge fold
-    via ``list_reduce`` with the same tail-replacement rule.
-    Generated (like the Lloyd/PageRank unrolls) because the rounds
-    are pure repetition."""
+def _bpe_cte(rounds: int = BPE_ROUNDS) -> str:
+    """Shared oracle CTE chain replaying the unrolled merge loop in
+    DuckDB: symbol sequences flattened to chr(30)-delimited strings
+    (the corpus is delimiter-free — asserted cheap in the pytest),
+    the merge fold via ``list_reduce`` with the same
+    tail-replacement rule. Generated (like the Lloyd/PageRank
+    unrolls) because the rounds are pure repetition. ``tok`` rides
+    the whole chain so the apply oracle can join the final state
+    back onto the corpus."""
     d = "chr(30)"
     parts = [
         f"""bw0 AS (
   SELECT tok, COUNT(*) AS cnt
-  FROM (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok
+  FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+  WHERE length(tok) >= 1 GROUP BY tok
 ),
 bl1 AS (
-  SELECT list_transform(range(1, length(tok) + 1),
-                        i -> substr(tok, CAST(i AS INT), 1)) AS l, cnt
+  SELECT tok, list_transform(range(1, length(tok) + 1),
+                             i -> substr(tok, CAST(i AS INT), 1)) AS l, cnt
   FROM bw0
 )"""
     ]
-    sel = []
     for r in range(1, rounds + 1):
         parts.append(f""",
 bp{r} AS (
@@ -1583,7 +1597,7 @@ bp{r} AS (
 bb{r} AS (SELECT s1, s2, n_occurrences FROM bp{r}
           ORDER BY n_occurrences DESC, s1, s2 LIMIT 1),
 bl{r + 1} AS (
-  SELECT string_split(
+  SELECT w.tok, string_split(
     list_reduce(w.l, (acc, x) -> CASE
       WHEN x = b.s2 AND (acc = b.s1 OR (length(acc) > length(b.s1) AND
            substr(acc, length(acc) - length(b.s1), length(b.s1) + 1) = {d} || b.s1))
@@ -1591,18 +1605,83 @@ bl{r + 1} AS (
       ELSE acc || {d} || x END), {d}) AS l, w.cnt
   FROM bl{r} w, bb{r} b
 )""")
-        sel.append(
-            f"SELECT {r} AS round, s1, s2, s1 || s2 AS merged, n_occurrences FROM bb{r}"
-        )
-    return "WITH " + "".join(parts) + "\n" + "\nUNION ALL ".join(sel) + "\nORDER BY round"
+    return "".join(parts)
+
+
+def _bpe_sql(rounds: int = BPE_ROUNDS) -> str:
+    sel = [
+        f"SELECT {r} AS round, s1, s2, s1 || s2 AS merged, n_occurrences FROM bb{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "WITH " + _bpe_cte(rounds) + "\n" + "\nUNION ALL ".join(sel) + "\nORDER BY round"
 
 
 ORACLE_BPE_MERGE_ROUNDS = _bpe_sql()
 
 
+def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONSUMER side of tokenizer induction: apply the learned
+    merge table (the ``bpe_merge_rounds`` loop, run to its final
+    word state) to every document and report the per-doc
+    segmentation statistics a tokenization pipeline tracks —
+    whitespace token count, character count, post-merge BPE symbol
+    count, and the chars-per-symbol compression ratio (rounded 9 dp
+    for cross-engine hashing).
+
+    Scale shape: the merge loop already reduced the corpus to the
+    VOCABULARY-sized word-type table; applying it back is one join
+    of the exploded corpus tokens onto that table (AQE broadcasts
+    the vocabulary side when it fits) plus a per-doc hash aggregate
+    — no per-doc re-segmentation, the fold ran once per word TYPE."""
+    docs = _docs(spark, sf_dir)
+    _, words = _bpe_loop(docs, BPE_ROUNDS)
+    wsym = words.select("tok", F.size("syms").alias("n_sym"))
+    dt = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).filter(
+        F.length("tok") >= 1
+    )
+    chars, syms = F.sum(F.length("tok")), F.sum("n_sym")
+    return (
+        dt.join(wsym, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            chars.alias("n_chars"),
+            syms.alias("n_bpe_symbols"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars",
+            "n_bpe_symbols",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_symbols").cast("double"), 9
+            ).alias("compression_ratio"),
+        )
+    )
+
+
+ORACLE_BPE_APPLY_COMPRESSION = f"""
+WITH {_bpe_cte(BPE_ROUNDS)},
+wsym AS (SELECT tok, len(l) AS n_sym FROM bl{BPE_ROUNDS + 1}),
+dt AS (
+  SELECT doc_id, tok FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  WHERE length(tok) >= 1
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(d.tok)) AS BIGINT) AS n_chars,
+       CAST(SUM(w.n_sym) AS BIGINT) AS n_bpe_symbols,
+       ROUND(CAST(SUM(length(d.tok)) AS DOUBLE) / CAST(SUM(w.n_sym) AS DOUBLE), 9)
+         AS compression_ratio
+FROM dt d JOIN wsym w USING (tok)
+GROUP BY d.doc_id
+"""
+
+
 QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_merge_rounds": bpe_merge_rounds,
+    "bpe_apply_compression": bpe_apply_compression,
     "bm25_retrieval": bm25_retrieval,
     "transcript_title_share": transcript_title_share,
     "variant_props_stats": variant_props_stats,
@@ -1631,6 +1710,7 @@ QUERIES = {
 ORACLES = {
     "bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
     "bpe_merge_rounds": ORACLE_BPE_MERGE_ROUNDS,
+    "bpe_apply_compression": ORACLE_BPE_APPLY_COMPRESSION,
     "bm25_retrieval": _bm25_oracle(),
     "duplicate_spans": ORACLE_DUPLICATE_SPANS,
     "transcript_title_share": ORACLE_TRANSCRIPT_TITLE_SHARE,
