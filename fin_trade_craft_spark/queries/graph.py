@@ -188,10 +188,12 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
         .persist()
     )
-    # every reused frame is (lazily) checkpointed: deg feeds the
+    # every reused frame is (lazily) persist()-ed: deg feeds the
     # |V| count, the final join AND the per-round division — without
-    # the checkpoint each consumer re-runs the lineitem self-join
-    # (measured 2-3× the whole query)
+    # the cache each consumer re-runs the lineitem self-join
+    # (measured 2-3× the whole query). The per-round convergence
+    # probes (construction-jobs exemption) fill these caches before
+    # the final plan reads them, so no sibling-branch race applies.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     # hoist the degree join out of the loop: each Pregel round is
     # then ONE join (ranks on src) + ONE aggregate (on dst) —

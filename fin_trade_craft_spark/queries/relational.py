@@ -1444,9 +1444,9 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     column's stats together (count/min/max are map-side partials;
     the exact distincts expand the aggregate — at 100 TB you'd
     swap them for HLL sketches, which queries/sketches.py already
-    provides; exact is kept here for the value oracle). The stack
-    is driver-side literal assembly of one aggregate row — no
-    per-column re-scan."""
+    provides; exact is kept here for the value oracle). The
+    per-column rows come from an IN-PLAN explode over that single
+    aggregate row — no per-column re-scan, no driver round-trip."""
     o = _t(spark, sf_dir, "orders")
     num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
     all_cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]

@@ -38,10 +38,18 @@ def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/total_order.global_percent_rank — range-partitioned
     two-phase ranking, identical values, NO single-partition
     WindowExec (the r04 shape planned three unpartitioned windows
-    and tripped the plan lint this repo now enforces). At 100 TB
-    the per-customer agg shuffles once on o_custkey with map-side
-    combine; the ranks shuffle the AGGREGATED frame only; the final
-    top-25 is a TakeOrdered (no full sort materialization)."""
+    and tripped the plan lint this repo now enforces). The three
+    metrics rank in ONE pass: ``stack`` unpivots the per-customer
+    frame to (custkey, metric, value), the rank runs grouped by
+    metric (PARTITION BY metric ≡ three independent global ranks),
+    and a pivot folds the ranks back to one row per customer — one
+    range exchange and one broadcast chain instead of three of each
+    (r07 ran three sibling pipelines whose broadcast builds raced
+    to recompute the shared aggregate: 2.04→4.78s at sf0.1). At
+    100 TB the per-customer agg shuffles once on o_custkey with
+    map-side combine; the rank shuffles the AGGREGATED frame only
+    (3× its rows, 3 columns); the final top-25 is a TakeOrdered
+    (no full sort materialization)."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
@@ -52,47 +60,41 @@ def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("signal_date"),
         F.max_by("o_totalprice", F.struct("o_orderdate", "o_orderkey")).alias("close"),
     )
-    per = per.withColumn(
-        "avg_order_value", F.col("total_spend") / F.col("volume")
-    ).persist()  # feeds three rank pipelines + the final join — lazy
-    # cache: materializes once at action time (constructing this
-    # query launches NO job — r06 verdict task 2; the r05 shape
-    # eagerly checkpointed + ThreadPooled three materializations at
-    # BUILD time). Each rank runs on a SLIM (key, value) projection
-    # riding the cached frame; the three pipelines are independent
-    # subplans of ONE query, so their stages schedule concurrently
-    # without driver-side threads. Rank frames are aggregate-sized;
-    # AQE broadcasts the join-backs.
-    specs = [
-        ("total_spend", "success_probability"),
-        ("volume", "__sr"),
-        ("avg_order_value", "__qr"),
-    ]
-    ranked_frames = [
-        global_percent_rank(per.select("o_custkey", value_col), value_col, out).select(
-            "o_custkey", out
-        )
-        for value_col, out in specs
-    ]
-    scored = per
-    # null-safe join-backs: upstream groupBy guarantees one row per
-    # customer, but a NULL o_custkey group would be silently dropped
-    # by a plain equi-join (null != null) — the exact hazard
-    # total_order._join_group_keys guards against (ADVICE r05)
-    for rf in ranked_frames:
-        rf = rf.withColumnRenamed("o_custkey", "__rk")
-        scored = scored.join(
-            rf, F.col("o_custkey").eqNullSafe(F.col("__rk"))
-        ).drop("__rk")
-    scored = scored.withColumn("signal_strength", F.col("__sr") * 100).withColumn(
-        "overall_quality_score", F.col("__qr") * 100
-    ).drop("__sr", "__qr")
+    per = per.withColumn("avg_order_value", F.col("total_spend") / F.col("volume"))
+    # Unpivot WITH the carry columns: each customer row becomes 3
+    # metric rows that keep every per-customer column, so the ranks
+    # pivot straight back with a groupBy on the full carry set — no
+    # join back onto `per`, hence no second consumer of the orders
+    # aggregate, no cache, no race, and nothing customer-sized ever
+    # broadcasts (r07 joined three sibling rank pipelines back and
+    # their broadcast builds raced the shared lineage: 2.04→4.78s at
+    # sf0.1). volume is integral; CAST to double is order-preserving
+    # (counts ≪ 2^53), so one stacked value column ranks all three.
+    carry = ["o_custkey", "total_spend", "volume", "signal_date", "close", "avg_order_value"]
+    long = per.select(
+        *carry,
+        F.expr(
+            "stack(3, 'ts', total_spend,"
+            " 'vol', CAST(volume AS DOUBLE),"
+            " 'aov', avg_order_value) AS (metric, value)"
+        ),
+    )
+    ranked = global_percent_rank(long, "value", "pr", group_cols=["metric"])
+    scored = (
+        ranked.groupBy(*carry)
+        .pivot("metric", ["ts", "vol", "aov"])
+        .agg(F.first("pr"))
+        .withColumn("success_probability", F.col("ts"))
+        .withColumn("signal_strength", F.col("vol") * 100)
+        .withColumn("overall_quality_score", F.col("aov") * 100)
+        .drop("ts", "vol", "aov")
+    )
     composite = (
         F.col("success_probability") * 0.6
         + F.col("signal_strength") / 100 * 0.2
         + F.col("overall_quality_score") / 100 * 0.2
     )
-    return (
+    result = (
         scored.filter(
             (F.col("success_probability") >= 0.80) & (F.col("overall_quality_score") >= 50)
         )
@@ -113,6 +115,7 @@ def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("composite_score").desc(), F.col("symbol"))
         .limit(25)
     )
+    return result
 
 
 ORACLE_DAILY_SCREENER = """

@@ -23,7 +23,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-_DIMS_CACHE: dict[str, int] = {}
+_DIMS_CACHE: dict[tuple, int] = {}
 
 
 def _embedding_dims(sf_dir: str) -> int:
@@ -31,18 +31,23 @@ def _embedding_dims(sf_dir: str) -> int:
     one row — the companion catalog stat to ``table_row_count``
     (fixed-width embedding tables record dims in the table spec; the
     parquet list type doesn't carry the length, so peek one value).
-    Cached per directory; no Spark job."""
-    cached = _DIMS_CACHE.get(sf_dir)
+    Cached per (directory, content stamp) — a same-path regeneration
+    invalidates the entry (ADVICE r07); no Spark job."""
+    import os
+
+    from ..sources.catalog import path_stamp
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (path, path_stamp(path))
+    cached = _DIMS_CACHE.get(key)
     if cached is None:
         import glob
-        import os
 
         import pyarrow.parquet as pq
 
-        path = os.path.join(sf_dir, "embeddings.parquet")
         part = sorted(glob.glob(os.path.join(path, "*.parquet")))[0] if os.path.isdir(path) else path
         batch = next(pq.ParquetFile(part).iter_batches(batch_size=1, columns=["embedding"]))
-        cached = _DIMS_CACHE[sf_dir] = len(batch.column(0)[0])
+        cached = _DIMS_CACHE[key] = len(batch.column(0)[0])
     return cached
 
 
@@ -1220,6 +1225,41 @@ SELECT qid, rank, nid, cos_sim, approx_dot FROM (
 SEMDEDUP_THETA = 0.40
 
 
+def cell_pair_edges(v: DataFrame, theta: float) -> DataFrame:
+    """Within-cell cosine-≥θ pairs (d1 < d2) over a (vec_id,
+    embedding, cell) frame, as ONE vectorized numpy kernel per cell
+    (the expression form — a self-join with three interpreted
+    64-element HOF aggregates per pair — measured 17s at sf0.1; this
+    kernel is the same exact per-product fixed-point arithmetic
+    ⌊x·y·1e12+0.5⌋/1e12, an order of magnitude faster). Shared by
+    ``semdedup`` and the ``corpus_build`` capstone — the quadratic
+    stage stays confined within cells either way."""
+    import numpy as np
+    import pandas as pd
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"d1": [], "d2": []}).astype({"d1": "int64", "d2": "int64"})
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        E = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["embedding"].to_numpy()[order]]
+        )
+        n2 = np.floor(E * E * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+        d1s, d2s = [], []
+        for i in range(n - 1):
+            dots = np.floor(E[i] * E[i + 1 :] * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+            cos = dots / (np.sqrt(n2[i]) * np.sqrt(n2[i + 1 :]))
+            hit = np.nonzero(cos >= theta)[0]
+            d1s.extend([ids[i]] * len(hit))
+            d2s.extend(ids[i + 1 + hit])
+        return pd.DataFrame({"d1": np.asarray(d1s, dtype=np.int64),
+                             "d2": np.asarray(d2s, dtype=np.int64)})
+
+    return v.groupBy("cell").applyInPandas(cell_pairs, "d1 long, d2 long")
+
+
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — semantic deduplication via
     embedding clusters: coarse-quantize every vector to its nearest
@@ -1242,41 +1282,10 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster)."""
     from ..operators.dedup import connected_components
 
-    import numpy as np
-    import pandas as pd
-
     cells = _cell_assignments(spark, sf_dir)
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     v = emb.join(cells, "vec_id").persist()
-
-    # within-cell all-pairs as ONE vectorized numpy kernel per cell
-    # (the expression form — a self-join with three interpreted
-    # 64-element HOF aggregates per pair — measured 17s at sf0.1;
-    # this kernel is the same exact per-product fixed-point
-    # arithmetic, an order of magnitude faster)
-    theta = SEMDEDUP_THETA
-
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"d1": [], "d2": []}).astype({"d1": "int64", "d2": "int64"})
-        order = np.argsort(pdf["vec_id"].to_numpy())
-        ids = pdf["vec_id"].to_numpy()[order]
-        E = np.asarray(
-            [np.asarray(x, dtype=np.float64) for x in pdf["embedding"].to_numpy()[order]]
-        )
-        n2 = np.floor(E * E * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
-        d1s, d2s = [], []
-        for i in range(n - 1):
-            dots = np.floor(E[i] * E[i + 1 :] * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
-            cos = dots / (np.sqrt(n2[i]) * np.sqrt(n2[i + 1 :]))
-            hit = np.nonzero(cos >= theta)[0]
-            d1s.extend([ids[i]] * len(hit))
-            d2s.extend(ids[i + 1 + hit])
-        return pd.DataFrame({"d1": np.asarray(d1s, dtype=np.int64),
-                             "d2": np.asarray(d2s, dtype=np.int64)})
-
-    edges = v.groupBy("cell").applyInPandas(cell_pairs, "d1 long, d2 long")
+    edges = cell_pair_edges(v, SEMDEDUP_THETA)
     comp = connected_components(edges).withColumnRenamed(
         "doc_id", "vec_id"
     )

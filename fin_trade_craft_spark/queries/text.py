@@ -1533,7 +1533,13 @@ def _bpe_loop(docs: DataFrame, rounds: int = BPE_ROUNDS):
             .groupBy("p.s1", "p.s2")
             .agg(F.sum("cnt").alias("n_occurrences"))
         )
-        best = pr.orderBy(F.desc("n_occurrences"), F.asc("s1"), F.asc("s2")).limit(1)
+        # persist: round r's argmax subplan AND the round-r report
+        # both read `best`; each round's `words` is read by the next
+        # round's pair count AND its merge fold. Without the caches,
+        # plan size and recompute grow ~2^rounds (ADVICE r07) —
+        # persist() is lazy, so construction stays job-free and the
+        # broadcast funnel still computes each cache exactly once.
+        best = pr.orderBy(F.desc("n_occurrences"), F.asc("s1"), F.asc("s2")).limit(1).persist()
         reports.append(
             best.select(
                 F.lit(r).alias("round"),
@@ -1543,15 +1549,26 @@ def _bpe_loop(docs: DataFrame, rounds: int = BPE_ROUNDS):
                 "n_occurrences",
             )
         )
-        words = words.crossJoin(F.broadcast(best.select("s1", "s2"))).select(
-            "tok",
-            F.expr(
-                "aggregate(syms, cast(array() as array<string>), (acc, x) ->"
-                " IF(size(acc) > 0 AND element_at(acc, -1) = s1 AND x = s2,"
-                " concat(slice(acc, 1, size(acc) - 1), array(concat(s1, s2))),"
-                " concat(acc, array(x))))"
-            ).alias("syms"),
-            "cnt",
+        # LEFT join on TRUE, not crossJoin: when a round finds no
+        # mergeable pair (`best` empty — every word already a single
+        # symbol), a cross join would empty `words` PERMANENTLY
+        # (ADVICE r07); the left join keeps every word with NULL
+        # s1/s2 and the fold's IF condition is then NULL → false →
+        # plain append, reproducing syms unchanged — exactly the
+        # Python trainer's break-and-keep behavior.
+        words = (
+            words.join(F.broadcast(best.select("s1", "s2")), F.lit(True), "left")
+            .select(
+                "tok",
+                F.expr(
+                    "aggregate(syms, cast(array() as array<string>), (acc, x) ->"
+                    " IF(size(acc) > 0 AND element_at(acc, -1) = s1 AND x = s2,"
+                    " concat(slice(acc, 1, size(acc) - 1), array(concat(s1, s2))),"
+                    " concat(acc, array(x))))"
+                ).alias("syms"),
+                "cnt",
+            )
+            .persist()
         )
     out = reports[0]
     for rep in reports[1:]:
@@ -1619,6 +1636,115 @@ def _bpe_sql(rounds: int = BPE_ROUNDS) -> str:
 ORACLE_BPE_MERGE_ROUNDS = _bpe_sql()
 
 
+BPE_CONV_MAX_ROUNDS = 6
+BPE_CONV_MIN_FREQUENCY = 2
+
+
+def bpe_train_until_convergence(
+    docs: DataFrame,
+    max_rounds: int = BPE_CONV_MAX_ROUNDS,
+    min_frequency: int = BPE_CONV_MIN_FREQUENCY,
+):
+    """CONVERGENCE-driven greedy BPE — the production trainer loop
+    (HuggingFace tokenizers' ``min_frequency``): iterate merges and
+    STOP when the best pair's occurrence count drops below
+    ``min_frequency``, or no pair exists at all, rather than
+    unrolling a fixed round count (``_bpe_loop``). Each round's
+    argmax is a 1-row collect over the VOCABULARY-sized pair
+    aggregate — a driver-coordinated convergence probe, the same
+    pattern as the star-contraction fixed-point loop, so
+    construction launches jobs by design (plan-lint exemption
+    list). The merged pair then enters the fold as a LITERAL —
+    cheaper than the in-plan broadcast argmax, which is only needed
+    when construction must stay job-free.
+
+    Returns (merge_table, final_words): merge_table is a
+    driver-built frame (one row per executed round — merge tables
+    are vocabulary-bounded and tiny by construction) and
+    final_words the post-merge (tok, syms, cnt) state that
+    ``bpe_apply_compression``-style consumers join onto the corpus.
+
+    Differential contract (pytest): with ``min_frequency=1`` and no
+    exhaustion, the merge table is IDENTICAL to ``_bpe_loop``'s
+    unrolled result at the same round count."""
+    spark = docs.sparkSession
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    words = (
+        tok.filter(F.length("tok") >= 1)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "tok",
+            F.expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))").alias(
+                "syms"
+            ),
+            "cnt",
+        )
+        .persist()
+    )
+    merges: list[tuple] = []
+    for r in range(1, max_rounds + 1):
+        best = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS s1, syms[i] AS s2))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.s1", "p.s2")
+            .agg(F.sum("cnt").alias("n_occurrences"))
+            .orderBy(F.desc("n_occurrences"), F.asc("s1"), F.asc("s2"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n_occurrences"] < min_frequency:
+            break  # converged: keep the current word state (the
+            # Python reference's break-and-keep rule)
+        s1, s2, n = best[0]["s1"], best[0]["s2"], best[0]["n_occurrences"]
+        merges.append((r, s1, s2, s1 + s2, n))
+        words = words.select(
+            "tok",
+            F.expr(
+                "aggregate(syms, cast(array() as array<string>), (acc, x) ->"
+                " IF(size(acc) > 0 AND element_at(acc, -1) = {s1} AND x = {s2},"
+                " concat(slice(acc, 1, size(acc) - 1), array({m})),"
+                " concat(acc, array(x))))".format(
+                    s1=_sql_str(s1), s2=_sql_str(s2), m=_sql_str(s1 + s2)
+                )
+            ).alias("syms"),
+            "cnt",
+        ).persist()  # linear-in-rounds plan/recompute (ADVICE r07)
+    table = spark.createDataFrame(
+        merges, "round int, s1 string, s2 string, merged string, n_occurrences bigint"
+    )
+    return table, words
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal (the merge symbols come from
+    the corpus, so escape quotes and backslashes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_convergent_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered twin of ``bpe_merge_rounds`` driven by the
+    convergence loop: on the test corpus the best-pair counts stay
+    far above BPE_CONV_MIN_FREQUENCY for all BPE_CONV_MAX_ROUNDS
+    rounds, so the value oracle is the same unrolled CTE replay at
+    max_rounds — if the early-stop ever fired spuriously (or a
+    merge diverged), the row set would shrink and the oracle would
+    catch it."""
+    table, _ = bpe_train_until_convergence(_docs(spark, sf_dir))
+    return table.orderBy("round")
+
+
+ORACLE_BPE_CONVERGENT_MERGES = _bpe_sql(BPE_CONV_MAX_ROUNDS)
+
+
 def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CONSUMER side of tokenizer induction: apply the learned
     merge table (the ``bpe_merge_rounds`` loop, run to its final
@@ -1681,6 +1807,7 @@ GROUP BY d.doc_id
 QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_merge_rounds": bpe_merge_rounds,
+    "bpe_convergent_merges": bpe_convergent_merges,
     "bpe_apply_compression": bpe_apply_compression,
     "bm25_retrieval": bm25_retrieval,
     "transcript_title_share": transcript_title_share,
@@ -1710,6 +1837,7 @@ QUERIES = {
 ORACLES = {
     "bpe_merge_candidates": ORACLE_BPE_MERGE_CANDIDATES,
     "bpe_merge_rounds": ORACLE_BPE_MERGE_ROUNDS,
+    "bpe_convergent_merges": ORACLE_BPE_CONVERGENT_MERGES,
     "bpe_apply_compression": ORACLE_BPE_APPLY_COMPRESSION,
     "bm25_retrieval": _bm25_oracle(),
     "duplicate_spans": ORACLE_DUPLICATE_SPANS,

@@ -36,7 +36,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # path → (StructType to pass to spark.read.schema, needs_nanos_conf).
 # A real deployment swaps this for the warehouse catalog's schema
 # registry; here the footer is read ONCE per path on the driver.
-_SCHEMA_CACHE: dict[str, tuple[ST.StructType, bool]] = {}
+_SCHEMA_CACHE: dict[tuple, tuple[ST.StructType, bool]] = {}
 
 
 def _arrow_field_to_spark(field, physical: str | None = None) -> tuple[ST.DataType, bool]:
@@ -85,10 +85,12 @@ def _arrow_field_to_spark(field, physical: str | None = None) -> tuple[ST.DataTy
 def table_schema(path: str) -> tuple[ST.StructType, bool]:
     """Spark schema for a parquet table, from ONE footer read on the
     driver (pyarrow) — no Spark job, no executor round-trip. Cached
-    per path: at cluster scale this is the catalog lookup; here it
+    per (path, content stamp) so a same-path regeneration refreshes
+    the entry; at cluster scale this is the catalog lookup; here it
     keeps query CONSTRUCTION free of schema-inference jobs (the
     r06 plan-lint premise: building a plan must execute nothing)."""
-    cached = _SCHEMA_CACHE.get(path)
+    key = (path, path_stamp(path))
+    cached = _SCHEMA_CACHE.get(key)
     if cached is not None:
         return cached
     import pyarrow.parquet as pq
@@ -113,11 +115,29 @@ def table_schema(path: str) -> tuple[ST.StructType, bool]:
         nanos = nanos or is_ns
         fields.append(ST.StructField(f.name, st, f.nullable))
     out = (ST.StructType(fields), nanos)
-    _SCHEMA_CACHE[path] = out
+    _SCHEMA_CACHE[key] = out
     return out
 
 
-_ROWCOUNT_CACHE: dict[str, int] = {}
+def path_stamp(path: str) -> tuple:
+    """Content fingerprint of a parquet path for driver-side catalog
+    caches: the sorted (part-file, mtime_ns, size) list. Datasets DO
+    get regenerated in place (the k-means memo fingerprints content
+    for exactly this reason — ADVICE r07), so caches keyed on the
+    bare path would serve stale stats after a same-path rewrite;
+    keying on (path, stamp) costs one os.stat per part file."""
+    parts = sorted(glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    stamps = []
+    for p in parts:
+        try:
+            st = os.stat(p)
+            stamps.append((p, st.st_mtime_ns, st.st_size))
+        except FileNotFoundError:
+            stamps.append((p, 0, 0))
+    return tuple(stamps)
+
+
+_ROWCOUNT_CACHE: dict[tuple, int] = {}
 
 
 def table_row_count(sf_dir: str, name: str) -> int:
@@ -128,7 +148,8 @@ def table_row_count(sf_dir: str, name: str) -> int:
     corpus SIZE (adaptive band widths, quantizer tier selection)
     so that sizing never costs a construction-time count() scan."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    cached = _ROWCOUNT_CACHE.get(path)
+    key = (path, path_stamp(path))
+    cached = _ROWCOUNT_CACHE.get(key)
     if cached is not None:
         return cached
     import pyarrow.parquet as pq
@@ -137,7 +158,7 @@ def table_row_count(sf_dir: str, name: str) -> int:
     if not parts:
         raise FileNotFoundError(f"no parquet part files under {path}")
     n = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
-    _ROWCOUNT_CACHE[path] = n
+    _ROWCOUNT_CACHE[key] = n
     return n
 
 

@@ -127,6 +127,7 @@ CONSTRUCTION_JOBS_ALLOWED = {
     # / lineage cuts are actions by design (unrolling to a fixed
     # round count would drop the convergence guarantee).
     "dedup_clusters": "star-contraction rounds probe convergence",
+    "bpe_convergent_merges": "per-round argmax convergence probe (1-row collect)",
     "pagerank_copurchase": "per-iteration lineage cut (localCheckpoint)",
     "quality_classifier_filter": "L-BFGS training iterations are jobs",
     # --- sketch-then-verify: the freqItems candidate sweep is a

@@ -16,6 +16,10 @@ from fin_trade_craft_spark.sources.catalog import load_table
 
 
 def test_approx_users_within_hll_bound(spark):
+    """sketch-then-verify (r07 verdict task 6): the profile emits
+    exact cardinalities plus HLL bound booleans; the booleans must
+    all hold and the exact twin must match an independent
+    countDistinct."""
     from fin_trade_craft_spark.queries.sketches import approx_events_profile
 
     got = {r.event_type: r for r in approx_events_profile(spark, SF_SMOKE).collect()}
@@ -27,28 +31,33 @@ def test_approx_users_within_hll_bound(spark):
         .collect()
     }
     for et, n in exact.items():
-        err = abs(got[et].approx_users - n) / n
-        # rsd=0.02; allow 5 sigma
-        assert err < 0.10, f"{et}: approx {got[et].approx_users} vs exact {n}"
+        assert got[et].exact_users == n
+        assert got[et].exact_users_sketch_in_bound is True, (
+            f"{et}: HLL estimate strayed outside 5*rsd of {n}"
+        )
 
 
 def test_approx_quantiles_within_rank_error(spark):
+    """The GK estimates' rank-window booleans must hold, and the
+    exact discrete quantiles must equal an independent sorted
+    value-at-rank selection (value at ceil(q*n), 1-indexed)."""
+    import math
+
     from fin_trade_craft_spark.queries.sketches import approx_events_profile
 
     ev = load_table(spark, SF_SMOKE, "events")
     got = {r.event_type: r for r in approx_events_profile(spark, SF_SMOKE).collect()}
     for et, row in got.items():
+        assert row.quantiles_sketch_in_bound is True, et
         vals = sorted(
-            r.value for r in ev.filter(F.col("event_type") == et).select("value").collect()
+            r.value
+            for r in ev.filter(
+                (F.col("event_type") == et) & F.col("value").isNotNull()
+            ).select("value").collect()
         )
         n = len(vals)
-        for q, v in [(0.5, row.p50), (0.9, row.p90), (0.99, row.p99)]:
-            # GK guarantee: returned value's rank within q*n ± n/accuracy;
-            # with accuracy 10k and n ≈ 1-2k the answer is rank-exact —
-            # allow ±2 ranks for interpolation edges
-            lo = max(0, int(q * n) - 2)
-            hi = min(n - 1, int(q * n) + 2)
-            assert vals[lo] <= v <= vals[hi], (et, q, v, vals[lo], vals[hi])
+        for q, v in [(0.5, row.p50_exact), (0.9, row.p90_exact), (0.99, row.p99_exact)]:
+            assert v == vals[math.ceil(q * n) - 1], (et, q, v)
 
 
 def test_sketches_registered_as_driver_queries(spark):
@@ -56,14 +65,20 @@ def test_sketches_registered_as_driver_queries(spark):
 
     qs, os_ = all_queries(), all_oracles()
     assert "approx_events_profile" in qs and "approx_corpus_profile" in qs
-    # rows-only by design: no oracle entries
-    assert "approx_events_profile" not in os_ and "approx_corpus_profile" not in os_
+    # value-oracled via sketch-then-verify since r08 (was rows-only)
+    assert "approx_events_profile" in os_ and "approx_corpus_profile" in os_
     assert approx_rows_ok(qs["approx_corpus_profile"](spark, SF_SMOKE))
 
 
 def approx_rows_ok(df) -> bool:
     rows = df.collect()
-    return len(rows) > 0 and all(r.n_docs > 0 for r in rows)
+    return (
+        len(rows) > 0
+        and all(r.n_docs > 0 for r in rows)
+        and all(r.exact_sources_sketch_in_bound for r in rows)
+        and all(r.exact_len_classes_sketch_in_bound for r in rows)
+        and all(r.median_sketch_in_bound for r in rows)
+    )
 
 
 def test_frequent_tokens_superset_guarantee_and_exactness(spark):

@@ -163,6 +163,61 @@ def test_bpe_rounds_planted_merge_sequence(spark):
     assert got[2] == (3, "lo", "w", "low", 6)
 
 
+def test_bpe_merge_exhaustion_keeps_words(spark):
+    """ADVICE r07: a round with NO mergeable pair must not wipe the
+    word state. Corpus of two-char words: round 1 merges the argmax
+    pair; by round 2 or 3 every surviving word is a single symbol —
+    the r07 crossJoin shape emptied `words` permanently there (and
+    bpe_apply_compression then returned zero rows); the left-join
+    guard keeps every word with its syms unchanged."""
+    docs = [(1, "ab ab ab cd"), (2, "ab cd cd")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges, words = text._bpe_loop(df, rounds=4)
+    got = [tuple(r) for r in merges.collect()]
+    # only 2 real merges exist ('ab' x4 then 'cd' x3); rounds 3-4
+    # find nothing and must report nothing
+    assert got == [(1, "a", "b", "ab", 4), (2, "c", "d", "cd", 3)]
+    final = {r["tok"]: (tuple(r["syms"]), r["cnt"]) for r in words.collect()}
+    # the word state SURVIVES the exhausted rounds, fully merged
+    assert final == {"ab": (("ab",), 4), "cd": (("cd",), 3)}
+    # differential: the python reference breaks-and-keeps identically
+    assert got == _py_bpe({"ab": 4, "cd": 3}, 4)
+
+
+def test_bpe_convergence_loop_equals_unrolled(spark):
+    """VERDICT r07 task 7: the driver-iterated convergence trainer
+    must produce the SAME merge table as the unrolled in-plan loop
+    at the same round count (min_frequency=1 disables early stop),
+    and with a min_frequency threshold it must stop exactly when
+    the best pair count drops below it."""
+    docs = [
+        (1, "low lower lowest low"),
+        (2, "low lowest newer new"),
+        (3, "aaaa aaaa newer"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    unrolled = [tuple(r) for r in text.bpe_rounds_on(df, rounds=4).collect()]
+    conv_table, conv_words = text.bpe_train_until_convergence(
+        df, max_rounds=4, min_frequency=1
+    )
+    got = [tuple(r) for r in conv_table.orderBy("round").collect()]
+    assert got == unrolled
+    # threshold stop: min_frequency above round-3's best count (6)
+    # stops after the rounds whose argmax still clears it
+    wc = {}
+    for _, t in docs:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    ref = _py_bpe(wc, 4)
+    t5, w5 = text.bpe_train_until_convergence(df, max_rounds=4, min_frequency=5)
+    got5 = [tuple(r) for r in t5.orderBy("round").collect()]
+    assert got5 == ref[: len(got5)]
+    assert all(m[4] >= 5 for m in got5)
+    assert len(got5) < len(ref) or all(m[4] >= 5 for m in ref)
+    # the final word state still covers every word type (break-and-keep)
+    assert w5.count() == len(wc)
+
+
 def test_corpus_is_bpe_delimiter_free(duck):
     """The bpe_merge_rounds oracle flattens symbol sequences with
     chr(30); guard the assumption that the test corpus never
