@@ -110,6 +110,10 @@ def bench_query_names() -> list[str]:
         # r07: the full greedy BPE merge loop (vocabulary-sized
         # iteration after one corpus wordcount)
         "bpe_merge_rounds",
+        # r08: the corpus-curation capstone — exact dedup → MinHash
+        # LSH → SemDeDup → quality gate → mixture → shard packing,
+        # composed in one ladder with survivor restriction
+        "corpus_build",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -28,6 +28,7 @@ _MODULES: list[str] = [
     "corpus_mix",
     "dedup",
     "similarity",
+    "corpus_build",
     "graph",
     "pandas_islands",
     "fin_domain",

@@ -1,0 +1,306 @@
+"""corpus_build — the end-to-end training-corpus curation capstone
+(r07 verdict task 4): every document flows through the full dedup /
+quality ladder and comes out with a keep-decision and, if kept, its
+sampling weight and shard assignment — the manifest a pretraining
+data pipeline actually materializes.
+
+Stage ladder (each stage operates on the SURVIVORS of the previous
+one — a doc removed as an exact dup never participates in near-dup
+clustering, exactly like a production pipeline):
+
+1. exact dedup        — md5(content) group-by, keep min doc_id
+2. MinHash-LSH        — banded candidates → exact-Jaccard ≥ 0.5
+                        verify → connected components → keep min id
+3. SemDeDup           — IVF-cell-confined cosine ≥ θ pairs →
+                        connected components → keep min id
+4. quality gate       — the canonical quality score (THE same
+                        expression doc_quality_scores registers),
+                        drop below CB_QUALITY_MIN
+5. mixture weights    — temperature weights over the survivors'
+                        per-source token mass (same quantized-pow
+                        math as source_mixture_weights)
+6. shard packing      — per-language running-token-count shards
+                        (same rule as shard_packing)
+
+Output: one row per INPUT document —
+(doc_id, source, lang, n_tokens, keep_reason, kept, mix_weight,
+shard_id); dropped docs carry their drop reason and NULL
+weight/shard. The reasons are disjoint by construction (a doc is
+judged by at most one stage, its first).
+
+Correctness: every stage is individually value-oracled elsewhere
+(dedup_exact / dedup_clusters / semdedup / doc_quality_scores /
+source_mixture_weights / shard_packing); the capstone's oracle is
+the COMPOSED CTE chain with the survivor restriction threaded
+through — proving the ladder composes in one lazy Spark plan (plus
+the two documented driver-coordinated pieces) without intermediate
+writes.
+
+Scale shape: stages 1/4/5/6 are hash aggregates and one per-lang
+window over survivor token counts; stage 2's quadratic work is
+confined to LSH band collisions; stage 3's to IVF cells; both
+component loops run over EDGE frames (tiny relative to the corpus)
+with O(log n) star-contraction rounds. Construction launches jobs
+by design (the component loops and the quantizer codebook — same
+exemptions as dedup_clusters/semdedup).
+
+Reference parity: the reference has no corpus pipeline (it is a
+market-data warehouse); this composes the repo's LLM-pipeline
+family, cited per stage in the stage queries' own docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..sources.catalog import load_table
+from .corpus_mix import MIX_ALPHA, _with_mix_weight_quota
+from .dedup import _BANDS, _MH_COLS, _NORM, _SHINGLES, _TOKS
+from .similarity import SEMDEDUP_THETA, _cell_assignments, _emb, _km_sql, cell_pair_edges
+from .text import QUALITY_SQL, SHARD_TOKEN_BUDGET, quality_score_expr
+
+CB_QUALITY_MIN = 64.0  # ~10th percentile of the fixture corpus —
+# drops the genuinely short/repetitive tail without gutting the
+# corpus; threshold comparisons are safe because the quality
+# expression is bit-exact cross-engine (doc_quality_scores oracle)
+
+
+def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # one enriched pass: tokens / token count / content hash /
+    # quality all derive from a single tokenize, persisted — the
+    # component loops below materialize it during construction, so
+    # every later stage reads the cache (no sibling-branch race)
+    enriched = (
+        docs.select("doc_id", "source", "lang", "text", T.tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "text",
+            F.expr("size(toks)").cast("bigint").alias("n_tokens"),
+            T.content_hash(F.col("text")).alias("h"),
+            quality_score_expr().alias("quality"),
+        )
+        .persist()
+    )
+
+    # stage 1: exact dedup (keep min doc_id per content hash)
+    canon = enriched.groupBy("h").agg(F.min("doc_id").alias("__c"))
+    exact_drop = (
+        enriched.join(canon, "h")
+        .filter(F.col("doc_id") != F.col("__c"))
+        .select("doc_id", F.lit("exact_dup").alias("reason"))
+    )
+    s1 = enriched.join(exact_drop.select("doc_id"), "doc_id", "left_anti")
+
+    # stage 2: MinHash-LSH near-dup clusters among exact survivors
+    sets = D.with_shingle_sets(s1).persist()
+    sigs = D.minhash_signatures(sets, num_perm=8)
+    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
+    pairs = D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands)
+    ncc = D.connected_components(pairs)  # driver-coordinated rounds
+    near_drop = ncc.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.lit("near_dup").alias("reason")
+    )
+    s2 = s1.join(near_drop.select("doc_id"), "doc_id", "left_anti")
+
+    # stage 3: SemDeDup among near-dup survivors (embeddings share
+    # the documents' id space; docs without a vector pass through)
+    cells = _cell_assignments(spark, sf_dir)
+    v = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .join(cells, "vec_id")
+        .join(s2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    )
+    scc = D.connected_components(cell_pair_edges(v, SEMDEDUP_THETA))
+    sem_drop = scc.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.lit("semantic_dup").alias("reason")
+    )
+    s3 = s2.join(sem_drop.select("doc_id"), "doc_id", "left_anti")
+
+    # stage 4: quality gate (precomputed canonical score)
+    low_drop = s3.filter(F.col("quality") < CB_QUALITY_MIN).select(
+        "doc_id", F.lit("low_quality").alias("reason")
+    )
+    kept = s3.filter(F.col("quality") >= CB_QUALITY_MIN).select(
+        "doc_id", "source", "lang", "n_tokens"
+    )
+
+    # stage 5: temperature mixture over the survivors' source masses
+    per_src = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+    mixw = _with_mix_weight_quota(per_src).select("source", "mix_weight")
+
+    # stage 6: per-language token-budget shards over the survivors
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    kept_m = (
+        kept.withColumn("shard_id", F.floor(before / F.lit(SHARD_TOKEN_BUDGET)).cast("bigint"))
+        .join(F.broadcast(mixw), "source")  # sources are a small dimension at any scale
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            F.lit("kept").alias("keep_reason"),
+            F.lit(True).alias("kept"),
+            "mix_weight",
+            "shard_id",
+        )
+    )
+    drops = exact_drop.unionByName(near_drop).unionByName(sem_drop).unionByName(low_drop)
+    drop_m = enriched.join(drops, "doc_id").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        F.col("reason").alias("keep_reason"),
+        F.lit(False).alias("kept"),
+        F.lit(None).cast("double").alias("mix_weight"),
+        F.lit(None).cast("bigint").alias("shard_id"),
+    )
+    return kept_m.unionByName(drop_m).orderBy("doc_id")
+
+
+ORACLE_CORPUS_BUILD = f"""
+WITH {_km_sql()},
+base0 AS MATERIALIZED (
+  SELECT doc_id, source, lang, text, {_TOKS} AS toks FROM documents
+),
+base AS MATERIALIZED (
+  SELECT doc_id, source, lang, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         md5({_NORM}) AS content_md5,
+         {QUALITY_SQL} AS quality
+  FROM base0
+),
+g AS (SELECT content_md5, MIN(doc_id) AS canon FROM base GROUP BY content_md5),
+exact_drop AS MATERIALIZED (
+  SELECT doc_id FROM base JOIN g USING (content_md5) WHERE doc_id <> canon
+),
+s1 AS MATERIALIZED (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)),
+toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM s1),
+sh_sets AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS shingles FROM toks_t WHERE len(toks) >= 3),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+{_MH_COLS}
+  FROM sh_sets
+),
+banded AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs),
+cands AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes_sh AS MATERIALIZED (SELECT doc_id, len(shingles) AS n_sh FROM sh_sets),
+exsh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh_sets),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM exsh a JOIN exsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+npairs AS MATERIALIZED (
+  SELECT d1, d2
+  FROM cands JOIN inter USING (d1, d2)
+  JOIN sizes_sh z1 ON d1 = z1.doc_id JOIN sizes_sh z2 ON d2 = z2.doc_id
+  WHERE inter / CAST(z1.n_sh + z2.n_sh - inter AS DOUBLE) >= 0.5
+),
+nedges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM npairs UNION SELECT d2, d1 FROM npairs),
+nrec AS MATERIALIZED (
+  WITH RECURSIVE reach(node, root) AS (
+    SELECT src, src FROM nedges
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN nedges e ON e.src = r.node
+  )
+  SELECT node, MIN(root) AS cluster FROM reach GROUP BY node
+),
+near_drop AS MATERIALIZED (SELECT node AS doc_id FROM nrec WHERE cluster <> node),
+s2 AS MATERIALIZED (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+cells AS MATERIALIZED (SELECT vec_id, cid AS cell FROM kranked WHERE rn = 1),
+exv AS MATERIALIZED (
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+  WHERE vec_id IN (SELECT doc_id FROM s2)
+),
+vnorm AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2v
+  FROM exv GROUP BY vec_id
+),
+pdots AS MATERIALIZED (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         CAST(SUM(CAST(floor((a.v * b.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM exv a JOIN exv b ON a.i = b.i AND a.vec_id < b.vec_id
+  JOIN cells ca ON a.vec_id = ca.vec_id
+  JOIN cells cb ON b.vec_id = cb.vec_id AND ca.cell = cb.cell
+  GROUP BY 1, 2
+),
+sdp AS MATERIALIZED (
+  SELECT d1, d2
+  FROM pdots JOIN vnorm na ON d1 = na.vec_id JOIN vnorm nb ON d2 = nb.vec_id
+  WHERE dot / (SQRT(na.n2v) * SQRT(nb.n2v)) >= {SEMDEDUP_THETA}
+),
+sedges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM sdp UNION SELECT d2, d1 FROM sdp),
+srec AS MATERIALIZED (
+  WITH RECURSIVE reach2(node, root) AS (
+    SELECT src, src FROM sedges
+    UNION
+    SELECT e.dst, r.root FROM reach2 r JOIN sedges e ON e.src = r.node
+  )
+  SELECT node, MIN(root) AS cluster FROM reach2 GROUP BY node
+),
+sem_drop AS MATERIALIZED (SELECT node AS doc_id FROM srec WHERE cluster <> node),
+s3 AS MATERIALIZED (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)),
+low_drop AS MATERIALIZED (SELECT doc_id FROM s3 WHERE quality < {CB_QUALITY_MIN}),
+s4 AS MATERIALIZED (SELECT * FROM s3 WHERE quality >= {CB_QUALITY_MIN}),
+per_src AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM s4 GROUP BY source
+),
+raw_t AS (
+  SELECT source,
+         CAST(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS DECIMAL(28,10)) AS raw
+  FROM per_src
+),
+wt AS (
+  SELECT source, CAST(raw AS DOUBLE) / CAST(SUM(raw) OVER () AS DOUBLE) AS mix_weight
+  FROM raw_t
+),
+pk AS (
+  SELECT doc_id,
+         CAST(floor(CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              / {SHARD_TOKEN_BUDGET}.0) AS BIGINT) AS shard_id
+  FROM s4
+),
+kept_w AS (
+  SELECT s4.doc_id, wt.mix_weight, pk.shard_id
+  FROM s4 JOIN wt USING (source) JOIN pk USING (doc_id)
+)
+SELECT b.doc_id, b.source, b.lang, b.n_tokens,
+  CASE WHEN ed.doc_id IS NOT NULL THEN 'exact_dup'
+       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+       WHEN sd.doc_id IS NOT NULL THEN 'semantic_dup'
+       WHEN ld.doc_id IS NOT NULL THEN 'low_quality'
+       ELSE 'kept' END AS keep_reason,
+  (ed.doc_id IS NULL AND nd.doc_id IS NULL AND sd.doc_id IS NULL
+   AND ld.doc_id IS NULL) AS kept,
+  kw.mix_weight, kw.shard_id
+FROM base b
+LEFT JOIN exact_drop ed USING (doc_id)
+LEFT JOIN near_drop nd USING (doc_id)
+LEFT JOIN sem_drop sd USING (doc_id)
+LEFT JOIN low_drop ld USING (doc_id)
+LEFT JOIN kept_w kw USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+QUERIES = {"corpus_build": corpus_build}
+ORACLES = {"corpus_build": ORACLE_CORPUS_BUILD}

@@ -231,11 +231,30 @@ def kmeans_params(n: int) -> dict:
 _KMEANS_MEMO: dict[tuple, tuple] = {}
 
 
-def _fingerprint(emb: DataFrame):
-    """The codebook-memo content fingerprint (row count + exact id /
-    first-component sums) as one 3-scalar aggregate — shared by the
-    trainer and the tier dispatcher so mode selection and training
-    pay ONE scan, not two."""
+def _fingerprint(emb: DataFrame, sf_dir: str | None = None):
+    """The codebook-memo content fingerprint. With ``sf_dir`` (the
+    frame is the UNFILTERED embeddings table) it comes entirely from
+    driver-side parquet metadata — footer row count plus the
+    (file, mtime, size) stamp standing in for content sums, the same
+    invalidation the catalog caches use (a same-path regeneration
+    bumps the stamp) — so memo lookups cost os.stat, not a Spark
+    scan. r08, VERDICT task 5: the r06 switch from path-keying to a
+    content fingerprint re-scanned embeddings on EVERY trainer call
+    including memo HITS — the entire kmeans_centroids bench drift
+    (0.37s r5 → 0.64s r7) was that integrity scan. A filtered
+    training frame still pays the exact 3-scalar aggregate (its
+    content can't be read off footers)."""
+    if sf_dir is not None:
+        import os
+
+        from ..sources.catalog import path_stamp, table_row_count
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        return {
+            "n": table_row_count(sf_dir, "embeddings"),
+            "ids": path_stamp(path),
+            "c0": "footer-stamp",
+        }
     return emb.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("vec_id").alias("ids"),
@@ -263,7 +282,7 @@ def _train_kmeans(
     if where is not None:
         emb = emb.filter(where)
     if fp is None:
-        fp = _fingerprint(emb)
+        fp = _fingerprint(emb, sf_dir if where is None else None)
     n_rows = fp["n"]
     memo_key = (sf_dir, n_rows, fp["ids"], fp["c0"], str(where), k_override)
     if memo_key in _KMEANS_MEMO:
@@ -591,7 +610,7 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         mode = _quantizer_mode(spark, 0)
     if mode == "hierarchical":
-        fp = _fingerprint(emb)
+        fp = _fingerprint(emb, sf_dir)
         # persist(), not eager localCheckpoint: hc feeds the corpus
         # bucketing, the cellmap, and the representative build — one
         # materialization at first action, none at construction
@@ -1472,7 +1491,7 @@ def hierarchical_cells(spark: SparkSession, sf_dir: str, where=None, fp=None) ->
     emb = _emb(spark, sf_dir)
     train_emb = emb.filter(where) if where is not None else emb
     if fp is None:
-        fp = _fingerprint(train_emb)
+        fp = _fingerprint(train_emb, sf_dir if where is None else None)
     k1 = _hier_k1(fp["n"])
     trained1 = _train_kmeans(spark, sf_dir, where=where, k_override=k1, fp=fp)
     a1 = (
@@ -1549,7 +1568,7 @@ def hierarchical_level1_centroids(spark: SparkSession, sf_dir: str) -> DataFrame
     derive k₁ via IEEE SQRT/CEIL — identical doubles). This shrinks
     the build's rows-only surface to the genuinely SQL-inexpressible
     level-2 per-cell stage (see hierarchical_cells)."""
-    fp = _fingerprint(_emb(spark, sf_dir))
+    fp = _fingerprint(_emb(spark, sf_dir), sf_dir)
     cids, C, _ = _train_kmeans(spark, sf_dir, k_override=_hier_k1(fp["n"]), fp=fp)
     rows = [
         (int(cid), int(i), int(C[j, i]))

@@ -22,6 +22,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
 
 
+def quality_score_expr() -> "F.Column":
+    """The canonical quality formula over a frame carrying a
+    ``toks`` array column — THE single definition both
+    ``doc_quality_scores`` and the ``corpus_build`` capstone's
+    quality gate evaluate, so the two can never desynchronize.
+    Bit-exact cross-engine (doc_quality_scores is value-oracled),
+    which is what makes a threshold comparison on it safe."""
+    nt = F.expr("size(toks)")
+    nstop = T.word_count("toks", T.STOPWORDS)
+    ttr = T.type_token_ratio("toks")
+    stop_ratio = nstop / nt
+    return F.lit(100.0) * (
+        F.lit(0.4) * F.least(F.lit(1.0), nt / F.lit(60.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.3) * ttr
+    )
+
+
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / stopword / type-token quality heuristics — the
     quality-scoring stage of a training-data pipeline."""
@@ -31,11 +49,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttr = T.type_token_ratio("toks")
     avg_len = (F.length(T.normalize_ws(F.col("text"))) - (nt - 1)) / nt
     stop_ratio = nstop / nt
-    quality = F.lit(100.0) * (
-        F.lit(0.4) * F.least(F.lit(1.0), nt / F.lit(60.0))
-        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
-        + F.lit(0.3) * ttr
-    )
+    quality = quality_score_expr()
     return d.select(
         "doc_id",
         "lang",
@@ -46,6 +60,17 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_len.alias("avg_token_len"),
         quality.alias("quality_score"),
     )
+
+
+# The oracle twin of quality_score_expr over a relation exposing a
+# `toks` list column — shared with the corpus_build capstone oracle.
+QUALITY_SQL = (
+    f"CAST(100.0 AS DOUBLE) * (CAST(0.4 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE),"
+    f" len(toks) / CAST(60.0 AS DOUBLE))"
+    f" + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) -"
+    f" len(list_filter(toks, t -> t IN ({_STOP_SQL}))) / CAST(len(toks) AS DOUBLE))"
+    f" + CAST(0.3 AS DOUBLE) * (len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)))"
+)
 
 
 ORACLE_DOC_QUALITY_SCORES = f"""

@@ -128,6 +128,7 @@ CONSTRUCTION_JOBS_ALLOWED = {
     # round count would drop the convergence guarantee).
     "dedup_clusters": "star-contraction rounds probe convergence",
     "bpe_convergent_merges": "per-round argmax convergence probe (1-row collect)",
+    "corpus_build": "dedup-ladder capstone: two component loops + codebook training",
     "pagerank_copurchase": "per-iteration lineage cut (localCheckpoint)",
     "quality_classifier_filter": "L-BFGS training iterations are jobs",
     # --- sketch-then-verify: the freqItems candidate sweep is a
