@@ -114,6 +114,8 @@ def bench_query_names() -> list[str]:
         # LSH → SemDeDup → quality gate → mixture → shard packing,
         # composed in one ladder with survivor restriction
         "corpus_build",
+        # r08: RAG-stack hybrid retrieval (BM25 ⊕ cosine, RRF-fused)
+        "hybrid_retrieval_rrf",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -10,7 +10,7 @@ rounding-mode differences.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
@@ -1846,7 +1846,182 @@ ORDER BY c.vec_id
 """
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack
+# et al. 2009) — large enough that rank-1 vs rank-2 differences
+# don't dominate the fused score
+RRF_CAND_K = 20  # candidates fetched per retriever before fusion
+RRF_TOP_K = 10
+
+
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    — the RAG-stack retrieval shape: BM25 top-20 (the registered
+    query set over the documents table) fused with embedding-cosine
+    top-20 (the query DOCS' OWN vectors — documents and embeddings
+    share the id space), rrf = Σ 1/(60 + rank) over the retrievers
+    that returned the doc, re-ranked to a final top-10.
+
+    Determinism: both candidate lists are deterministic (BM25 ranks
+    by the 9-dp-rounded score with doc_id tiebreak; cosine by exact
+    scaled-integer arithmetic), the fused score is a fixed-order sum
+    of two exact small-integer reciprocals rounded to 9 dp, and the
+    final rank breaks ties by doc_id.
+
+    Scale shape: BM25's exploded token stream filters to the query
+    vocabulary first (posting fetch); the knn kernel ships the
+    3-vector query matrix in the closure and never shuffles the
+    corpus; the fusion joins two ≤ k·|queries|-row frames — tiny by
+    construction — and the final window partitions by qid."""
+    from .text import BM25_QUERIES
+
+    return hybrid_rrf_on(
+        _docs_for_bm25(spark, sf_dir),
+        _emb(spark, sf_dir).select("vec_id", "embedding"),
+        BM25_QUERIES,
+    )
+
+
+def hybrid_rrf_on(
+    docs: DataFrame,
+    emb: DataFrame,
+    queries: dict[int, tuple],
+    cand_k: int = RRF_CAND_K,
+    top_k: int = RRF_TOP_K,
+) -> DataFrame:
+    """Hybrid-RRF core over arbitrary documents/embeddings frames —
+    factored (like ``bm25_on``) so the planted-relevance quality
+    harness exercises the EXACT production fusion; the query set
+    supplies both the lexical terms (values) and the semantic query
+    vectors (keys, looked up in the embedding table)."""
+    from .text import bm25_on
+
+    qids = sorted(queries)
+    lex = bm25_on(docs, queries, top_k=cand_k).select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("doc_id"),
+        F.col("rank").alias("lex_rank"),
+    )
+    sem = S.knn_bruteforce(emb, emb.filter(F.col("vec_id").isin(qids)), k=cand_k).select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("nid").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fused = lex.join(sem, ["qid", "doc_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("sem_rank")), F.lit(0.0)),
+        9,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("qid", "rank", "doc_id", "rrf_score", "lex_rank", "sem_rank")
+    )
+
+
+def _docs_for_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _hybrid_oracle() -> str:
+    from .text import (
+        _BM25_1MB,
+        _BM25_K1P1,
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        _TOKS,
+    )
+
+    qids = sorted(BM25_QUERIES)
+    terms_in = ", ".join(f"'{t}'" for t in sorted({t for ts in BM25_QUERIES.values() for t in ts}))
+    qvals = ", ".join(f"({qid}, '{t}')" for qid, ts in BM25_QUERIES.items() for t in ts)
+    qid_in = ", ".join(str(q) for q in qids)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+stats AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+term AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM term
+       WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q(qid, term) AS (VALUES {qvals}),
+contrib AS (
+  SELECT q.qid, tf.doc_id, tf.term,
+         ln(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5e0)
+            / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+         * (CAST(tf AS DOUBLE) * {_BM25_K1P1!r}e0)
+         / (CAST(tf AS DOUBLE) + {BM25_K1!r}e0 *
+            ({_BM25_1MB!r}e0 + {BM25_B!r}e0 * (CAST(dl AS DOUBLE) / avgdl))) AS c
+  FROM tf JOIN dfreq USING (term) JOIN q USING (term) JOIN dl USING (doc_id), stats
+),
+per AS (
+  SELECT qid, doc_id,
+         list_sort(list(struct_pack(term := term, c := c))) AS cs
+  FROM contrib GROUP BY qid, doc_id
+),
+bm AS (
+  SELECT qid, doc_id,
+         ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cs, s -> s['c'])), (a, x) -> a + x), 9) AS bm25
+  FROM per
+),
+lex AS (
+  SELECT CAST(qid AS BIGINT) AS qid, doc_id, rank AS lex_rank FROM (
+    SELECT qid, doc_id, bm25,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id ASC) AS rank
+    FROM bm
+  ) WHERE rank <= {RRF_CAND_K}
+),
+ex AS (
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2
+  FROM ex GROUP BY vec_id
+),
+dots AS (
+  SELECT qv.vec_id AS qid, c.vec_id AS nid,
+         CAST(SUM(CAST(floor((qv.v * c.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM ex qv JOIN ex c ON qv.i = c.i
+  WHERE qv.vec_id IN ({qid_in}) AND qv.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+cosd AS (
+  SELECT qid, nid, dot / (SQRT(nq.n2) * SQRT(nc.n2)) AS cos_sim
+  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON nid = nc.vec_id
+  WHERE nq.n2 > 0 AND nc.n2 > 0
+),
+sem AS (
+  SELECT qid, nid AS doc_id, rank AS sem_rank FROM (
+    SELECT qid, nid, cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid ASC) AS rank
+    FROM cosd
+  ) WHERE rank <= {RRF_CAND_K}
+),
+fused AS (
+  SELECT qid, doc_id, lex_rank, sem_rank,
+         ROUND(COALESCE(1.0e0 / ({RRF_K} + lex_rank), 0.0e0)
+               + COALESCE(1.0e0 / ({RRF_K} + sem_rank), 0.0e0), 9) AS rrf_score
+  FROM lex FULL OUTER JOIN sem USING (qid, doc_id)
+)
+SELECT qid, rank, doc_id, rrf_score, lex_rank, sem_rank FROM (
+  SELECT qid, doc_id, rrf_score, lex_rank, sem_rank,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {RRF_TOP_K}
+"""
+
+
 QUERIES = {
+    "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
     "semdedup_quality_representatives": semdedup_quality_representatives,
     "hierarchical_level1_centroids": hierarchical_level1_centroids,
     "hierarchical_assignments": hierarchical_assignments,
@@ -1866,6 +2041,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hybrid_retrieval_rrf": _hybrid_oracle(),
     "semdedup_quality_representatives": _semdedup_quality_oracle(),
     "hierarchical_level1_centroids": ORACLE_HIERARCHICAL_LEVEL1_CENTROIDS,
     "hierarchical_assignments": ORACLE_HIERARCHICAL_ASSIGNMENTS,

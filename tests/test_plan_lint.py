@@ -123,6 +123,7 @@ CONSTRUCTION_JOBS_ALLOWED = {
     "hierarchical_cell_stats": "trains both quantizer levels",
     "incremental_semdedup_ingest": "re-trains on the base snapshot",
     "knn_bruteforce": "query-matrix collect (benchmark-sized by contract)",
+    "hybrid_retrieval_rrf": "semantic side's query-matrix collect (3 vectors)",
     # --- driver-coordinated iteration: per-round convergence probes
     # / lineage cuts are actions by design (unrolling to a fixed
     # round count would drop the convergence guarantee).

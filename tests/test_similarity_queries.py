@@ -288,3 +288,87 @@ def test_ann_recall_floor_across_scales(spark):
             mean = sum(r.recall_at_k for r in rows) / len(rows)
             assert len(rows) == SQ.N_QUERIES
             assert mean >= floor, f"{sf} {mode}: mean recall {mean:.3f} < floor {floor}"
+
+
+def test_hybrid_rrf_fusion_invariants(spark):
+    """RRF semantics: fused score equals the reciprocal-rank formula
+    from the per-retriever ranks the row itself carries; docs found
+    by BOTH retrievers outrank a doc seen at the same single rank by
+    one retriever only; per-query output is exactly top-10."""
+    from fin_trade_craft_spark.queries.similarity import (
+        RRF_K,
+        RRF_TOP_K,
+        hybrid_retrieval_rrf,
+    )
+
+    rows = hybrid_retrieval_rrf(spark, SF_SMOKE).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+        expected = (1.0 / (RRF_K + r["lex_rank"]) if r["lex_rank"] is not None else 0.0) + (
+            1.0 / (RRF_K + r["sem_rank"]) if r["sem_rank"] is not None else 0.0
+        )
+        assert abs(r["rrf_score"] - expected) < 1e-9
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+    for q, rs in by_q.items():
+        assert len(rs) <= RRF_TOP_K
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        both = [r for r in rs if r["lex_rank"] and r["sem_rank"]]
+        only = [r for r in rs if (r["lex_rank"] is None) != (r["sem_rank"] is None)]
+        for b in both:
+            for o in only:
+                single = o["lex_rank"] or o["sem_rank"]
+                if max(b["lex_rank"], b["sem_rank"]) <= single:
+                    assert b["rrf_score"] > o["rrf_score"]
+
+
+def test_hybrid_rrf_planted_recall_beats_single_retrievers(spark):
+    """Planted complementary-signal corpus: for each query, ONE
+    relevant doc is only findable lexically (shares terms, orthogonal
+    embedding) and ONE only semantically (no term overlap, embedding
+    near the query's) — the fusion must surface BOTH in its top
+    ranks, giving recall@4 = 1.0 where each single retriever caps at
+    0.5. This is the property RRF exists for."""
+    from fin_trade_craft_spark.queries.similarity import hybrid_rrf_on
+
+    docs = [
+        # qid 100's own doc (query text + query vector live at id 100)
+        (100, "orbital mechanics of binary pulsars q100 q100b"),
+        # lexically relevant to q100 (shares 'pulsars'/'orbital'),
+        # embedding orthogonal
+        (101, "orbital decay in pulsars measured via timing residuals"),
+        # semantically relevant (near-identical vector), zero term overlap
+        (102, "neutron star pairs spiral inward emitting gravity waves"),
+        # filler
+        (103, "recipe for sourdough bread with long fermentation"),
+        (104, "municipal budget hearings continue through autumn"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    import numpy as np
+    import pandas as pd
+
+    e = np.eye(6, dtype="float64")
+    vecs = {
+        100: e[0],
+        101: e[1],               # orthogonal to the query
+        102: 0.9 * e[0] + 0.1 * e[2],  # ~cos 0.99 to the query
+        103: e[3],
+        104: e[4],
+    }
+    epdf = pd.DataFrame(
+        {"vec_id": list(vecs), "embedding": [v.tolist() for v in vecs.values()]}
+    )
+    emb = spark.createDataFrame(epdf)
+    queries = {100: ("orbital", "pulsars")}
+    out = hybrid_rrf_on(df, emb, queries, cand_k=3, top_k=4).collect()
+    ranking = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    relevant = {101, 102}
+    assert relevant <= set(ranking[:4])  # fused recall@4 = 1.0
+    rows = {r["doc_id"]: r for r in out}
+    # each single retriever misses one of the two relevant docs:
+    # 102 shares no query term; 101's vector is orthogonal so it can
+    # only trail 102 semantically (if it appears at all)
+    assert rows[102]["lex_rank"] is None
+    assert rows[101]["sem_rank"] is None or rows[101]["sem_rank"] > rows[102]["sem_rank"]

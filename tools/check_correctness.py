@@ -144,7 +144,18 @@ def main() -> int:
 
     only = set(args[1:])
 
-    spark = get_spark("correctness-check", shuffle_partitions=8)
+    # SPARK_GRAFT_EXTRA_CONF="k=v,k2=v2" — e.g. raising the guarded
+    # exact-tier row budget for an offline sf1 verification sweep
+    # (spark.fin_trade_craft.exactTierMaxRows=200000), exactly the
+    # escape hatch the guard's error message documents.
+    import os
+
+    extra = {}
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
+    spark = get_spark("correctness-check", shuffle_partitions=8, extra_conf=extra or None)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'")
