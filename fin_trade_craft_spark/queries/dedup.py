@@ -336,6 +336,138 @@ FROM rec JOIN csize USING (cluster_id)
 """
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/eval split — the leakage-prevention
+    step ``train_eval_split`` (content-hash split; exact dups only)
+    cannot provide: documents in the same NEAR-dup cluster must land
+    in the same split, or eval leaks paraphrases of training docs.
+
+    Group key per document = its near-dup component id (the same
+    MinHash-LSH → Jaccard-verify → connected-components ladder as
+    ``dedup_clusters``) when it has one, else its exact-content
+    canonical id (min doc_id per content hash — catches short docs
+    the shingler skips). The split decision is then a pure function
+    of the GROUP REPRESENTATIVE's content hash (first md5 nibble ∈
+    {0,1} → eval, 12.5% expected) — deterministic across engines,
+    runs, and parallelism, and constant within a group by
+    construction.
+
+    Scale shape: the component frame is edge-graph-sized (tiny vs
+    the corpus) so its join back is broadcast-able; the exact-hash
+    canonical is one corpus hash aggregate; the representative-hash
+    lookup is a join on group_id against the corpus hash frame. No
+    all-pairs stage anywhere — the quadratic work is confined to LSH
+    band collisions exactly as in ``dedup_clusters``.
+
+    Reference parity: the reference has no corpus-split stage (it is
+    a market-data warehouse); this extends the repo's dedup family
+    with the split-assignment op an LLM data pipeline runs after
+    near-dup clustering."""
+    return leakage_safe_split_on(_docs_wide(spark, sf_dir))
+
+
+def leakage_safe_split_on(docs: DataFrame) -> DataFrame:
+    """Core over an arbitrary documents frame — factored (like
+    ``hybrid_rrf_on``) so the planted-leakage pytest exercises the
+    exact production grouping + split rule."""
+    sets = D.with_shingle_sets(docs).persist()
+    sigs = D.minhash_signatures(sets, num_perm=8)
+    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
+    pairs = D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands)
+    cc = D.connected_components(pairs)
+    hashes = docs.select("doc_id", T.content_hash(F.col("text")).alias("content_md5"))
+    exact = hashes.groupBy("content_md5").agg(F.min("doc_id").alias("exact_canonical"))
+    grouped = (
+        hashes.join(exact, "content_md5")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "exact_canonical").alias("group_id"),
+        )
+    )
+    sizes = grouped.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))
+    rep = hashes.select(
+        F.col("doc_id").alias("group_id"), F.col("content_md5").alias("group_md5")
+    )
+    out = (
+        grouped.join(sizes, "group_id")
+        .join(rep, "group_id")
+        .select(
+            "doc_id",
+            "group_id",
+            "group_size",
+            "group_md5",
+            F.when(F.substring("group_md5", 1, 1).isin("0", "1"), F.lit("eval"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+    # pin: the signature chain and the verify pass both read `sets`
+    # (same race dedup_jaccard_verified documents); the component
+    # loop is a construction-time action by design (dedup_clusters'
+    # exemption) and fills the cache first anyway — the pin makes
+    # that explicit rather than incidental.
+    return pin_on_first_action(out, [sets])
+
+
+# the dedup_clusters recursive-closure chain + the exact-canonical
+# fallback + the representative-hash split rule
+ORACLE_LEAKAGE_SAFE_SPLIT = f"""
+{_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id,
+{_MH_COLS}
+  FROM sh_sets
+),
+banded AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes_sh AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_sets),
+ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh_sets),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2
+  FROM cands JOIN inter USING (d1, d2)
+  JOIN sizes_sh s1 ON d1 = s1.doc_id JOIN sizes_sh s2 ON d2 = s2.doc_id
+  WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION
+  SELECT d2, d1 FROM pairs
+),
+rec AS (
+  WITH RECURSIVE reach(node, root) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+  )
+  SELECT node AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY node
+),
+hsh AS (SELECT doc_id, md5({_NORM}) AS content_md5 FROM documents),
+exact AS (
+  SELECT content_md5, MIN(doc_id) AS exact_canonical FROM hsh GROUP BY content_md5
+),
+grp AS (
+  SELECT hsh.doc_id, COALESCE(rec.cluster_id, exact.exact_canonical) AS group_id
+  FROM hsh JOIN exact USING (content_md5)
+  LEFT JOIN rec ON hsh.doc_id = rec.doc_id
+),
+gs AS (SELECT group_id, COUNT(*) AS group_size FROM grp GROUP BY group_id),
+rep AS (SELECT doc_id AS group_id, content_md5 AS group_md5 FROM hsh)
+SELECT g.doc_id, g.group_id, gs.group_size, rep.group_md5,
+       CASE WHEN substr(rep.group_md5, 1, 1) IN ('0', '1')
+            THEN 'eval' ELSE 'train' END AS split
+FROM grp g JOIN gs USING (group_id) JOIN rep USING (group_id)
+"""
+
+
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures + 4-bit bucket histogram join."""
     sigs = D.simhash_bits(_docs_wide(spark, sf_dir))
@@ -584,6 +716,7 @@ QUERIES = {
     "dedup_jaccard_verified": dedup_jaccard_verified,
     "lsh_recall_eval": lsh_recall_eval,
     "dedup_clusters": dedup_clusters,
+    "leakage_safe_split": leakage_safe_split,
     "minhash_near_dupes": minhash_near_dupes,
     "simhash_buckets": simhash_buckets,
     "simhash_hamming_pairs": simhash_hamming_pairs,
@@ -593,6 +726,7 @@ ORACLES = {
     "dedup_containment_pairs": ORACLE_DEDUP_CONTAINMENT_PAIRS,
     "incremental_dedup_ingest": ORACLE_INCREMENTAL_DEDUP_INGEST,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_jaccard_verified": ORACLE_DEDUP_JACCARD_VERIFIED,

@@ -2020,7 +2020,202 @@ SELECT qid, rank, doc_id, rrf_score, lex_rank, sem_rank FROM (
 """
 
 
+MMR_LAMBDA = 0.7  # relevance weight
+MMR_ONE_MINUS_LAMBDA = 0.3  # written out (NOT 1 - MMR_LAMBDA, which
+# is 0.30000000000000004 in IEEE double) so the Spark kernel and the
+# SQL oracle multiply by the bit-identical constant
+MMR_CAND_K = 20
+MMR_M = 5  # results returned per query
+
+
+def mmr_diversified_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking of semantic retrieval —
+    the diversity pass a RAG stack runs after top-k: greedily pick
+    the candidate maximizing λ·relevance − (1−λ)·max-cosine-to-
+    already-selected, so the final m results cover distinct regions
+    of embedding space instead of m near-identical hits (Carbonell &
+    Goldstein 1998). Query vectors are the BM25 query docs' own
+    embeddings (shared id space, same convention as
+    ``hybrid_retrieval_rrf``).
+
+    Determinism: candidate relevance is the knn kernel's exact
+    scaled-integer cosine; candidate-candidate similarities use the
+    identical floor(x·1e12+0.5) → int64-sum arithmetic; the greedy
+    objective multiplies those exact doubles by the literal
+    constants 0.7/0.3 (same IEEE ops in numpy and DuckDB); ties
+    break by doc_id. The oracle unrolls the m greedy steps as CTEs.
+
+    Scale shape: candidates come from the distributed knn kernel
+    (corpus never shuffled, local top-k per batch); the greedy runs
+    per-query over cand_k=20 rows inside one ``applyInPandas`` group
+    — O(m·k²) on 20 vectors, partitioned by qid, so a million-query
+    batch spreads across the cluster with no global stage."""
+    from .text import BM25_QUERIES
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return mmr_on(emb, sorted(BM25_QUERIES))
+
+
+def mmr_on(
+    emb: DataFrame,
+    qids: list[int],
+    cand_k: int = MMR_CAND_K,
+    m: int = MMR_M,
+) -> DataFrame:
+    """MMR core over an arbitrary embeddings frame — factored so the
+    planted-diversity pytest drives the exact production kernel."""
+    import numpy as np
+    import pandas as pd
+
+    cand = S.knn_bruteforce(emb, emb.filter(F.col("vec_id").isin(qids)), k=cand_k)
+    # fresh column names for the embedding lookup side — cand derives
+    # from emb, so joining emb directly is an ambiguous self-join
+    corp = emb.select(F.col("vec_id").alias("_cid"), F.col("embedding").alias("_cemb"))
+    ce = cand.join(corp, cand["nid"] == corp["_cid"]).select(
+        cand["qid"].cast("bigint").alias("qid"),
+        cand["nid"].alias("doc_id"),
+        cand["cos_sim"].alias("rel"),
+        corp["_cemb"].alias("embedding"),
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        ids = pdf["doc_id"].to_numpy()
+        rel = pdf["rel"].to_numpy(dtype=np.float64)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        # exact pairwise cosines: same fixed-point arithmetic as
+        # cosine_pairs_kernel / the oracle's scaled SUM
+        n2 = np.floor(E * E * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+        sim = np.empty((n, n))
+        for i in range(n):
+            dots = np.floor(E[i] * E * 1e12 + 0.5).astype(np.int64).sum(axis=1) / 1e12
+            sim[i] = dots / (np.sqrt(n2[i]) * np.sqrt(n2))
+        remaining = np.ones(n, dtype=bool)
+        # max-cosine-to-selected; -inf = empty set (step 1's penalty
+        # is 0 by definition, but a NEGATIVE max over a non-empty set
+        # must survive — clipping at 0 would re-rank anti-correlated
+        # candidates)
+        maxsim = np.full(n, -np.inf)
+        out = []
+        for step in range(1, min(m, n) + 1):
+            pen = np.where(np.isfinite(maxsim), maxsim, 0.0)
+            score = MMR_LAMBDA * rel - MMR_ONE_MINUS_LAMBDA * pen
+            # argmax over remaining, ties by doc_id asc
+            cand_idx = np.flatnonzero(remaining)
+            order = cand_idx[np.lexsort((ids[cand_idx], -score[cand_idx]))]
+            pick = order[0]
+            out.append(
+                (
+                    int(pdf["qid"].iloc[0]),
+                    step,
+                    int(ids[pick]),
+                    round(rel[pick], 9),
+                    round(pen[pick], 9),
+                    round(score[pick], 9),
+                )
+            )
+            remaining[pick] = False
+            maxsim = np.maximum(maxsim, sim[:, pick])
+        return pd.DataFrame(
+            out, columns=["qid", "mmr_rank", "doc_id", "rel", "pen", "mmr_score"]
+        )
+
+    return ce.groupBy("qid").applyInPandas(
+        greedy,
+        "qid bigint, mmr_rank int, doc_id bigint, rel double, pen double, mmr_score double",
+    )
+
+
+def _mmr_oracle() -> str:
+    from .text import BM25_QUERIES
+
+    qid_in = ", ".join(str(q) for q in sorted(BM25_QUERIES))
+    lam, oml = f"{MMR_LAMBDA!r}e0", f"{MMR_ONE_MINUS_LAMBDA!r}e0"
+    # unrolled greedy: selK = step-K pick, aK = selections so far
+    steps = []
+    for k in range(2, MMR_M + 1):
+        steps.append(
+            f"""pen{k} AS (
+  SELECT c.qid, c.doc_id, MAX(s.sim) AS pen
+  FROM cand c
+  JOIN a{k-1} t ON c.qid = t.qid
+  JOIN csim s ON s.v1 = c.doc_id AND s.v2 = t.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM a{k-1} x WHERE x.qid = c.qid AND x.doc_id = c.doc_id)
+  GROUP BY c.qid, c.doc_id
+),
+sel{k} AS (
+  SELECT qid, doc_id, rel, pen, {k} AS mmr_rank, score FROM (
+    SELECT p.qid, p.doc_id, c.rel, p.pen,
+           {lam} * c.rel - {oml} * p.pen AS score,
+           ROW_NUMBER() OVER (PARTITION BY p.qid
+                              ORDER BY {lam} * c.rel - {oml} * p.pen DESC,
+                                       p.doc_id ASC) AS rn
+    FROM pen{k} p JOIN cand c ON p.qid = c.qid AND p.doc_id = c.doc_id
+  ) WHERE rn = 1
+),
+a{k} AS (SELECT qid, doc_id FROM a{k-1} UNION ALL SELECT qid, doc_id FROM sel{k})"""
+        )
+    step_sql = ",\n".join(steps)
+    union = "\nUNION ALL\n".join(
+        f"SELECT qid, mmr_rank, doc_id, rel, pen, score FROM sel{k}"
+        for k in range(1, MMR_M + 1)
+    )
+    return f"""
+WITH ex AS (
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+),
+norms AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2
+  FROM ex GROUP BY vec_id
+),
+qdots AS (
+  SELECT qv.vec_id AS qid, c.vec_id AS nid,
+         CAST(SUM(CAST(floor((qv.v * c.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM ex qv JOIN ex c ON qv.i = c.i
+  WHERE qv.vec_id IN ({qid_in}) AND qv.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+cand AS MATERIALIZED (
+  SELECT qid, nid AS doc_id, cos_sim AS rel FROM (
+    SELECT qid, nid, dot / (SQRT(nq.n2) * SQRT(nc.n2)) AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY dot / (SQRT(nq.n2) * SQRT(nc.n2)) DESC,
+                                       nid ASC) AS rank
+    FROM qdots JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON nid = nc.vec_id
+    WHERE nq.n2 > 0 AND nc.n2 > 0
+  ) WHERE rank <= {MMR_CAND_K}
+),
+cids AS (SELECT DISTINCT doc_id FROM cand),
+csim AS MATERIALIZED (
+  SELECT a.doc_id AS v1, b.doc_id AS v2,
+         (CAST(SUM(CAST(floor((ea.v * eb.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12)
+         / (SQRT(na.n2) * SQRT(nb.n2)) AS sim
+  FROM cids a JOIN cids b ON a.doc_id <> b.doc_id
+  JOIN ex ea ON ea.vec_id = a.doc_id
+  JOIN ex eb ON eb.vec_id = b.doc_id AND eb.i = ea.i
+  JOIN norms na ON na.vec_id = a.doc_id
+  JOIN norms nb ON nb.vec_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, na.n2, nb.n2
+),
+sel1 AS (
+  SELECT qid, doc_id, rel, 0.0e0 AS pen, 1 AS mmr_rank, {lam} * rel AS score FROM (
+    SELECT qid, doc_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+a1 AS (SELECT qid, doc_id FROM sel1),
+{step_sql}
+SELECT qid, mmr_rank, doc_id, ROUND(rel, 9) AS rel, ROUND(pen, 9) AS pen,
+       ROUND(score, 9) AS mmr_score
+FROM ({union})
+"""
+
+
 QUERIES = {
+    "mmr_diversified_retrieval": mmr_diversified_retrieval,
     "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
     "semdedup_quality_representatives": semdedup_quality_representatives,
     "hierarchical_level1_centroids": hierarchical_level1_centroids,
@@ -2041,6 +2236,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mmr_diversified_retrieval": _mmr_oracle(),
     "hybrid_retrieval_rrf": _hybrid_oracle(),
     "semdedup_quality_representatives": _semdedup_quality_oracle(),
     "hierarchical_level1_centroids": ORACLE_HIERARCHICAL_LEVEL1_CENTROIDS,

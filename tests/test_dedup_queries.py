@@ -90,3 +90,52 @@ def test_exact_tier_budget_is_conf_configurable(spark):
     # conf unset again: default refuse restored
     with pytest.raises(Exception, match="max_rows"):
         guard_exact_tier(big, 25_000, "probe", "alt").count()
+
+
+def test_leakage_safe_split_groups_near_dups(spark):
+    """Planted leakage shapes: exact copies AND near-dup paraphrases
+    must share one group_id + split; short exact twins the shingler
+    skips still group via the content-hash fallback; singletons keep
+    their own id; the split is the representative's md5-nibble rule
+    (verified against hashlib on the normalized text)."""
+    import hashlib
+
+    from fin_trade_craft_spark.queries.dedup import leakage_safe_split_on
+
+    long_a = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    long_a_var = long_a.replace("upsilon", "omega")  # near-dup: 1 word swapped
+    docs = [
+        (1, long_a),
+        (2, long_a),          # exact copy of 1
+        (3, long_a_var),      # near-dup of 1/2 (J ≈ 0.82 on 3-shingles)
+        (10, "tiny doc"),     # < 3 tokens → no shingles
+        (11, "tiny  doc "),   # whitespace-normalized exact twin of 10
+        (20, "a completely unrelated standalone document about volcanoes and tea"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in leakage_safe_split_on(df).collect()}
+    assert set(rows) == {1, 2, 3, 10, 11, 20}
+
+    # near-dup family {1,2,3}: one group, one split, size 3
+    fam = {rows[i] for i in (1, 2, 3)}
+    assert {r.group_id for r in fam} == {1}
+    assert len({r.split for r in fam}) == 1
+    assert all(r.group_size == 3 for r in fam)
+
+    # short exact twins {10,11}: content-hash fallback groups them
+    assert rows[10].group_id == rows[11].group_id == 10
+    assert rows[10].split == rows[11].split
+    assert rows[10].group_size == 2
+
+    # singleton keeps its own id
+    assert rows[20].group_id == 20 and rows[20].group_size == 1
+
+    # split rule = representative's md5 first nibble ∈ {0,1} → eval
+    for doc_id, rep_text in ((1, long_a), (10, "tiny doc"), (20, docs[5][1])):
+        norm = " ".join(rep_text.split())
+        h = hashlib.md5(norm.encode()).hexdigest()
+        assert rows[doc_id].group_md5 == h
+        assert rows[doc_id].split == ("eval" if h[0] in "01" else "train")

@@ -124,10 +124,12 @@ CONSTRUCTION_JOBS_ALLOWED = {
     "incremental_semdedup_ingest": "re-trains on the base snapshot",
     "knn_bruteforce": "query-matrix collect (benchmark-sized by contract)",
     "hybrid_retrieval_rrf": "semantic side's query-matrix collect (3 vectors)",
+    "mmr_diversified_retrieval": "query-matrix collect (3 vectors)",
     # --- driver-coordinated iteration: per-round convergence probes
     # / lineage cuts are actions by design (unrolling to a fixed
     # round count would drop the convergence guarantee).
     "dedup_clusters": "star-contraction rounds probe convergence",
+    "leakage_safe_split": "star-contraction rounds probe convergence",
     "bpe_convergent_merges": "per-round argmax convergence probe (1-row collect)",
     "corpus_build": "dedup-ladder capstone: two component loops + codebook training",
     "pagerank_copurchase": "per-iteration lineage cut (localCheckpoint)",

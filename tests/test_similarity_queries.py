@@ -372,3 +372,54 @@ def test_hybrid_rrf_planted_recall_beats_single_retrievers(spark):
     # only trail 102 semantically (if it appears at all)
     assert rows[102]["lex_rank"] is None
     assert rows[101]["sem_rank"] is None or rows[101]["sem_rank"] > rows[102]["sem_rank"]
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Planted redundancy: three near-identical high-relevance docs
+    + one moderately-relevant diverse doc. Pure relevance ranks the
+    clones 1-2-3; MMR must pick the diverse doc at rank 2 because
+    the clones' mutual cosine ≈ 1 makes their penalty huge. Also
+    pins the exact objective arithmetic per emitted row."""
+    import numpy as np
+    import pandas as pd
+
+    from fin_trade_craft_spark.queries.similarity import (
+        MMR_LAMBDA,
+        MMR_ONE_MINUS_LAMBDA,
+        mmr_on,
+    )
+
+    e = np.eye(8, dtype="float64")
+    q = e[0]
+    # geometry note: clones must NOT be near-copies of the query —
+    # at λ=0.7 a rel≈1 clone scores 0.7·1 − 0.3·1 = 0.4 even with a
+    # full duplicate penalty, unbeatable by any genuinely diverse
+    # doc. Clones relevant at 0.8 via a shared off-query direction
+    # (mutual cos ≈ 1 → pen 1 → score 0.26) lose rank 2 to a 0.75-
+    # relevance doc nearly orthogonal to them (pen ≈ 0.60 → 0.345).
+    clone = 0.8 * e[0] + 0.6 * e[1]
+    vecs = {
+        500: q,
+        1: clone,
+        2: clone + 1e-6 * e[2],                # near-identical clones
+        3: clone + 2e-6 * e[3],
+        4: 0.75 * e[0] + 0.66 * e[4],          # diverse, cos ~0.75
+        5: e[5],                               # irrelevant
+    }
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": list(vecs), "embedding": [v.tolist() for v in vecs.values()]}
+        )
+    )
+    out = sorted(mmr_on(emb, [500], cand_k=5, m=4).collect(), key=lambda r: r.mmr_rank)
+    ranking = [r.doc_id for r in out]
+    assert ranking[0] in (1, 2, 3)             # top relevance first
+    assert ranking[1] == 4                     # diversity beats clone #2
+    # objective arithmetic: score = 0.7*rel - 0.3*pen, 9dp
+    for r in out:
+        assert abs(r.mmr_score - round(MMR_LAMBDA * r.rel - MMR_ONE_MINUS_LAMBDA * r.pen, 9)) <= 1e-9
+        assert r.mmr_rank == 1 or r.pen > 0 or r.doc_id == 5
+    # penalties are cosines to already-selected: clone picked after
+    # clone would carry pen ~1; the diverse doc's pen is ~its cos to
+    # the first clone (<0.7)
+    assert out[1].pen < 0.7
