@@ -580,8 +580,14 @@ def simhash_hamming_pairs(
         f"aggregate(sequence(1, {n_bits}), 0,"
         " (acc, i) -> acc + IF(substr(s1, i, 1) <> substr(s2, i, 1), 1, 0))"
     ).cast("bigint")
-    return (
+    out = (
         cands.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+    # pin: both sides of the band self-join read `sigs` — without a
+    # pin the two scan branches of the one join job race to compute
+    # the n_bits-aggregate signature plan before the cache fills.
+    from .pinning import pin_on_first_action
+
+    return pin_on_first_action(out, [sigs])

@@ -97,9 +97,12 @@ def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
     sigs = D.minhash_signatures(sets, num_perm=8)
     cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
-    return D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
+    result = D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
         "d1", "d2", "jaccard"
     )
+    # pin: same three-branch race as dedup_jaccard_verified — the
+    # signature chain and both verify-join branches read `sets`.
+    return pin_on_first_action(result, [sets])
 
 
 def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
