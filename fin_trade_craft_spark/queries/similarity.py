@@ -1241,6 +1241,381 @@ SELECT qid, rank, nid, cos_sim, approx_dot FROM (
 """
 
 
+# ------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the third rung of the
+# compressed-ANN ladder (int8 SQ → SQ8 rerank → PQ/ADC): split each
+# vector into PQ_M subvectors, k-means each subspace independently
+# (PQ_K centroids, exact 1e-6 integer coordinates, the SAME
+# deterministic seed/sample/floor-of-mean scheme as the coarse
+# quantizer so the oracle replays it bit-for-bit), store the corpus
+# as PQ_M uint8-sized codes per vector, and answer queries with an
+# asymmetric-distance (ADC) table scan: per query, one PQ_M×PQ_K
+# exact integer lookup table; per corpus vector, PQ_M table adds.
+#
+# Scale shape: codes are PQ_M bytes/vector vs 4·dims for raw floats
+# (32× at 64-dim) — at 100 TB the ADC scan reads the CODES table
+# (map-only, LUT in closure), the raw corpus only for final rerank.
+# Training state is PQ_M·PQ_K·sub_dims ints on the driver; each
+# Lloyd round shuffles only per-batch partial sums (the same bounded
+# contract as _train_kmeans). No stage grows faster than the corpus.
+# ------------------------------------------------------------------
+
+PQ_M = 8          # subspaces (dims must divide evenly)
+PQ_K = 16         # centroids per subspace → 4-bit codes
+PQ_ITERS = KM_ITERS
+PQ_TOPK = 10
+PQ_SHORTLIST = 50  # ADC candidates kept per query before exact rerank
+
+_PQ_MEMO: dict[tuple, tuple] = {}
+
+
+def _train_pq(spark: SparkSession, sf_dir: str):
+    """Deterministic per-subspace k-means; returns (cids int64[k'],
+    C int64[PQ_M, k', sub_dims], sub_dims). Seed groups are the
+    coarse trainer's hash-mod classes (one seed VECTOR per class —
+    its m subvectors seed the m subspaces), the Lloyd sample is the
+    shared ``s:``-salted hash stream with s = n // (32·PQ_K), and
+    updates are exact floor-of-mean — every choice replayable in SQL
+    (ORACLE_PQ_* unroll the rounds). Memoized on the content
+    fingerprint like _KMEANS_MEMO: training once per dataset is the
+    production pattern (the codebook is an index-build artifact)."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    fp = _fingerprint(emb, sf_dir)
+    memo_key = (sf_dir, fp["n"], fp["ids"], fp["c0"])
+    if memo_key in _PQ_MEMO:
+        return _PQ_MEMO[memo_key]
+    dims = _embedding_dims(sf_dir)
+    if dims % PQ_M:
+        raise ValueError(f"dims={dims} not divisible by PQ_M={PQ_M}")
+    sd = dims // PQ_M
+    s = max(1, fp["n"] // (KM_SAMPLE_PER_CENTROID * PQ_K))
+    q = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
+    seeds = (
+        q.select(
+            "qv",
+            F.expr(f"{_H16_SPARK} % {PQ_K}").alias("grp"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .groupBy("grp")
+        .agg(F.min_by("qv", "h").alias("qv"))
+        .collect()
+    )
+    cent = {int(r["grp"]): np.array(r["qv"], dtype=np.int64) for r in seeds}
+    cids = sorted(cent)
+    k = len(cids)
+    # C[sub, j_of_k, dim_in_sub]
+    C = np.stack([cent[c] for c in cids]).reshape(k, PQ_M, sd).transpose(1, 0, 2).copy()
+    carr = np.array(cids, dtype=np.int64)
+    sample = (
+        q.filter(F.expr(f"{_H16S_SPARK} % {s} = 0"))
+        .select("qv")
+        .localCheckpoint(eager=True)  # reused every Lloyd round
+    )
+    for _ in range(PQ_ITERS):
+        Cr = C
+
+        def round_fn(batches, Cr=Cr, carr=carr):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
+                ).reshape(len(pdf), PQ_M, sd)
+                sub_o, cid_o, j_o, sum_o, cnt_o = [], [], [], [], []
+                for m in range(PQ_M):
+                    Xm, Cm = X[:, m, :], Cr[m]
+                    d2 = (
+                        (Xm * Xm).sum(axis=1)[:, None]
+                        - 2 * (Xm @ Cm.T)
+                        + (Cm * Cm).sum(axis=1)[None, :]
+                    )
+                    a = np.argmin(d2, axis=1)  # first min = min cid
+                    for jj in np.unique(a):
+                        mask = a == jj
+                        sub_o.extend([m] * sd)
+                        cid_o.extend([int(carr[jj])] * sd)
+                        j_o.extend(range(sd))
+                        sum_o.extend(Xm[mask].sum(axis=0).tolist())
+                        cnt_o.extend([int(mask.sum())] * sd)
+                yield pd.DataFrame(
+                    {"sub": sub_o, "cid": cid_o, "j": j_o, "psum": sum_o, "pcnt": cnt_o}
+                )
+
+        upd = (
+            sample.mapInPandas(round_fn, "sub long, cid long, j long, psum long, pcnt long")
+            .groupBy("sub", "cid", "j")
+            .agg(F.sum("psum").alias("sq"), F.sum("pcnt").alias("cnt"))
+            .collect()
+        )
+        C = C.copy()
+        cid_ix = {int(c): jj for jj, c in enumerate(carr)}
+        for r in upd:
+            # exact floor of the member mean (int // — identical to
+            # the oracle's posmod-subtract // form); absent
+            # (sub, cid) cells keep their previous centroid
+            C[int(r["sub"]), cid_ix[int(r["cid"])], int(r["j"])] = r["sq"] // r["cnt"]
+    out = (carr, C, sd)
+    _PQ_MEMO[memo_key] = out
+    return out
+
+
+def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained product-quantizer codebook as a table: (sub, cid,
+    i, cv) with i the GLOBAL dimension index (sub·sub_dims + j) and
+    cv in exact 1e-6 integer units — the index-build artifact every
+    PQ consumer (encode, ADC search) loads."""
+    cids, C, sd = _train_pq(spark, sf_dir)
+    rows = [
+        (int(m), int(cid), int(m * sd + j), int(C[m, jj, j]))
+        for m in range(PQ_M)
+        for jj, cid in enumerate(cids)
+        for j in range(sd)
+    ]
+    return spark.createDataFrame(rows, "sub long, cid long, i long, cv long")
+
+
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str, topn: int) -> DataFrame:
+    """Shared ADC scan: encode the corpus (argmin centroid per
+    subspace, tie → min cid), build each query's exact-integer ADC
+    lookup table, scan codes summing PQ_M table entries, and rank
+    per query by approximate squared L2 (ties → min nid), keeping
+    rank ≤ ``topn``. Queries are the shared probe set (vec_id <
+    N_QUERIES), self excluded.
+
+    Scale shape: one map-only Arrow pass over the corpus does encode
+    + ADC + LOCAL top-n (the LUT is nq·PQ_M·PQ_K ints in the
+    closure); the global window ranks n·|queries| rows per batch,
+    never the corpus — the knn_bruteforce contract, but scanning
+    PQ_M-byte codes instead of 4·dims-byte vectors."""
+    import numpy as np
+    import pandas as pd
+
+    cids, C, sd = _train_pq(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
+    q_rows = q.filter(F.col("vec_id") < N_QUERIES).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.asarray([np.asarray(r[1], dtype=np.int64) for r in q_rows]).reshape(
+        len(q_rows), PQ_M, sd
+    )
+    # LUT[t, m, jj] = Σ_j (Q[t,m,j] − C[m,jj,j])² — exact int64
+    lut = np.einsum("tmj,tmj->tm", Q, Q)[:, :, None] - 2 * np.einsum(
+        "tmj,mkj->tmk", Q, C
+    ) + np.einsum("mkj,mkj->mk", C, C)[None, :, :]
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
+            ).reshape(len(pdf), PQ_M, sd)
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                Xm, Cm = X[:, m, :], C[m]
+                d2 = (
+                    (Xm * Xm).sum(axis=1)[:, None]
+                    - 2 * (Xm @ Cm.T)
+                    + (Cm * Cm).sum(axis=1)[None, :]
+                )
+                codes[:, m] = np.argmin(d2, axis=1)
+            out_q, out_n, out_d = [], [], []
+            for t in range(len(qids)):
+                adc = lut[t, np.arange(PQ_M)[None, :], codes].sum(axis=1)
+                keep = ids != qids[t]
+                a_ids, a_adc = ids[keep], adc[keep]
+                order = np.lexsort((a_ids, a_adc))[:topn]
+                out_q.extend([int(qids[t])] * len(order))
+                out_n.extend(a_ids[order].tolist())
+                out_d.extend(a_adc[order].tolist())
+            yield pd.DataFrame({"qid": out_q, "nid": out_n, "adc_dist2": out_d})
+
+    local = q.mapInPandas(scan, "qid long, nid long, adc_dist2 long")
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist2"), F.asc("nid"))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topn)
+
+
+def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure compressed-domain PQ search: top-{PQ_TOPK} per query by
+    ADC distance alone — the code-scan building block (its recall is
+    bounded by the 4·PQ_M-bit code budget; production serving reranks
+    the shortlist, see ``pq_rerank_search``)."""
+    return _pq_adc_ranked(spark, sf_dir, PQ_TOPK).select(
+        "qid", "rank", "nid", "adc_dist2"
+    )
+
+
+def pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ serving path (Jégou et al. 2011 §IV): ADC scan keeps a
+    {PQ_SHORTLIST}-candidate shortlist per query in the compressed
+    domain, then EXACT integer squared-L2 against the raw vectors of
+    only the shortlist reranks to the final top-{PQ_TOPK}. At 100 TB
+    the rerank join touches PQ_SHORTLIST·|queries| raw vectors — the
+    corpus is only ever read as codes.
+
+    JVM-side rerank: the shortlist joins the corpus on nid and the
+    broadcast query frame on qid; the exact distance is a zip_with/
+    aggregate over 1e-6-scaled int64 components — whole-stage
+    codegen, no Python in the rerank tail."""
+    short = _pq_adc_ranked(spark, sf_dir, PQ_SHORTLIST)
+    emb = _emb(spark, sf_dir)
+    q = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
+    corp = q.select(F.col("vec_id").alias("nid"), F.col("qv").alias("nqv"))
+    qdf = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    ex = (
+        short.select("qid", "nid", "adc_dist2")
+        .join(corp, "nid")
+        .join(F.broadcast(qdf), "qid")
+        .withColumn(
+            "l2_dist2",
+            F.expr(
+                "aggregate(zip_with(qqv, nqv, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("l2_dist2"), F.asc("nid"))
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", "rank", "nid", "adc_dist2", "l2_dist2")
+    )
+
+
+def _pq_sql() -> str:
+    """Oracle CTE block replaying the PQ build: per-subspace Lloyd
+    rounds (the _km_sql scheme with a ``sub`` grouping key), corpus
+    encode, and the final codes table ``pqcodes(vec_id, sub, code)``
+    plus trained codebook ``pqcent(sub, cid, i, cv)``."""
+    head = f"""pqparams AS (
+  SELECT COUNT(*) AS n,
+         GREATEST(1, COUNT(*) // ({KM_SAMPLE_PER_CENTROID} * {PQ_K})) AS s
+  FROM embeddings
+),
+pqq AS MATERIALIZED (
+  SELECT vec_id, i, i // ((len(embedding)) // {PQ_M}) AS sub,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+),
+pqseeds AS (
+  SELECT {_H16_SQL} % {PQ_K} AS cid, arg_min(vec_id, md5(CAST(vec_id AS VARCHAR))) AS seed_vid
+  FROM embeddings GROUP BY 1
+),
+pqc0 AS (
+  SELECT q.sub, s.cid, q.i, q.q AS cv FROM pqseeds s JOIN pqq q ON q.vec_id = s.seed_vid
+),
+pqsamp AS MATERIALIZED (SELECT vec_id FROM embeddings, pqparams WHERE {_H16S_SQL} % s = 0)"""
+    body = ""
+    prev = "pqc0"
+    for t in range(1, PQ_ITERS + 1):
+        body += f""",
+pqd{t} AS (
+  SELECT q.vec_id, q.sub, c.cid, SUM((q.q - c.cv) * (q.q - c.cv)) AS dist2
+  FROM pqq q JOIN pqsamp USING (vec_id) JOIN {prev} c ON q.i = c.i AND q.sub = c.sub
+  GROUP BY 1, 2, 3
+),
+pqa{t} AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rn
+    FROM pqd{t}) WHERE rn = 1
+),
+pqu{t} AS (
+  SELECT a.sub, a.cid, q.i, SUM(q.q) AS sq, COUNT(*) AS cnt
+  FROM pqa{t} a JOIN pqq q ON a.vec_id = q.vec_id AND a.sub = q.sub GROUP BY 1, 2, 3
+),
+pqc{t} AS (
+  SELECT c.sub, c.cid, c.i,
+         COALESCE(CAST((u.sq - (((u.sq % u.cnt) + u.cnt) % u.cnt)) // u.cnt AS BIGINT), c.cv) AS cv
+  FROM {prev} c LEFT JOIN pqu{t} u ON c.sub = u.sub AND c.cid = u.cid AND c.i = u.i
+)"""
+        prev = f"pqc{t}"
+    tail = f""",
+pqcent AS MATERIALIZED (SELECT sub, cid, i, cv FROM {prev}),
+pqencd AS (
+  SELECT q.vec_id, q.sub, c.cid, SUM((q.q - c.cv) * (q.q - c.cv)) AS dist2
+  FROM pqq q JOIN pqcent c ON q.i = c.i AND q.sub = c.sub
+  GROUP BY 1, 2, 3
+),
+pqcodes AS MATERIALIZED (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT vec_id, sub, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rn
+    FROM pqencd) WHERE rn = 1
+)"""
+    return head + body + tail
+
+
+ORACLE_PQ_CODEBOOK = f"""
+WITH {_pq_sql()}
+SELECT sub, cid, i, cv FROM pqcent
+"""
+
+ORACLE_PQ_ADC_SEARCH = f"""
+WITH {_pq_sql()},
+pqlut AS (
+  SELECT q.vec_id AS qid, c.sub, c.cid, SUM((q.q - c.cv) * (q.q - c.cv)) AS d2
+  FROM pqq q JOIN pqcent c ON q.i = c.i AND q.sub = c.sub
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3
+),
+pqadc AS (
+  SELECT l.qid, co.vec_id AS nid, CAST(SUM(l.d2) AS BIGINT) AS adc_dist2
+  FROM pqcodes co JOIN pqlut l ON l.sub = co.sub AND l.cid = co.code
+  WHERE co.vec_id <> l.qid
+  GROUP BY 1, 2
+)
+SELECT qid, rank, nid, adc_dist2 FROM (
+  SELECT qid, nid, adc_dist2,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist2, nid) AS rank
+  FROM pqadc
+) WHERE rank <= {PQ_TOPK}
+"""
+
+ORACLE_PQ_RERANK_SEARCH = f"""
+WITH {_pq_sql()},
+pqlut AS (
+  SELECT q.vec_id AS qid, c.sub, c.cid, SUM((q.q - c.cv) * (q.q - c.cv)) AS d2
+  FROM pqq q JOIN pqcent c ON q.i = c.i AND q.sub = c.sub
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3
+),
+pqadc AS (
+  SELECT l.qid, co.vec_id AS nid, CAST(SUM(l.d2) AS BIGINT) AS adc_dist2
+  FROM pqcodes co JOIN pqlut l ON l.sub = co.sub AND l.cid = co.code
+  WHERE co.vec_id <> l.qid
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT qid, nid, adc_dist2 FROM (
+    SELECT qid, nid, adc_dist2,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist2, nid) AS arank
+    FROM pqadc
+  ) WHERE arank <= {PQ_SHORTLIST}
+),
+pqex AS (
+  SELECT s.qid, s.nid, s.adc_dist2,
+         CAST(SUM((qq.q - nq.q) * (qq.q - nq.q)) AS BIGINT) AS l2_dist2
+  FROM short s
+  JOIN pqq qq ON qq.vec_id = s.qid
+  JOIN pqq nq ON nq.vec_id = s.nid AND nq.i = qq.i
+  GROUP BY 1, 2, 3
+)
+SELECT qid, rank, nid, adc_dist2, l2_dist2 FROM (
+  SELECT qid, nid, adc_dist2, l2_dist2,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2_dist2, nid) AS rank
+  FROM pqex
+) WHERE rank <= {PQ_TOPK}
+"""
+
+
 SEMDEDUP_THETA = 0.40
 
 
@@ -2215,6 +2590,9 @@ FROM ({union})
 
 
 QUERIES = {
+    "pq_codebook": pq_codebook,
+    "pq_adc_search": pq_adc_search,
+    "pq_rerank_search": pq_rerank_search,
     "mmr_diversified_retrieval": mmr_diversified_retrieval,
     "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
     "semdedup_quality_representatives": semdedup_quality_representatives,
@@ -2236,6 +2614,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pq_codebook": ORACLE_PQ_CODEBOOK,
+    "pq_adc_search": ORACLE_PQ_ADC_SEARCH,
+    "pq_rerank_search": ORACLE_PQ_RERANK_SEARCH,
     "mmr_diversified_retrieval": _mmr_oracle(),
     "hybrid_retrieval_rrf": _hybrid_oracle(),
     "semdedup_quality_representatives": _semdedup_quality_oracle(),

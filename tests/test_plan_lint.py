@@ -128,6 +128,9 @@ CONSTRUCTION_JOBS_ALLOWED = {
     # --- driver-coordinated iteration: per-round convergence probes
     # / lineage cuts are actions by design (unrolling to a fixed
     # round count would drop the convergence guarantee).
+    "pq_codebook": "driver-coordinated per-subspace Lloyd (codebook build)",
+    "pq_adc_search": "PQ training + query-matrix collect (probe set)",
+    "pq_rerank_search": "PQ training + query-matrix collect (probe set)",
     "dedup_clusters": "star-contraction rounds probe convergence",
     "leakage_safe_split": "star-contraction rounds probe convergence",
     "bpe_convergent_merges": "per-round argmax convergence probe (1-row collect)",
