@@ -944,7 +944,14 @@ def srp_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the HOF-expression form (same fixed-point sums), but one
     # numpy pass per batch instead of three interpreted 64-element
     # folds per candidate pair (the verify stage dominated sf1 wall)
-    return S.cosine_pairs_kernel(pairs).filter(F.col("cos_sim") >= 0.35)
+    out = S.cosine_pairs_kernel(pairs).filter(F.col("cos_sim") >= 0.35)
+    # pin: both sides of the band self-join read `sigs` (same race
+    # as the simhash band join — the two scan branches of one job
+    # otherwise recompute the signature kernel before the cache
+    # fills)
+    from ..operators.pinning import pin_on_first_action
+
+    return pin_on_first_action(out, [sigs])
 
 
 ORACLE_SRP_LSH_NEAR_DUPES = """
@@ -1613,6 +1620,168 @@ SELECT qid, rank, nid, adc_dist2, l2_dist2 FROM (
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2_dist2, nid) AS rank
   FROM pqex
 ) WHERE rank <= {PQ_TOPK}
+"""
+
+
+# ------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (Achlioptas 2003 database-
+# friendly variant: Rademacher ±1 entries) — the sketch-BEFORE-ANN
+# rung: project 64-dim vectors to JL_DIMS=16 exact-integer
+# coordinates with a deterministic md5-derived sign matrix (the SRP
+# trick, kept as coordinates instead of collapsed to sign bits), and
+# search in the sketch space. 4× less data scanned per distance; at
+# 100 TB the projected table is the first-pass filter the full
+# vectors never have to serve.
+# ------------------------------------------------------------------
+
+JL_DIMS = 16
+
+
+def _jl_signs(dims: int):
+    """The (dims × JL_DIMS) ±1 projection matrix — entry (i, j) from
+    a nibble of md5('jl:j:i'), identical in hashlib and SQL md5."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                1
+                if hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[0] in _HI_NIBBLES
+                else -1
+                for j in range(JL_DIMS)
+            ]
+            for i in range(dims)
+        ],
+        dtype=np.int64,
+    )
+
+
+def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe JL distance-preservation audit: for every corpus
+    vector (self and exact-duplicate coordinates excluded), the
+    distortion ratio r = proj_dist2 / (JL_DIMS · orig_dist2) — whose
+    expectation is exactly 1 for Rademacher projections — aggregated
+    to (qid, n_pairs, mean_distortion, min_distortion,
+    max_distortion, frac_within_half) with frac_within_half the
+    fraction of pairs with r ∈ [0.5, 1.5].
+
+    This is the JL CONTRACT, which is about distances, not neighbor
+    ranking: on isotropic 64-dim data all pairwise distances
+    concentrate, so a 16-dim sketch cannot rank top-k (measured
+    recall@10 ≈ 0.1) — the production uses are distance-threshold
+    prefilters, dedup radius tests, and diversity estimates, all of
+    which this audit certifies. Means are accumulated as exact
+    floor(r·1e9+0.5) int64 sums (summation-order-free, so the
+    DuckDB oracle hash-matches bit-for-bit).
+
+    Scale shape: one map-only Arrow pass projects and emits one
+    PARTIAL aggregate row per (probe, batch); the final groupBy
+    reduces |queries|·batches rows. Nothing corpus-sized shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    dims = _embedding_dims(sf_dir)
+    signs = _jl_signs(dims)
+    emb = _emb(spark, sf_dir)
+    q = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
+    q_rows = q.filter(F.col("vec_id") < N_QUERIES).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qraw = np.asarray([np.asarray(r[1], dtype=np.int64) for r in q_rows])
+    Qp = Qraw @ signs
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            P = X @ signs  # (n, JL_DIMS) exact int64
+            rows = []
+            for t in range(len(qids)):
+                pd2 = ((P - Qp[t]) ** 2).sum(axis=1)
+                od2 = ((X - Qraw[t]) ** 2).sum(axis=1)
+                keep = (ids != qids[t]) & (od2 > 0)
+                if not keep.any():
+                    continue
+                r = pd2[keep].astype(np.float64) / (JL_DIMS * od2[keep].astype(np.float64))
+                rs = np.floor(r * 1e9 + 0.5).astype(np.int64)
+                rows.append(
+                    (
+                        int(qids[t]),
+                        int(keep.sum()),
+                        int(rs.sum()),
+                        float(r.min()),
+                        float(r.max()),
+                        int(((r >= 0.5) & (r <= 1.5)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["qid", "n", "sum_rs", "min_r", "max_r", "n_within"],
+            )
+
+    partial = q.mapInPandas(
+        scan, "qid long, n long, sum_rs long, min_r double, max_r double, n_within long"
+    )
+    return partial.groupBy("qid").agg(
+        F.sum("n").alias("n_pairs"),
+        F.round(
+            F.sum("sum_rs").cast("double") / F.lit(1e9) / F.sum("n"), 9
+        ).alias("mean_distortion"),
+        F.round(F.min("min_r"), 9).alias("min_distortion"),
+        F.round(F.max("max_r"), 9).alias("max_distortion"),
+        F.round(F.sum("n_within").cast("double") / F.sum("n"), 9).alias(
+            "frac_within_half"
+        ),
+    )
+
+
+ORACLE_JL_DISTORTION_AUDIT = f"""
+WITH jlex AS MATERIALIZED (
+  SELECT vec_id, i, CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+),
+jsigns AS MATERIALIZED (
+  SELECT j, i,
+         CASE WHEN substr(md5('jl:' || j || ':' || i), 1, 1)
+              IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS sgn
+  FROM range(0, {JL_DIMS}) rj(j), (SELECT DISTINCT i FROM jlex) ri(i)
+),
+jproj AS MATERIALIZED (
+  SELECT e.vec_id, s.j, SUM(e.q * s.sgn) AS p
+  FROM jlex e JOIN jsigns s ON e.i = s.i
+  GROUP BY 1, 2
+),
+jpd AS (
+  SELECT qp.vec_id AS qid, cp.vec_id AS nid,
+         CAST(SUM((qp.p - cp.p) * (qp.p - cp.p)) AS BIGINT) AS proj_dist2
+  FROM jproj qp JOIN jproj cp ON qp.j = cp.j
+  WHERE qp.vec_id < {N_QUERIES} AND qp.vec_id <> cp.vec_id
+  GROUP BY 1, 2
+),
+jod AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS orig_dist2
+  FROM jlex a JOIN jlex b ON a.i = b.i
+  WHERE a.vec_id < {N_QUERIES} AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+jr AS (
+  SELECT p.qid,
+         CAST(p.proj_dist2 AS DOUBLE) / ({JL_DIMS} * CAST(o.orig_dist2 AS DOUBLE)) AS r
+  FROM jpd p JOIN jod o ON p.qid = o.qid AND p.nid = o.nid
+  WHERE o.orig_dist2 > 0
+)
+SELECT qid, COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(floor(r * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*), 9)
+         AS mean_distortion,
+       ROUND(MIN(r), 9) AS min_distortion,
+       ROUND(MAX(r), 9) AS max_distortion,
+       ROUND(CAST(SUM(CASE WHEN r >= 0.5 AND r <= 1.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS frac_within_half
+FROM jr GROUP BY qid
 """
 
 
@@ -2593,6 +2762,7 @@ QUERIES = {
     "pq_codebook": pq_codebook,
     "pq_adc_search": pq_adc_search,
     "pq_rerank_search": pq_rerank_search,
+    "jl_distortion_audit": jl_distortion_audit,
     "mmr_diversified_retrieval": mmr_diversified_retrieval,
     "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
     "semdedup_quality_representatives": semdedup_quality_representatives,
@@ -2617,6 +2787,7 @@ ORACLES = {
     "pq_codebook": ORACLE_PQ_CODEBOOK,
     "pq_adc_search": ORACLE_PQ_ADC_SEARCH,
     "pq_rerank_search": ORACLE_PQ_RERANK_SEARCH,
+    "jl_distortion_audit": ORACLE_JL_DISTORTION_AUDIT,
     "mmr_diversified_retrieval": _mmr_oracle(),
     "hybrid_retrieval_rrf": _hybrid_oracle(),
     "semdedup_quality_representatives": _semdedup_quality_oracle(),

@@ -463,3 +463,20 @@ def test_pq_rerank_recovers_adc_recall(spark):
     for q, grp in rer.groupby("qid"):
         g = grp.sort_values("rank")
         assert (np.diff(g.l2_dist2.to_numpy()) >= 0).all()
+
+
+def test_jl_distortion_contract(spark):
+    """The JL guarantee the audit certifies: Rademacher projection
+    distortion ratios are unbiased (mean ≈ 1) and concentrated —
+    with JL_DIMS=16 the variance is 2/16, so the bulk of pairs land
+    in [0.5, 1.5]. Pins mean ∈ [0.8, 1.2], ≥70% of pairs within
+    half, and min/max bracketing the mean, per probe."""
+    pdf = similarity.jl_distortion_audit(spark, SF_SMOKE).toPandas()
+    assert len(pdf) == 10
+    assert (pdf.n_pairs > 0).all()
+    assert ((pdf.mean_distortion >= 0.8) & (pdf.mean_distortion <= 1.2)).all(), (
+        pdf.mean_distortion.tolist()
+    )
+    assert (pdf.frac_within_half >= 0.7).all(), pdf.frac_within_half.tolist()
+    assert (pdf.min_distortion <= pdf.mean_distortion).all()
+    assert (pdf.max_distortion >= pdf.mean_distortion).all()
