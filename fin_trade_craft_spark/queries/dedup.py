@@ -471,6 +471,134 @@ FROM grp g JOIN gs USING (group_id) JOIN rep USING (group_id)
 """
 
 
+HASH_TF_BUCKETS = 32
+
+
+def dedup_lexical_vector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-vs-vector agreement over the SAME candidate set — the
+    cross-check a curation pipeline runs before trusting one dedup
+    modality: every MinHash-LSH candidate pair that passes the exact
+    3-gram Jaccard ≥ 0.5 verify is ALSO scored by cosine over
+    signed feature-hashed TF vectors (Weinberger et al. 2009:
+    bucket = first two md5 nibbles of the token mod {HASH_TF_BUCKETS},
+    sign from the third nibble — hash collisions cancel in
+    expectation). Output (d1, d2, jaccard, tf_cosine); a pair where
+    the two signals diverge is exactly the case to audit.
+
+    Scale shape: vector components are one corpus token aggregate
+    (sparse: ≤{HASH_TF_BUCKETS} rows/doc); the dot-product join is
+    candidate-bounded (pairs × buckets, never corpus × corpus); the
+    quadratic stage stays confined to LSH band collisions. All
+    arithmetic is exact integers until the final cosine division —
+    the oracle replays it bit-for-bit, JVM expressions only (md5 +
+    instr arithmetic, no UDF)."""
+    docs = _docs_wide(spark, sf_dir)
+    sets = D.with_shingle_sets(docs).persist()
+    sigs = D.minhash_signatures(sets, num_perm=8)
+    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
+    pairs = D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
+        "d1", "d2", "jaccard"
+    )
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    tcnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    nib = lambda i: f"(instr('0123456789abcdef', substr(md5(tok), {i}, 1)) - 1)"
+    hb = tcnt.select(
+        "doc_id",
+        F.expr(f"(({nib(1)}) * 16 + ({nib(2)})) % {HASH_TF_BUCKETS}").alias("j"),
+        F.expr(
+            "CASE WHEN substr(md5(tok), 3, 1) IN"
+            " ('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END"
+        ).alias("sv"),
+    )
+    comp = hb.groupBy("doc_id", "j").agg(F.sum("sv").alias("v")).persist()
+    n2 = comp.groupBy("doc_id").agg(F.sum(F.col("v") * F.col("v")).alias("n2"))
+    c1 = comp.select(F.col("doc_id").alias("d1"), "j", F.col("v").alias("v1"))
+    c2 = comp.select(F.col("doc_id").alias("d2"), "j", F.col("v").alias("v2"))
+    dots = (
+        pairs.join(c1, "d1")
+        .join(c2, ["d2", "j"])
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("v1") * F.col("v2")).alias("dot"))
+    )
+    out = (
+        pairs.join(dots, ["d1", "d2"], "left")
+        .join(n2.select(F.col("doc_id").alias("d1"), F.col("n2").alias("na")), "d1")
+        .join(n2.select(F.col("doc_id").alias("d2"), F.col("n2").alias("nb")), "d2")
+        .select(
+            "d1",
+            "d2",
+            "jaccard",
+            F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                F.coalesce(F.col("dot"), F.lit(0)).cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+            ).alias("tf_cosine"),
+        )
+    )
+    # pin: `sets` feeds the signature chain + both verify branches;
+    # `comp` feeds the dot join's both sides and the norm aggregate
+    return pin_on_first_action(out, [sets, comp])
+
+
+ORACLE_DEDUP_LEXICAL_VECTOR_AGREEMENT = f"""
+{_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id,
+{_MH_COLS}
+  FROM sh_sets
+),
+banded AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs),
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes_sh AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_sets),
+exsh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh_sets),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM exsh a JOIN exsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT d1, d2, inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) AS jaccard
+  FROM cands JOIN inter USING (d1, d2)
+  JOIN sizes_sh s1 ON d1 = s1.doc_id JOIN sizes_sh s2 ON d2 = s2.doc_id
+  WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
+),
+tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+tcnt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+hb AS (
+  SELECT doc_id,
+         ((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) % {HASH_TF_BUCKETS} AS j,
+         CASE WHEN substr(md5(tok), 3, 1) IN ('8','9','a','b','c','d','e','f')
+              THEN cnt ELSE -cnt END AS sv
+  FROM tcnt
+),
+comp AS MATERIALIZED (SELECT doc_id, j, CAST(SUM(sv) AS BIGINT) AS v FROM hb GROUP BY 1, 2),
+nrm AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM comp GROUP BY 1),
+dots AS (
+  SELECT p.d1, p.d2, CAST(SUM(c1.v * c2.v) AS BIGINT) AS dot
+  FROM jpairs p
+  JOIN comp c1 ON c1.doc_id = p.d1
+  JOIN comp c2 ON c2.doc_id = p.d2 AND c2.j = c1.j
+  GROUP BY 1, 2
+)
+SELECT p.d1, p.d2, p.jaccard,
+       CASE WHEN a.n2 > 0 AND b.n2 > 0
+            THEN CAST(COALESCE(d.dot, 0) AS DOUBLE)
+                 / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE)))
+       END AS tf_cosine
+FROM jpairs p
+LEFT JOIN dots d USING (d1, d2)
+JOIN nrm a ON a.doc_id = p.d1
+JOIN nrm b ON b.doc_id = p.d2
+"""
+
+
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures + 4-bit bucket histogram join."""
     sigs = D.simhash_bits(_docs_wide(spark, sf_dir))
@@ -720,6 +848,7 @@ QUERIES = {
     "lsh_recall_eval": lsh_recall_eval,
     "dedup_clusters": dedup_clusters,
     "leakage_safe_split": leakage_safe_split,
+    "dedup_lexical_vector_agreement": dedup_lexical_vector_agreement,
     "minhash_near_dupes": minhash_near_dupes,
     "simhash_buckets": simhash_buckets,
     "simhash_hamming_pairs": simhash_hamming_pairs,
@@ -730,6 +859,7 @@ ORACLES = {
     "incremental_dedup_ingest": ORACLE_INCREMENTAL_DEDUP_INGEST,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "leakage_safe_split": ORACLE_LEAKAGE_SAFE_SPLIT,
+    "dedup_lexical_vector_agreement": ORACLE_DEDUP_LEXICAL_VECTOR_AGREEMENT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_jaccard_verified": ORACLE_DEDUP_JACCARD_VERIFIED,

@@ -139,3 +139,23 @@ def test_leakage_safe_split_groups_near_dups(spark):
         h = hashlib.md5(norm.encode()).hexdigest()
         assert rows[doc_id].group_md5 == h
         assert rows[doc_id].split == ("eval" if h[0] in "01" else "train")
+
+
+def test_lexical_vector_agreement_bridges_modalities(spark):
+    """Planted near-dups must score high on BOTH signals: the
+    verified-Jaccard pair (one word swapped in a 20-word doc) gets a
+    feature-hashed-TF cosine near 1 (19/20 shared unit counts),
+    while the schema carries NULL cosine only for zero-norm vectors
+    (not planted here)."""
+    from fin_trade_craft_spark.queries.dedup import QUERIES
+
+    pdf = QUERIES["dedup_lexical_vector_agreement"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(pdf) > 0
+    assert ((pdf.jaccard >= 0.5) & (pdf.jaccard <= 1.0)).all()
+    assert pdf.tf_cosine.notna().all()
+    # near-dup pairs share almost all tokens -> cosine strongly
+    # positive; hash-collision noise can dent but not invert it
+    assert pdf.tf_cosine.mean() >= 0.5, pdf.tf_cosine.describe()
+    assert (pdf.tf_cosine <= 1.0 + 1e-9).all()
