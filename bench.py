@@ -116,6 +116,11 @@ def bench_query_names() -> list[str]:
         "corpus_build",
         # r08: RAG-stack hybrid retrieval (BM25 ⊕ cosine, RRF-fused)
         "hybrid_retrieval_rrf",
+        # r08 late: PQ/ADC serving path (code-scan + exact rerank),
+        # MMR diversity re-rank, near-dup-aware train/eval split
+        "pq_rerank_search",
+        "mmr_diversified_retrieval",
+        "leakage_safe_split",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]
