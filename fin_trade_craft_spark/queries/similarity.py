@@ -1969,9 +1969,13 @@ def _semdedup_quality_oracle() -> str:
     from .text import ORACLE_DOC_QUALITY_SCORES
 
     return f"""
-WITH clusters AS ({ORACLE_SEMDEDUP}),
-quality AS (SELECT doc_id AS vec_id, quality_score FROM ({ORACLE_DOC_QUALITY_SCORES})),
-j AS (
+WITH clusters AS MATERIALIZED ({ORACLE_SEMDEDUP}),
+quality AS MATERIALIZED (SELECT doc_id AS vec_id, quality_score FROM ({ORACLE_DOC_QUALITY_SCORES})),
+j AS MATERIALIZED (
+  -- MATERIALIZED throughout: j is referenced twice (agg, keep) and
+  -- DuckDB otherwise re-inlines the ENTIRE nested semdedup chain
+  -- (k-means unroll + recursive component closure) per reference —
+  -- measured >30 min at the sf1 replica vs seconds materialized
   SELECT c.vec_id, c.cluster_id, c.cluster_size, q.quality_score
   FROM clusters c JOIN quality q USING (vec_id)
 ),
