@@ -234,12 +234,20 @@ vnorm AS MATERIALIZED (
          CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2v
   FROM exv GROUP BY vec_id
 ),
+-- candidate pairs first, then coordinates (join-order fix shared
+-- with ORACLE_SEMDEDUP: coordinate-first planning exploded before
+-- the cell restriction pruned)
+scpairs AS MATERIALIZED (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE a.vec_id IN (SELECT doc_id FROM s2) AND b.vec_id IN (SELECT doc_id FROM s2)
+),
 pdots AS MATERIALIZED (
-  SELECT a.vec_id AS d1, b.vec_id AS d2,
+  SELECT p.d1, p.d2,
          CAST(SUM(CAST(floor((a.v * b.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-  FROM exv a JOIN exv b ON a.i = b.i AND a.vec_id < b.vec_id
-  JOIN cells ca ON a.vec_id = ca.vec_id
-  JOIN cells cb ON b.vec_id = cb.vec_id AND ca.cell = cb.cell
+  FROM scpairs p
+  JOIN exv a ON a.vec_id = p.d1
+  JOIN exv b ON b.vec_id = p.d2 AND b.i = a.i
   GROUP BY 1, 2
 ),
 sdp AS MATERIALIZED (

@@ -320,7 +320,7 @@ pairs AS (
   JOIN sizes_sh s1 ON d1 = s1.doc_id JOIN sizes_sh s2 ON d2 = s2.doc_id
   WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT d1 AS src, d2 AS dst FROM pairs
   UNION
   SELECT d2, d1 FROM pairs
@@ -440,7 +440,7 @@ pairs AS (
   JOIN sizes_sh s1 ON d1 = s1.doc_id JOIN sizes_sh s2 ON d2 = s2.doc_id
   WHERE inter / CAST(s1.n_sh + s2.n_sh - inter AS DOUBLE) >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT d1 AS src, d2 AS dst FROM pairs
   UNION
   SELECT d2, d1 FROM pairs

@@ -134,7 +134,7 @@ WITH pairs AS (
   SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
   WHERE a.l_partkey < b.l_partkey
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= {MIN_CO_ORDERS}
 ), nodes AS (
   SELECT DISTINCT p FROM (SELECT p1 AS p FROM edges UNION ALL SELECT p2 FROM edges)
@@ -229,7 +229,7 @@ WITH pairs AS (
   WHERE a.l_partkey < b.l_partkey
 ), e0 AS (
   SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= {MIN_CO_ORDERS}
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT p1 AS src, p2 AS dst FROM e0 UNION ALL SELECT p2, p1 FROM e0
 ), deg AS (
   SELECT src, COUNT(*) AS deg FROM edges GROUP BY src

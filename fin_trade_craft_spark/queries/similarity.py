@@ -1878,15 +1878,24 @@ vnorm AS (
          CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2v
   FROM ex GROUP BY vec_id
 ),
-cells AS (
+cells AS MATERIALIZED (
   SELECT vec_id, cid AS cell FROM kranked WHERE rn = 1
 ),
+-- candidate pairs FIRST (within-cell, O(n·cell)), coordinates
+-- joined onto the bounded pair set: with the coordinate self-join
+-- written first, DuckDB's planner hash-joined ex⋈ex ON i (64 keys
+-- × n² rows per key) before the cell restriction could prune —
+-- >400s at the sf1 replica vs seconds in this order
+cpairs AS MATERIALIZED (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
 pdots AS (
-  SELECT a.vec_id AS d1, b.vec_id AS d2,
+  SELECT p.d1, p.d2,
          CAST(SUM(CAST(floor((a.v * b.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-  JOIN cells ca ON a.vec_id = ca.vec_id
-  JOIN cells cb ON b.vec_id = cb.vec_id AND ca.cell = cb.cell
+  FROM cpairs p
+  JOIN ex a ON a.vec_id = p.d1
+  JOIN ex b ON b.vec_id = p.d2 AND b.i = a.i
   GROUP BY 1, 2
 ),
 dup_pairs AS (
@@ -1894,7 +1903,7 @@ dup_pairs AS (
   FROM pdots JOIN vnorm na ON d1 = na.vec_id JOIN vnorm nb ON d2 = nb.vec_id
   WHERE dot / (SQRT(na.n2v) * SQRT(nb.n2v)) >= {SEMDEDUP_THETA}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT d1 AS src, d2 AS dst FROM dup_pairs
   UNION
   SELECT d2, d1 FROM dup_pairs
@@ -2370,14 +2379,22 @@ vnorm AS (
          CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2
   FROM ex GROUP BY vec_id
 ),
-cells AS (SELECT vec_id, cid AS cell FROM kranked WHERE rn = 1),
-pdots AS (
-  SELECT a.vec_id AS d1, b.vec_id AS d2,
-         CAST(SUM(CAST(floor((a.v * b.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
-  FROM ex a JOIN ex b ON a.i = b.i
-  JOIN cells ca ON a.vec_id = ca.vec_id
-  JOIN cells cb ON b.vec_id = cb.vec_id AND ca.cell = cb.cell
+cells AS MATERIALIZED (SELECT vec_id, cid AS cell FROM kranked WHERE rn = 1),
+-- candidate pairs first, then coordinates (same join-order fix as
+-- ORACLE_SEMDEDUP — the coordinate-first form planned ex⋈ex ON i
+-- before the cell restriction)
+cpairs AS MATERIALIZED (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM cells a JOIN cells b ON a.cell = b.cell
   WHERE b.vec_id % 2 = 1 AND (a.vec_id % 2 = 0 OR a.vec_id < b.vec_id)
+        AND a.vec_id <> b.vec_id
+),
+pdots AS (
+  SELECT p.d1, p.d2,
+         CAST(SUM(CAST(floor((a.v * b.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dot
+  FROM cpairs p
+  JOIN ex a ON a.vec_id = p.d1
+  JOIN ex b ON b.vec_id = p.d2 AND b.i = a.i
   GROUP BY 1, 2
 ),
 matches AS (
