@@ -500,7 +500,7 @@ kseeds AS (
   SELECT {_H16_SQL} % k AS cid, arg_min(vec_id, md5(CAST(vec_id AS VARCHAR))) AS seed_vid
   FROM embeddings, kparams2 WHERE {train_pred} GROUP BY 1
 ),
-kc0 AS (
+kc0 AS MATERIALIZED (
   SELECT s.cid, q.i, q.q AS cv FROM kseeds s JOIN kq q ON q.vec_id = s.seed_vid
 ),
 ksamp AS MATERIALIZED (SELECT vec_id FROM embeddings, kparams2
@@ -524,7 +524,7 @@ ku{t} AS (
   SELECT a.cid, q.i, SUM(q.q) AS sq, COUNT(*) AS cnt
   FROM ka{t} a JOIN kq q USING (vec_id) GROUP BY 1, 2
 ),
-kc{t} AS (
+kc{t} AS MATERIALIZED (
   SELECT c.cid, c.i,
          COALESCE(CAST((u.sq - (((u.sq % u.cnt) + u.cnt) % u.cnt)) // u.cnt AS BIGINT), c.cv) AS cv
   FROM {prev} c LEFT JOIN ku{t} u ON c.cid = u.cid AND c.i = u.i
@@ -2167,7 +2167,7 @@ hsz AS (
          GREATEST(1, CAST(CEIL(COUNT(*) / {KM_TARGET_CELL}.0) AS BIGINT)) AS k2
   FROM htrain GROUP BY c1
 ),
-hmulti AS (SELECT c1, m_train, k2,
+hmulti AS MATERIALIZED (SELECT c1, m_train, k2,
                   GREATEST(1, m_train // ({KM_SAMPLE_PER_CENTROID} * k2)) AS s
            FROM hsz WHERE k2 >= 2),
 hq AS MATERIALIZED (
@@ -2180,11 +2180,11 @@ hseeds AS (
   FROM htrain t JOIN hmulti m USING (c1)
   GROUP BY t.c1, 2
 ),
-hc0 AS (
+hc0 AS MATERIALIZED (
   SELECT s.c1, s.cid2, q.i, q.q AS cv
   FROM hseeds s JOIN kq q ON q.vec_id = s.seed_vid
 ),
-hsamp0 AS (
+hsamp0 AS MATERIALIZED (
   SELECT t.c1, t.vec_id
   FROM htrain t JOIN hmulti m USING (c1)
   WHERE {_H16S_SQL.replace("vec_id", "t.vec_id")} % m.s = 0
@@ -2217,7 +2217,7 @@ hu{t} AS (
   FROM hax{t} a JOIN hq q ON q.c1 = a.c1 AND q.vec_id = a.vec_id
   GROUP BY 1, 2, 3
 ),
-hc{t} AS (
+hc{t} AS MATERIALIZED (
   SELECT c.c1, c.cid2, c.i,
          COALESCE(CAST((u.sq - (((u.sq % u.cnt) + u.cnt) % u.cnt)) // u.cnt AS BIGINT), c.cv) AS cv
   FROM {prev} c LEFT JOIN hu{t} u ON c.c1 = u.c1 AND c.cid2 = u.cid2 AND c.i = u.i
