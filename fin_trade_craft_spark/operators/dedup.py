@@ -580,14 +580,14 @@ def simhash_hamming_pairs(
         f"aggregate(sequence(1, {n_bits}), 0,"
         " (acc, i) -> acc + IF(substr(s1, i, 1) <> substr(s2, i, 1), 1, 0))"
     ).cast("bigint")
-    out = (
+    # NOT pinned: unlike the minhash chain (three DISTINCT consumers
+    # of the shingle cache — pin measured 0.92 vs 1.28s median), the
+    # band SELF-join's two sides are the identical subplan and Spark
+    # plans a ReusedExchange — the signature kernel already runs
+    # once, and a pin's count() is a pure extra pass (A/B at sf0.1,
+    # 4 reps: pinned 2.64s vs 1.75s median).
+    return (
         cands.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
-    # pin: both sides of the band self-join read `sigs` — without a
-    # pin the two scan branches of the one join job race to compute
-    # the n_bits-aggregate signature plan before the cache fills.
-    from .pinning import pin_on_first_action
-
-    return pin_on_first_action(out, [sigs])

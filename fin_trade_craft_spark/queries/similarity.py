@@ -944,14 +944,14 @@ def srp_lsh_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the HOF-expression form (same fixed-point sums), but one
     # numpy pass per batch instead of three interpreted 64-element
     # folds per candidate pair (the verify stage dominated sf1 wall)
-    out = S.cosine_pairs_kernel(pairs).filter(F.col("cos_sim") >= 0.35)
-    # pin: both sides of the band self-join read `sigs` (same race
-    # as the simhash band join — the two scan branches of one job
-    # otherwise recompute the signature kernel before the cache
-    # fills)
-    from ..operators.pinning import pin_on_first_action
-
-    return pin_on_first_action(out, [sigs])
+    # NOT pinned: the band self-join's two sides are the identical
+    # subplan — Spark plans a ReusedExchange over the persisted
+    # signature frame, so the kernel already runs once; a pin's
+    # count() is a pure extra pass (A/B at sf0.1, 4 reps: pinned
+    # 1.69s vs 0.98s median — same verdict as the simhash band
+    # join, opposite of the minhash chain whose three consumers are
+    # distinct plans).
+    return S.cosine_pairs_kernel(pairs).filter(F.col("cos_sim") >= 0.35)
 
 
 ORACLE_SRP_LSH_NEAR_DUPES = """
