@@ -119,6 +119,7 @@ def bench_query_names() -> list[str]:
         # r08 late: PQ/ADC serving path (code-scan + exact rerank),
         # MMR diversity re-rank, near-dup-aware train/eval split
         "pq_rerank_search",
+        "ivf_pq_search",
         "mmr_diversified_retrieval",
         "leakage_safe_split",
     ]

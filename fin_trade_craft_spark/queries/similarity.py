@@ -1623,6 +1623,181 @@ SELECT qid, rank, nid, adc_dist2, l2_dist2 FROM (
 """
 
 
+def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the canonical 100-TB ANN serving architecture
+    (Jégou et al. 2011 §V; the FAISS IVFPQ index), composed from the
+    repo's two trained quantizers: the coarse k-means index prunes
+    the corpus to each query's nprobe nearest cells, the PRODUCT
+    quantizer scans only those cells in the compressed domain
+    (PQ_M-byte codes, per-query ADC lookup table), and the
+    {PQ_SHORTLIST}-candidate shortlist is reranked by exact integer
+    squared L2 on raw vectors.
+
+    Scale shape: per query the corpus fraction touched is
+    ~nprobe/k — and since nprobe = max(2, ⌈k/8⌉) tracks k, that
+    fraction stays ~1/8 as the corpus grows; within the probed
+    cells the scan reads codes (32× less than raw floats); full-
+    precision reads are shortlist-sized. One map-only Arrow pass
+    assigns cells + encodes + ADC-scores + keeps a LOCAL shortlist
+    per query (both codebooks and the probe-cell sets ride in the
+    closure — coarse k×dims bounded by the hierarchical tier above
+    HIER_MIN_ROWS, PQ table PQ_M·PQ_K·sub_dims ≈ 1k ints); the
+    global window ranks shortlist·|queries| rows per batch, and the
+    rerank join touches shortlist·|queries| raw vectors, JVM-side.
+
+    Both quantizer builds replay bit-for-bit in the oracle (the
+    _km_sql and _pq_sql CTE generators composed in one WITH)."""
+    import numpy as np
+    import pandas as pd
+
+    kcids, KC, kp = _train_kmeans(spark, sf_dir)
+    pcids, PC, sd = _train_pq(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
+    q_rows = q.filter(F.col("vec_id") < N_QUERIES).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qm = np.asarray([np.asarray(r[1], dtype=np.int64) for r in q_rows])
+    nprobe = min(kp["nprobe"], len(kcids))
+    # query probe cells (driver-side: |queries|×k distances — the
+    # same closure-bounded matrix the assignment kernel ships)
+    d2q = (
+        (Qm * Qm).sum(axis=1)[:, None]
+        - 2 * (Qm @ KC.T)
+        + (KC * KC).sum(axis=1)[None, :]
+    )
+    probe_order = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]
+    probe_cells = [set(kcids[probe_order[t]].tolist()) for t in range(len(qids))]
+    Qp = Qm.reshape(len(qids), PQ_M, sd)
+    lut = np.einsum("tmj,tmj->tm", Qp, Qp)[:, :, None] - 2 * np.einsum(
+        "tmj,mkj->tmk", Qp, PC
+    ) + np.einsum("mkj,mkj->mk", PC, PC)[None, :, :]
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            # coarse cell per vector (argmin; KC rows are cid-sorted
+            # so first min = min cid)
+            dc = (
+                (X * X).sum(axis=1)[:, None]
+                - 2 * (X @ KC.T)
+                + (KC * KC).sum(axis=1)[None, :]
+            )
+            cell = kcids[np.argmin(dc, axis=1)]
+            Xs = X.reshape(len(pdf), PQ_M, sd)
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                Xm, Cm = Xs[:, m, :], PC[m]
+                d2 = (
+                    (Xm * Xm).sum(axis=1)[:, None]
+                    - 2 * (Xm @ Cm.T)
+                    + (Cm * Cm).sum(axis=1)[None, :]
+                )
+                codes[:, m] = np.argmin(d2, axis=1)
+            out_q, out_n, out_d = [], [], []
+            for t in range(len(qids)):
+                keep = np.fromiter(
+                    (c in probe_cells[t] for c in cell), dtype=bool, count=len(cell)
+                ) & (ids != qids[t])
+                if not keep.any():
+                    continue
+                adc = lut[t, np.arange(PQ_M)[None, :], codes[keep]].sum(axis=1)
+                a_ids = ids[keep]
+                order = np.lexsort((a_ids, adc))[:PQ_SHORTLIST]
+                out_q.extend([int(qids[t])] * len(order))
+                out_n.extend(a_ids[order].tolist())
+                out_d.extend(adc[order].tolist())
+            yield pd.DataFrame({"qid": out_q, "nid": out_n, "adc_dist2": out_d})
+
+    local = q.mapInPandas(scan, "qid long, nid long, adc_dist2 long")
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist2"), F.asc("nid"))
+    short = local.withColumn("arank", F.row_number().over(w)).filter(
+        F.col("arank") <= PQ_SHORTLIST
+    )
+    corp = q.select(F.col("vec_id").alias("nid"), F.col("qv").alias("nqv"))
+    qdf = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    ex = (
+        short.select("qid", "nid", "adc_dist2")
+        .join(corp, "nid")
+        .join(F.broadcast(qdf), "qid")
+        .withColumn(
+            "l2_dist2",
+            F.expr(
+                "aggregate(zip_with(qqv, nqv, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.asc("l2_dist2"), F.asc("nid"))
+    return (
+        ex.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", "rank", "nid", "adc_dist2", "l2_dist2")
+    )
+
+
+ORACLE_IVF_PQ_SEARCH = f"""
+WITH {_km_sql()},
+{_pq_sql()},
+qkd AS (
+  SELECT q.vec_id AS qid, c.cid, SUM((q.q - c.cv) * (q.q - c.cv)) AS d2
+  FROM kq q JOIN kcent c ON q.i = c.i
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+qprobe AS MATERIALIZED (
+  SELECT qid, cid AS cell FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS prn
+    FROM qkd
+  ) r, kparams2 WHERE prn <= LEAST(nprobe, k)
+),
+vcell AS MATERIALIZED (SELECT vec_id, cid AS cell FROM kranked WHERE rn = 1),
+cand AS MATERIALIZED (
+  SELECT p.qid, v.vec_id AS nid
+  FROM qprobe p JOIN vcell v ON v.cell = p.cell
+  WHERE v.vec_id <> p.qid
+),
+pqlut AS MATERIALIZED (
+  SELECT q.vec_id AS qid, c.sub, c.cid, SUM((q.q - c.cv) * (q.q - c.cv)) AS d2
+  FROM pqq q JOIN pqcent c ON q.i = c.i AND q.sub = c.sub
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3
+),
+pqadc AS (
+  SELECT ca.qid, ca.nid, CAST(SUM(l.d2) AS BIGINT) AS adc_dist2
+  FROM cand ca
+  JOIN pqcodes co ON co.vec_id = ca.nid
+  JOIN pqlut l ON l.qid = ca.qid AND l.sub = co.sub AND l.cid = co.code
+  GROUP BY 1, 2
+),
+short AS MATERIALIZED (
+  SELECT qid, nid, adc_dist2 FROM (
+    SELECT qid, nid, adc_dist2,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist2, nid) AS arank
+    FROM pqadc
+  ) WHERE arank <= {PQ_SHORTLIST}
+),
+pqex AS (
+  SELECT s.qid, s.nid, s.adc_dist2,
+         CAST(SUM((qq.q - nq.q) * (qq.q - nq.q)) AS BIGINT) AS l2_dist2
+  FROM short s
+  JOIN pqq qq ON qq.vec_id = s.qid
+  JOIN pqq nq ON nq.vec_id = s.nid AND nq.i = qq.i
+  GROUP BY 1, 2, 3
+)
+SELECT qid, rank, nid, adc_dist2, l2_dist2 FROM (
+  SELECT qid, nid, adc_dist2, l2_dist2,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2_dist2, nid) AS rank
+  FROM pqex
+) WHERE rank <= {PQ_TOPK}
+"""
+
+
 # ------------------------------------------------------------------
 # Johnson–Lindenstrauss random projection (Achlioptas 2003 database-
 # friendly variant: Rademacher ±1 entries) — the sketch-BEFORE-ANN
@@ -2783,6 +2958,7 @@ QUERIES = {
     "pq_codebook": pq_codebook,
     "pq_adc_search": pq_adc_search,
     "pq_rerank_search": pq_rerank_search,
+    "ivf_pq_search": ivf_pq_search,
     "jl_distortion_audit": jl_distortion_audit,
     "mmr_diversified_retrieval": mmr_diversified_retrieval,
     "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
@@ -2808,6 +2984,7 @@ ORACLES = {
     "pq_codebook": ORACLE_PQ_CODEBOOK,
     "pq_adc_search": ORACLE_PQ_ADC_SEARCH,
     "pq_rerank_search": ORACLE_PQ_RERANK_SEARCH,
+    "ivf_pq_search": ORACLE_IVF_PQ_SEARCH,
     "jl_distortion_audit": ORACLE_JL_DISTORTION_AUDIT,
     "mmr_diversified_retrieval": _mmr_oracle(),
     "hybrid_retrieval_rrf": _hybrid_oracle(),

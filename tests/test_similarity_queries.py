@@ -480,3 +480,51 @@ def test_jl_distortion_contract(spark):
     assert (pdf.frac_within_half >= 0.7).all(), pdf.frac_within_half.tolist()
     assert (pdf.min_distortion <= pdf.mean_distortion).all()
     assert (pdf.max_distortion >= pdf.mean_distortion).all()
+
+
+def test_ivf_pq_pruning_contract_and_recall(spark):
+    """IVF-PQ: (1) every returned neighbor's coarse cell must be in
+    its query's nprobe probe set (the pruning contract — the scan
+    never touched other cells); (2) recall@10 vs exact L2 stays
+    above the measured floor (0.57 at sf0.001 / 0.46 at sf0.01 —
+    the ~0.2 gap to full-scan pq_rerank is the price of probing
+    nprobe/k of the corpus, the knob a deployment turns)."""
+    import numpy as np
+
+    from fin_trade_craft_spark.queries.similarity import (
+        N_QUERIES,
+        _train_kmeans,
+        ivf_pq_search,
+    )
+    from pyspark.sql import functions as F
+
+    ipq = ivf_pq_search(spark, SF_SMOKE).toPandas()
+    assert len(ipq) > 0
+    # (1) pruning contract
+    kcids, KC, kp = _train_kmeans(spark, SF_SMOKE)
+    rows = {
+        r.vec_id: np.floor(
+            np.asarray(r.embedding, dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        for r in similarity._emb(spark, SF_SMOKE).collect()
+    }
+    ids = np.array(sorted(rows))
+    X = np.stack([rows[i] for i in ids])
+    d2c = (X * X).sum(1)[:, None] - 2 * (X @ KC.T) + (KC * KC).sum(1)[None, :]
+    cell_of = dict(zip(ids.tolist(), kcids[np.argmin(d2c, axis=1)].tolist()))
+    nprobe = min(kp["nprobe"], len(kcids))
+    for qv in range(N_QUERIES):
+        qi = int(np.where(ids == qv)[0][0])
+        order = np.argsort(d2c[qi], kind="stable")[:nprobe]
+        probes = set(kcids[order].tolist())
+        got = ipq[ipq.qid == qv]
+        assert all(cell_of[n] in probes for n in got.nid), (qv, probes)
+    # (2) recall floor
+    recs = []
+    for qv in range(N_QUERIES):
+        qi = int(np.where(ids == qv)[0][0])
+        d2 = ((X - X[qi]) ** 2).sum(axis=1)
+        d2[qi] = np.iinfo(np.int64).max
+        truth = set(ids[np.lexsort((ids, d2))[:10]].tolist())
+        recs.append(len(truth & set(ipq[ipq.qid == qv].nid)) / 10)
+    assert np.mean(recs) >= 0.4, np.mean(recs)
