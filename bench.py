@@ -161,9 +161,20 @@ def main() -> None:
     # single shared JVM, first-touch whole-stage-codegen compilation
     # and GC pauses add 2-10s spikes that vary run-to-run (measured:
     # the same query swinging 1.6s ↔ 9s across bench invocations).
-    # min-of-2 reports the steady-state cost of the PLAN — nothing
-    # is cached across attempts (localCheckpoints are rebuilt), so
-    # the second run re-executes all real work.
+    # min-of-2 reports the steady-state cost of the PLAN. What
+    # "steady state" means differs by cache discipline, and that is
+    # DELIBERATE (r8 review): queries wrapped in pin_on_first_action
+    # release their caches when `del df` drops the wrapper, so both
+    # attempts are cold and the min is a COLD steady state; queries
+    # with bare persist() leave their CacheManager entries alive
+    # (entries are plan-keyed and survive the DataFrame), so attempt
+    # 2 reads the filled index and the min is a WARM-index steady
+    # state — the production serving pattern for exactly those
+    # queries (built indexes and signature tables are reused, the
+    # same reason the graph family's cross-query edge reuse and the
+    # k-means codebook memo are left intact). localCheckpoint-era
+    # rounds (≤ r6) were uniformly cold; per-query comparisons
+    # across that boundary carry this caveat.
     timings: dict[str, float] = {}
     for name in bench_query_names():
         best = None

@@ -473,6 +473,30 @@ def lsh_candidate_pairs(
     return a.join(b, "band").filter(F.col("d1") < F.col("d2")).select("d1", "d2").distinct()
 
 
+def lsh_verified_pairs(
+    docs: DataFrame,
+    num_perm: int = 8,
+    rows_per_band: int = 2,
+    min_jaccard: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """The canonical MinHash-LSH near-dup chain: shingle sets →
+    signatures → banded candidates → exact-Jaccard verify. Returns
+    ``(sets, pairs)``: ``sets`` is the PERSISTED shingle-set frame
+    (the signature build and both verify-join branches read it —
+    callers should ``pin_on_first_action`` it on their outermost
+    frame, or rely on a construction-time component loop filling
+    it), ``pairs`` the verified (d1, d2, inter, n1, n2, jaccard)
+    frame. One definition for the tuning constants: every consumer
+    (near-dup queries, the leakage split, the agreement audit, the
+    corpus_build ladder) shares this exact chain, so a parameter
+    change cannot desynchronize cluster membership between them."""
+    sets = with_shingle_sets(docs).persist()
+    sigs = minhash_signatures(sets, num_perm=num_perm)
+    cands = lsh_candidate_pairs(sigs, num_perm=num_perm, rows_per_band=rows_per_band)
+    pairs = exact_jaccard_pairs(sets, min_jaccard=min_jaccard, candidates=cands)
+    return sets, pairs
+
+
 def simhash_bits(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bits: int = 16) -> DataFrame:
     """SimHash-style signature: bit j votes +1/−1 per token
     depending on the j-th nibble of md5(token) (bits 33-64 read a

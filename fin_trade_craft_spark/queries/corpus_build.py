@@ -83,7 +83,12 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "lang",
             "text",
-            F.expr("size(toks)").cast("bigint").alias("n_tokens"),
+            # size(NULL) is -1 under Spark's legacy sizeOfNull — the
+            # oracle's len(NULL) is NULL, and a -1 would also poison
+            # the mixture token sums; propagate NULL explicitly
+            F.expr("CASE WHEN toks IS NULL THEN NULL ELSE size(toks) END")
+            .cast("bigint")
+            .alias("n_tokens"),
             T.content_hash(F.col("text")).alias("h"),
             quality_score_expr().alias("quality"),
         )
@@ -100,10 +105,7 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = enriched.join(exact_drop.select("doc_id"), "doc_id", "left_anti")
 
     # stage 2: MinHash-LSH near-dup clusters among exact survivors
-    sets = D.with_shingle_sets(s1).persist()
-    sigs = D.minhash_signatures(sets, num_perm=8)
-    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
-    pairs = D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands)
+    sets, pairs = D.lsh_verified_pairs(s1)
     ncc = D.connected_components(pairs)  # driver-coordinated rounds
     near_drop = ncc.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id", F.lit("near_dup").alias("reason")
@@ -129,7 +131,13 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     low_drop = s3.filter(F.col("quality") < CB_QUALITY_MIN).select(
         "doc_id", F.lit("low_quality").alias("reason")
     )
-    kept = s3.filter(F.col("quality") >= CB_QUALITY_MIN).select(
+    # kept = survivors MINUS low_drop (anti-join), NOT the symmetric
+    # `quality >= min` filter: a NULL quality (NULL text) fails BOTH
+    # comparisons, and the symmetric form silently dropped the row
+    # from the manifest entirely — breaking the one-row-per-input
+    # contract and diverging from the oracle, whose final CASE
+    # treats not-dropped-by-any-stage as kept.
+    kept = s3.join(low_drop.select("doc_id"), "doc_id", "left_anti").select(
         "doc_id", "source", "lang", "n_tokens"
     )
 

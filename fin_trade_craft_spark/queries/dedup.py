@@ -94,12 +94,8 @@ def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint runs upstream exchanges at toRdd time under
     AQE) — it feeds the signature build AND both verification join
     branches."""
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
-    sigs = D.minhash_signatures(sets, num_perm=8)
-    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
-    result = D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
-        "d1", "d2", "jaccard"
-    )
+    sets, pairs = D.lsh_verified_pairs(_docs_wide(spark, sf_dir))
+    result = pairs.select("d1", "d2", "jaccard")
     # pin: same three-branch race as dedup_jaccard_verified — the
     # signature chain and both verify-join branches read `sets`.
     return pin_on_first_action(result, [sets])
@@ -112,12 +108,8 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in candidates, the shape that survives 100 TB. (The
     full-corpus variant stays registered as the fixture-scale
     recall oracle; THIS one is the bench headline.)"""
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
-    sigs = D.minhash_signatures(sets, num_perm=8)
-    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
-    result = D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
-        "d1", "d2", "inter", "n1", "n2", "jaccard"
-    )
+    sets, pairs = D.lsh_verified_pairs(_docs_wide(spark, sf_dir))
+    result = pairs.select("d1", "d2", "inter", "n1", "n2", "jaccard")
     # pin: the signature chain and BOTH verify-join branches read
     # `sets` — the first action fills its cache before those three
     # branches race to re-run tokenize→shingle (r07 bench 0.83→1.74s
@@ -373,10 +365,7 @@ def leakage_safe_split_on(docs: DataFrame) -> DataFrame:
     """Core over an arbitrary documents frame — factored (like
     ``hybrid_rrf_on``) so the planted-leakage pytest exercises the
     exact production grouping + split rule."""
-    sets = D.with_shingle_sets(docs).persist()
-    sigs = D.minhash_signatures(sets, num_perm=8)
-    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
-    pairs = D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands)
+    sets, pairs = D.lsh_verified_pairs(docs)
     cc = D.connected_components(pairs)
     hashes = docs.select("doc_id", T.content_hash(F.col("text")).alias("content_md5"))
     exact = hashes.groupBy("content_md5").agg(F.min("doc_id").alias("exact_canonical"))
@@ -493,13 +482,22 @@ def dedup_lexical_vector_agreement(spark: SparkSession, sf_dir: str) -> DataFram
     the oracle replays it bit-for-bit, JVM expressions only (md5 +
     instr arithmetic, no UDF)."""
     docs = _docs_wide(spark, sf_dir)
-    sets = D.with_shingle_sets(docs).persist()
-    sigs = D.minhash_signatures(sets, num_perm=8)
-    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
-    pairs = D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands).select(
-        "d1", "d2", "jaccard"
+    sets, jpairs = D.lsh_verified_pairs(docs)
+    pairs = jpairs.select("d1", "d2", "jaccard")
+    # hash only documents that appear in a verified pair: the
+    # corpus-wide explode+md5 aggregate would dominate at scale
+    # while only |pairs| docs are ever consumed (the oracle computes
+    # corpus-wide but values are identical — outputs are keyed by
+    # pairs, so the restriction is semantics-free)
+    pair_docs = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
     )
-    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    toks = (
+        docs.join(pair_docs, "doc_id", "left_semi")
+        .select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    )
     tcnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     nib = lambda i: f"(instr('0123456789abcdef', substr(md5(tok), {i}, 1)) - 1)"
     hb = tcnt.select(

@@ -1385,19 +1385,25 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "sub long, cid long, i long, cv long")
 
 
-def _pq_adc_ranked(spark: SparkSession, sf_dir: str, topn: int) -> DataFrame:
+def _pq_adc_ranked(
+    spark: SparkSession, sf_dir: str, topn: int, ivf: bool = False
+) -> DataFrame:
     """Shared ADC scan: encode the corpus (argmin centroid per
     subspace, tie → min cid), build each query's exact-integer ADC
     lookup table, scan codes summing PQ_M table entries, and rank
     per query by approximate squared L2 (ties → min nid), keeping
     rank ≤ ``topn``. Queries are the shared probe set (vec_id <
-    N_QUERIES), self excluded.
+    N_QUERIES), self excluded. With ``ivf=True`` the scan first
+    assigns each corpus vector its coarse k-means cell and scores it
+    ONLY for queries probing that cell (nprobe nearest cells per
+    query) — the IVF-PQ pruning stage; the shared arithmetic (LUT,
+    encode, tie-breaks) is identical in both modes by construction.
 
-    Scale shape: one map-only Arrow pass over the corpus does encode
-    + ADC + LOCAL top-n (the LUT is nq·PQ_M·PQ_K ints in the
-    closure); the global window ranks n·|queries| rows per batch,
-    never the corpus — the knn_bruteforce contract, but scanning
-    PQ_M-byte codes instead of 4·dims-byte vectors."""
+    Scale shape: one map-only Arrow pass over the corpus does
+    [assign +] encode + ADC + LOCAL top-n (both codebooks ride in
+    the closure); the global window ranks n·|queries| rows per
+    batch, never the corpus — the knn_bruteforce contract, but
+    scanning PQ_M-byte codes instead of 4·dims-byte vectors."""
     import numpy as np
     import pandas as pd
 
@@ -1406,22 +1412,42 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str, topn: int) -> DataFrame:
     q = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
     q_rows = q.filter(F.col("vec_id") < N_QUERIES).collect()
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    Q = np.asarray([np.asarray(r[1], dtype=np.int64) for r in q_rows]).reshape(
-        len(q_rows), PQ_M, sd
-    )
+    Qm = np.asarray([np.asarray(r[1], dtype=np.int64) for r in q_rows])
+    Q = Qm.reshape(len(q_rows), PQ_M, sd)
     # LUT[t, m, jj] = Σ_j (Q[t,m,j] − C[m,jj,j])² — exact int64
     lut = np.einsum("tmj,tmj->tm", Q, Q)[:, :, None] - 2 * np.einsum(
         "tmj,mkj->tmk", Q, C
     ) + np.einsum("mkj,mkj->mk", C, C)[None, :, :]
+    if ivf:
+        kcids, KC, kp = _train_kmeans(spark, sf_dir)
+        nprobe = min(kp["nprobe"], len(kcids))
+        # query probe cells (driver-side: |queries|×k distances —
+        # the same closure-bounded matrix the assignment kernel
+        # ships); sorted arrays so the kernel filter is np.isin
+        d2q = (
+            (Qm * Qm).sum(axis=1)[:, None]
+            - 2 * (Qm @ KC.T)
+            + (KC * KC).sum(axis=1)[None, :]
+        )
+        probe_order = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]
+        probe_cells = [np.sort(kcids[probe_order[t]]) for t in range(len(qids))]
 
     def scan(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            X = np.asarray(
-                [np.asarray(v, dtype=np.int64) for v in pdf["qv"]]
-            ).reshape(len(pdf), PQ_M, sd)
+            Xf = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            if ivf:
+                # coarse cell per vector (argmin; KC rows are
+                # cid-sorted so first min = min cid)
+                dc = (
+                    (Xf * Xf).sum(axis=1)[:, None]
+                    - 2 * (Xf @ KC.T)
+                    + (KC * KC).sum(axis=1)[None, :]
+                )
+                cell = kcids[np.argmin(dc, axis=1)]
+            X = Xf.reshape(len(pdf), PQ_M, sd)
             codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
             for m in range(PQ_M):
                 Xm, Cm = X[:, m, :], C[m]
@@ -1433,13 +1459,17 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str, topn: int) -> DataFrame:
                 codes[:, m] = np.argmin(d2, axis=1)
             out_q, out_n, out_d = [], [], []
             for t in range(len(qids)):
-                adc = lut[t, np.arange(PQ_M)[None, :], codes].sum(axis=1)
                 keep = ids != qids[t]
-                a_ids, a_adc = ids[keep], adc[keep]
-                order = np.lexsort((a_ids, a_adc))[:topn]
+                if ivf:
+                    keep &= np.isin(cell, probe_cells[t])
+                if not keep.any():
+                    continue
+                adc = lut[t, np.arange(PQ_M)[None, :], codes[keep]].sum(axis=1)
+                a_ids = ids[keep]
+                order = np.lexsort((a_ids, adc))[:topn]
                 out_q.extend([int(qids[t])] * len(order))
                 out_n.extend(a_ids[order].tolist())
-                out_d.extend(a_adc[order].tolist())
+                out_d.extend(adc[order].tolist())
             yield pd.DataFrame({"qid": out_q, "nid": out_n, "adc_dist2": out_d})
 
     local = q.mapInPandas(scan, "qid long, nid long, adc_dist2 long")
@@ -1447,29 +1477,12 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str, topn: int) -> DataFrame:
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topn)
 
 
-def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure compressed-domain PQ search: top-{PQ_TOPK} per query by
-    ADC distance alone — the code-scan building block (its recall is
-    bounded by the 4·PQ_M-bit code budget; production serving reranks
-    the shortlist, see ``pq_rerank_search``)."""
-    return _pq_adc_ranked(spark, sf_dir, PQ_TOPK).select(
-        "qid", "rank", "nid", "adc_dist2"
-    )
-
-
-def pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PQ serving path (Jégou et al. 2011 §IV): ADC scan keeps a
-    {PQ_SHORTLIST}-candidate shortlist per query in the compressed
-    domain, then EXACT integer squared-L2 against the raw vectors of
-    only the shortlist reranks to the final top-{PQ_TOPK}. At 100 TB
-    the rerank join touches PQ_SHORTLIST·|queries| raw vectors — the
-    corpus is only ever read as codes.
-
-    JVM-side rerank: the shortlist joins the corpus on nid and the
-    broadcast query frame on qid; the exact distance is a zip_with/
-    aggregate over 1e-6-scaled int64 components — whole-stage
-    codegen, no Python in the rerank tail."""
-    short = _pq_adc_ranked(spark, sf_dir, PQ_SHORTLIST)
+def _exact_rerank(spark: SparkSession, sf_dir: str, short: DataFrame) -> DataFrame:
+    """Shared rerank tail: the (qid, nid, adc_dist2) shortlist joins
+    the corpus on nid and the broadcast query frame on qid; exact
+    squared L2 is a zip_with/aggregate over 1e-6-scaled int64
+    components — whole-stage codegen, no Python. Touches
+    shortlist·|queries| raw vectors, never the corpus."""
     emb = _emb(spark, sf_dir)
     q = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
     corp = q.select(F.col("vec_id").alias("nid"), F.col("qv").alias("nqv"))
@@ -1493,6 +1506,28 @@ def pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= PQ_TOPK)
         .select("qid", "rank", "nid", "adc_dist2", "l2_dist2")
+    )
+
+
+def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure compressed-domain PQ search: top-{PQ_TOPK} per query by
+    ADC distance alone — the code-scan building block (its recall is
+    bounded by the 4·PQ_M-bit code budget; production serving reranks
+    the shortlist, see ``pq_rerank_search``)."""
+    return _pq_adc_ranked(spark, sf_dir, PQ_TOPK).select(
+        "qid", "rank", "nid", "adc_dist2"
+    )
+
+
+def pq_rerank_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ serving path (Jégou et al. 2011 §IV): ADC scan keeps a
+    {PQ_SHORTLIST}-candidate shortlist per query in the compressed
+    domain, then EXACT integer squared-L2 against the raw vectors of
+    only the shortlist reranks to the final top-{PQ_TOPK}. At 100 TB
+    the rerank join touches PQ_SHORTLIST·|queries| raw vectors — the
+    corpus is only ever read as codes."""
+    return _exact_rerank(
+        spark, sf_dir, _pq_adc_ranked(spark, sf_dir, PQ_SHORTLIST)
     )
 
 
@@ -1630,113 +1665,21 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus to each query's nprobe nearest cells, the PRODUCT
     quantizer scans only those cells in the compressed domain
     (PQ_M-byte codes, per-query ADC lookup table), and the
-    {PQ_SHORTLIST}-candidate shortlist is reranked by exact integer
-    squared L2 on raw vectors.
+    shortlist is reranked by exact integer squared L2 on raw
+    vectors. Implementation IS ``pq_rerank_search`` with the
+    ``ivf=True`` pruning mode of the shared ADC scan — one
+    arithmetic path for both serving tiers, so a fix to the
+    encode/LUT/rerank math cannot fork them.
 
     Scale shape: per query the corpus fraction touched is
     ~nprobe/k — and since nprobe = max(2, ⌈k/8⌉) tracks k, that
     fraction stays ~1/8 as the corpus grows; within the probed
     cells the scan reads codes (32× less than raw floats); full-
-    precision reads are shortlist-sized. One map-only Arrow pass
-    assigns cells + encodes + ADC-scores + keeps a LOCAL shortlist
-    per query (both codebooks and the probe-cell sets ride in the
-    closure — coarse k×dims bounded by the hierarchical tier above
-    HIER_MIN_ROWS, PQ table PQ_M·PQ_K·sub_dims ≈ 1k ints); the
-    global window ranks shortlist·|queries| rows per batch, and the
-    rerank join touches shortlist·|queries| raw vectors, JVM-side.
-
-    Both quantizer builds replay bit-for-bit in the oracle (the
-    _km_sql and _pq_sql CTE generators composed in one WITH)."""
-    import numpy as np
-    import pandas as pd
-
-    kcids, KC, kp = _train_kmeans(spark, sf_dir)
-    pcids, PC, sd = _train_pq(spark, sf_dir)
-    emb = _emb(spark, sf_dir)
-    q = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
-    q_rows = q.filter(F.col("vec_id") < N_QUERIES).collect()
-    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    Qm = np.asarray([np.asarray(r[1], dtype=np.int64) for r in q_rows])
-    nprobe = min(kp["nprobe"], len(kcids))
-    # query probe cells (driver-side: |queries|×k distances — the
-    # same closure-bounded matrix the assignment kernel ships)
-    d2q = (
-        (Qm * Qm).sum(axis=1)[:, None]
-        - 2 * (Qm @ KC.T)
-        + (KC * KC).sum(axis=1)[None, :]
-    )
-    probe_order = np.argsort(d2q, axis=1, kind="stable")[:, :nprobe]
-    probe_cells = [set(kcids[probe_order[t]].tolist()) for t in range(len(qids))]
-    Qp = Qm.reshape(len(qids), PQ_M, sd)
-    lut = np.einsum("tmj,tmj->tm", Qp, Qp)[:, :, None] - 2 * np.einsum(
-        "tmj,mkj->tmk", Qp, PC
-    ) + np.einsum("mkj,mkj->mk", PC, PC)[None, :, :]
-
-    def scan(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            X = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
-            # coarse cell per vector (argmin; KC rows are cid-sorted
-            # so first min = min cid)
-            dc = (
-                (X * X).sum(axis=1)[:, None]
-                - 2 * (X @ KC.T)
-                + (KC * KC).sum(axis=1)[None, :]
-            )
-            cell = kcids[np.argmin(dc, axis=1)]
-            Xs = X.reshape(len(pdf), PQ_M, sd)
-            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
-            for m in range(PQ_M):
-                Xm, Cm = Xs[:, m, :], PC[m]
-                d2 = (
-                    (Xm * Xm).sum(axis=1)[:, None]
-                    - 2 * (Xm @ Cm.T)
-                    + (Cm * Cm).sum(axis=1)[None, :]
-                )
-                codes[:, m] = np.argmin(d2, axis=1)
-            out_q, out_n, out_d = [], [], []
-            for t in range(len(qids)):
-                keep = np.fromiter(
-                    (c in probe_cells[t] for c in cell), dtype=bool, count=len(cell)
-                ) & (ids != qids[t])
-                if not keep.any():
-                    continue
-                adc = lut[t, np.arange(PQ_M)[None, :], codes[keep]].sum(axis=1)
-                a_ids = ids[keep]
-                order = np.lexsort((a_ids, adc))[:PQ_SHORTLIST]
-                out_q.extend([int(qids[t])] * len(order))
-                out_n.extend(a_ids[order].tolist())
-                out_d.extend(adc[order].tolist())
-            yield pd.DataFrame({"qid": out_q, "nid": out_n, "adc_dist2": out_d})
-
-    local = q.mapInPandas(scan, "qid long, nid long, adc_dist2 long")
-    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist2"), F.asc("nid"))
-    short = local.withColumn("arank", F.row_number().over(w)).filter(
-        F.col("arank") <= PQ_SHORTLIST
-    )
-    corp = q.select(F.col("vec_id").alias("nid"), F.col("qv").alias("nqv"))
-    qdf = q.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
-    )
-    ex = (
-        short.select("qid", "nid", "adc_dist2")
-        .join(corp, "nid")
-        .join(F.broadcast(qdf), "qid")
-        .withColumn(
-            "l2_dist2",
-            F.expr(
-                "aggregate(zip_with(qqv, nqv, (a, b) -> (a - b) * (a - b)),"
-                " 0L, (acc, x) -> acc + x)"
-            ),
-        )
-    )
-    w2 = Window.partitionBy("qid").orderBy(F.asc("l2_dist2"), F.asc("nid"))
-    return (
-        ex.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= PQ_TOPK)
-        .select("qid", "rank", "nid", "adc_dist2", "l2_dist2")
+    precision reads are shortlist-sized. Both quantizer builds
+    replay bit-for-bit in the oracle (the _km_sql and _pq_sql CTE
+    generators composed in one WITH)."""
+    return _exact_rerank(
+        spark, sf_dir, _pq_adc_ranked(spark, sf_dir, PQ_SHORTLIST, ivf=True)
     )
 
 

@@ -1496,8 +1496,15 @@ BPE_ROUNDS = 3
 
 
 def bpe_rounds_on(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
-    """Merge table only — see ``_bpe_loop``."""
-    return _bpe_loop(docs, rounds)[0]
+    """Merge table only — see ``_bpe_loop``. Pinned on first action
+    so the per-round caches fill in dependency order AND release
+    when the result is GC'd (the per-round persist()s otherwise
+    accumulate in the session CacheManager for the process
+    lifetime — r8 review finding)."""
+    from ..operators.pinning import pin_on_first_action
+
+    report, _, pins = _bpe_loop(docs, rounds)
+    return pin_on_first_action(report, pins)
 
 
 def _bpe_loop(docs: DataFrame, rounds: int = BPE_ROUNDS):
@@ -1542,6 +1549,7 @@ def _bpe_loop(docs: DataFrame, rounds: int = BPE_ROUNDS):
         )
         .persist()
     )
+    pins = [words]  # dependency order: each round's best, then words
     reports = []
     for r in range(1, rounds + 1):
         pr = (
@@ -1565,6 +1573,7 @@ def _bpe_loop(docs: DataFrame, rounds: int = BPE_ROUNDS):
         # persist() is lazy, so construction stays job-free and the
         # broadcast funnel still computes each cache exactly once.
         best = pr.orderBy(F.desc("n_occurrences"), F.asc("s1"), F.asc("s2")).limit(1).persist()
+        pins.append(best)
         reports.append(
             best.select(
                 F.lit(r).alias("round"),
@@ -1595,10 +1604,11 @@ def _bpe_loop(docs: DataFrame, rounds: int = BPE_ROUNDS):
             )
             .persist()
         )
+        pins.append(words)
     out = reports[0]
     for rep in reports[1:]:
         out = out.unionByName(rep)
-    return out.orderBy("round"), words
+    return out.orderBy("round"), words, pins
 
 
 def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1708,6 +1718,10 @@ def bpe_train_until_convergence(
         .persist()
     )
     merges: list[tuple] = []
+    # word states whose caches become unreachable once the NEXT
+    # round's collect has materialized their successor; seeded with
+    # the initial word table
+    stale: list = [words]
     for r in range(1, max_rounds + 1):
         best = (
             words.filter(F.size("syms") >= 2)
@@ -1726,6 +1740,12 @@ def bpe_train_until_convergence(
             .limit(1)
             .collect()
         )
+        # the collect above materialized the CURRENT word state's
+        # cache, so anything two generations back is never read
+        # again — release it (the driver-iterated twin of the
+        # pin-on-GC lifecycle; persists otherwise outlive the query)
+        while len(stale) > 1:
+            stale.pop(0).unpersist()
         if not best or best[0]["n_occurrences"] < min_frequency:
             break  # converged: keep the current word state (the
             # Python reference's break-and-keep rule)
@@ -1743,6 +1763,7 @@ def bpe_train_until_convergence(
             ).alias("syms"),
             "cnt",
         ).persist()  # linear-in-rounds plan/recompute (ADVICE r07)
+        stale.append(words)
     table = spark.createDataFrame(
         merges, "round int, s1 string, s2 string, merged string, n_occurrences bigint"
     )
@@ -1784,8 +1805,10 @@ def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the exploded corpus tokens onto that table (AQE broadcasts
     the vocabulary side when it fits) plus a per-doc hash aggregate
     — no per-doc re-segmentation, the fold ran once per word TYPE."""
+    from ..operators.pinning import pin_on_first_action
+
     docs = _docs(spark, sf_dir)
-    _, words = _bpe_loop(docs, BPE_ROUNDS)
+    _, words, pins = _bpe_loop(docs, BPE_ROUNDS)
     wsym = words.select("tok", F.size("syms").alias("n_sym"))
     dt = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).filter(
         F.length("tok") >= 1
@@ -1808,6 +1831,10 @@ def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_chars").cast("double") / F.col("n_bpe_symbols").cast("double"), 9
             ).alias("compression_ratio"),
         )
+        # pin: the round caches fill in dependency order at the
+        # query's own first action and release on GC (same
+        # lifecycle note as bpe_rounds_on)
+        .transform(lambda df: pin_on_first_action(df, pins))
     )
 
 

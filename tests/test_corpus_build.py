@@ -71,9 +71,12 @@ def planted_dir(tmp_path_factory):
         (6, "spam spam", "en", "web"),
         # 99: keeper with NO embedding row
         (99, t_keep, "de", "books"),
+        # 100: NULL text — quality is NULL, which must NOT make the
+        # row vanish from the manifest (kept: no stage dropped it)
+        (100, None, "en", "web"),
     ]
     pdf = pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"])
-    pdf["n_chars"] = pdf["text"].str.len()
+    pdf["n_chars"] = pdf["text"].str.len().astype("Int64")
     pdf = pdf[["doc_id", "text", "lang", "source", "n_chars"]]
     pdf.to_parquet(d / "documents.parquet", index=False)
 
@@ -99,7 +102,12 @@ def planted_dir(tmp_path_factory):
 
 def test_corpus_build_all_reasons_and_precedence(spark, planted_dir):
     rows = {r["doc_id"]: r for r in corpus_build(spark, planted_dir).collect()}
-    assert len(rows) == 8  # one manifest row per input doc
+    assert len(rows) == 9  # one manifest row per input doc
+    # NULL text → NULL quality: fails no drop stage, so it stays in
+    # the manifest as kept (the symmetric quality>=min filter used
+    # to lose the row entirely — r8 review finding)
+    assert rows[100]["keep_reason"] == "kept" and rows[100]["kept"] is True
+    assert rows[100]["n_tokens"] is None
     assert rows[0]["keep_reason"] == "kept"
     assert rows[1]["keep_reason"] == "exact_dup"  # min-id kept
     assert rows[2]["keep_reason"] == "kept"

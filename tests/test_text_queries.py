@@ -172,7 +172,7 @@ def test_bpe_merge_exhaustion_keeps_words(spark):
     guard keeps every word with its syms unchanged."""
     docs = [(1, "ab ab ab cd"), (2, "ab cd cd")]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    merges, words = text._bpe_loop(df, rounds=4)
+    merges, words, _ = text._bpe_loop(df, rounds=4)
     got = [tuple(r) for r in merges.collect()]
     # only 2 real merges exist ('ab' x4 then 'cd' x3); rounds 3-4
     # find nothing and must report nothing

@@ -147,7 +147,10 @@ def main() -> int:
     # SPARK_GRAFT_EXTRA_CONF="k=v,k2=v2" — e.g. raising the guarded
     # exact-tier row budget for an offline sf1 verification sweep
     # (spark.fin_trade_craft.exactTierMaxRows=200000), exactly the
-    # escape hatch the guard's error message documents.
+    # escape hatch the guard's error message documents. Split on
+    # bare commas: values containing commas (e.g. JVM option lists)
+    # are NOT supported here — this is a test-tool knob, not a
+    # general conf channel.
     import os
 
     extra = {}
