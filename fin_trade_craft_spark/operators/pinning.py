@@ -83,10 +83,18 @@ class PinnedDataFrame(_ClassicDataFrame):
     (one count() each) before the action itself executes."""
 
     def __init__(self, df: DataFrame, pins: Iterable[DataFrame]):
+        # NOTE: extra constructor args would be rejected by
+        # DataFrame.__new__'s dispatch — the fill=False mode is set
+        # post-construction via _mark_prefilled()
         super().__init__(df._jdf, df.sparkSession)
         self.__pins = list(pins)
         self.__pinned = False
         self.__lock = threading.Lock()
+
+    def _mark_prefilled(self) -> None:
+        """Disable the first-action count() fill: pins stay
+        registered for GC-release only."""
+        self.__pinned = True
 
     def _pin_now(self) -> None:
         """Idempotently fill every pinned cache (upstream-first)."""
@@ -132,11 +140,24 @@ for _name in _ACTION_METHODS:
     setattr(PinnedDataFrame, _name, _make_action(_name))
 
 
-def pin_on_first_action(df: DataFrame, pins: Iterable[DataFrame]) -> DataFrame:
+def pin_on_first_action(
+    df: DataFrame, pins: Iterable[DataFrame], fill: bool = True
+) -> DataFrame:
     """Wrap ``df`` so its first action first materializes ``pins``
     (each already ``persist()``-ed by the caller), upstream-first.
-    With no pins, returns ``df`` unchanged."""
+    With no pins, returns ``df`` unchanged.
+
+    ``fill=False`` registers the pins for GC-release ONLY (no
+    count() fill at first action): right when the pinned frames are
+    a sequential chain each consumed by the plan exactly in build
+    order — e.g. the BPE round states, where the action itself
+    fills each cache once and explicit fills are pure extra passes
+    (measured +1.2s on bpe_merge_rounds) — but the process-lifetime
+    CacheManager entries still need the release path."""
     pins = [p for p in pins if p is not None]
     if not pins:
         return df
-    return PinnedDataFrame(df, pins)
+    wrapped = PinnedDataFrame(df, pins)
+    if not fill:
+        wrapped._mark_prefilled()
+    return wrapped

@@ -1504,7 +1504,7 @@ def bpe_rounds_on(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     from ..operators.pinning import pin_on_first_action
 
     report, _, pins = _bpe_loop(docs, rounds)
-    return pin_on_first_action(report, pins)
+    return pin_on_first_action(report, pins, fill=False)
 
 
 def _bpe_loop(docs: DataFrame, rounds: int = BPE_ROUNDS):
@@ -1834,7 +1834,7 @@ def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pin: the round caches fill in dependency order at the
         # query's own first action and release on GC (same
         # lifecycle note as bpe_rounds_on)
-        .transform(lambda df: pin_on_first_action(df, pins))
+        .transform(lambda df: pin_on_first_action(df, pins, fill=False))
     )
 
 
