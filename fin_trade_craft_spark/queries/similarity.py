@@ -1776,6 +1776,148 @@ def _jl_signs(dims: int):
     )
 
 
+def _l2_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Exact integer squared-L2 top-k per probe query (ties → min
+    nid, self excluded) — the TRUTH side for the PQ tiers, which
+    rank by L2 (the cosine knn kernel is the truth for the cosine
+    tiers). Same shape as knn_bruteforce: query matrix in the
+    closure, corpus never shuffled, local top-k per batch."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    q = emb.select("vec_id", F.expr(_QV_EXPR).alias("qv"))
+    q_rows = q.filter(F.col("vec_id") < N_QUERIES).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Qm = np.asarray([np.asarray(r[1], dtype=np.int64) for r in q_rows])
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            X = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            out_q, out_n, out_d = [], [], []
+            for t in range(len(qids)):
+                d2 = ((X - Qm[t]) ** 2).sum(axis=1)
+                keep = ids != qids[t]
+                a_ids, a_d2 = ids[keep], d2[keep]
+                order = np.lexsort((a_ids, a_d2))[:k]
+                out_q.extend([int(qids[t])] * len(order))
+                out_n.extend(a_ids[order].tolist())
+                out_d.extend(a_d2[order].tolist())
+            yield pd.DataFrame({"qid": out_q, "nid": out_n, "l2_dist2": out_d})
+
+    local = q.mapInPandas(scan, "qid long, nid long, l2_dist2 long")
+    w = Window.partitionBy("qid").orderBy(F.asc("l2_dist2"), F.asc("nid"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid")
+    )
+
+
+def pq_tier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ-family quality report — recall@{PQ_TOPK} of each
+    compressed serving tier against the EXACT L2 truth, in one
+    table: ``pq_adc`` (pure code scan), ``pq_rerank`` (full-scan
+    shortlist + exact rerank), ``ivf_pq`` (cell-pruned shortlist +
+    exact rerank). This is the harness a deployment runs after
+    retuning PQ_M/PQ_K/nprobe — the three rows quantify exactly
+    what the code budget costs and what rerank/pruning buy back
+    (the per-tier floors pinned in pytest read these numbers).
+
+    Output per tier: n_queries, sum_hits (exact integer),
+    mean_recall (= sum_hits / (k·n_queries), deterministic
+    division), min_recall. Truth and tiers all reuse the trained
+    codebooks (memoized), so the report costs three scans + one
+    truth pass — all map-only with bounded closures."""
+    truth = _l2_topk(spark, sf_dir, PQ_TOPK)
+    tiers = (
+        pq_adc_search(spark, sf_dir).select(F.lit("pq_adc").alias("tier"), "qid", "nid")
+        .unionByName(
+            pq_rerank_search(spark, sf_dir).select(
+                F.lit("pq_rerank").alias("tier"), "qid", "nid"
+            )
+        )
+        .unionByName(
+            ivf_pq_search(spark, sf_dir).select(
+                F.lit("ivf_pq").alias("tier"), "qid", "nid"
+            )
+        )
+    )
+    hits = (
+        tiers.join(truth, ["qid", "nid"], "left_semi")
+        .groupBy("tier", "qid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    # every (tier, qid) must appear even at zero hits
+    domain = tiers.select("tier", "qid").distinct()
+    per_q = domain.join(hits, ["tier", "qid"], "left").select(
+        "tier", "qid", F.coalesce("hits", F.lit(0)).alias("hits")
+    )
+    return per_q.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("hits").alias("sum_hits"),
+        F.round(
+            F.sum("hits").cast("double") / (F.lit(float(PQ_TOPK)) * F.count(F.lit(1))),
+            9,
+        ).alias("mean_recall"),
+        F.round(F.min(F.col("hits").cast("double") / F.lit(float(PQ_TOPK))), 9).alias(
+            "min_recall"
+        ),
+    )
+
+
+ORACLE_PQ_TIER_RECALL = f"""
+WITH rtq AS MATERIALIZED (
+  -- own exploded-coordinate CTE: DuckDB rejects nested WITHs that
+  -- shadow outer names, and the tier subqueries each carry their
+  -- full build chains (pqq etc.) in their own scopes
+  SELECT vec_id, i, CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+),
+l2truth AS MATERIALIZED (
+  SELECT qid, nid FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS nid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY SUM((q.q - c.q) * (q.q - c.q)), c.vec_id) AS rank
+    FROM rtq q JOIN rtq c ON q.i = c.i AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+    GROUP BY 1, 2
+  ) WHERE rank <= {PQ_TOPK}
+),
+tiers AS MATERIALIZED (
+  SELECT 'pq_adc' AS tier, qid, nid FROM ({{adc}})
+  UNION ALL
+  SELECT 'pq_rerank', qid, nid FROM ({{rerank}})
+  UNION ALL
+  SELECT 'ivf_pq', qid, nid FROM ({{ivfpq}})
+),
+hits AS (
+  SELECT t.tier, t.qid, COUNT(*) AS hits
+  FROM tiers t JOIN l2truth u ON t.qid = u.qid AND t.nid = u.nid
+  GROUP BY 1, 2
+),
+dom AS (SELECT DISTINCT tier, qid FROM tiers),
+per_q AS (
+  SELECT d.tier, d.qid, COALESCE(h.hits, 0) AS hits
+  FROM dom d LEFT JOIN hits h ON d.tier = h.tier AND d.qid = h.qid
+)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(hits) AS BIGINT) AS sum_hits,
+       ROUND(CAST(SUM(hits) AS DOUBLE) / ({PQ_TOPK}.0 * COUNT(*)), 9) AS mean_recall,
+       ROUND(MIN(CAST(hits AS DOUBLE) / {PQ_TOPK}.0), 9) AS min_recall
+FROM per_q GROUP BY tier
+"""
+
+
+ORACLE_PQ_TIER_RECALL = ORACLE_PQ_TIER_RECALL.format(
+    adc=ORACLE_PQ_ADC_SEARCH, rerank=ORACLE_PQ_RERANK_SEARCH, ivfpq=ORACLE_IVF_PQ_SEARCH
+)
+
+
 def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-probe JL distance-preservation audit: for every corpus
     vector (self and exact-duplicate coordinates excluded), the
@@ -2902,6 +3044,7 @@ QUERIES = {
     "pq_adc_search": pq_adc_search,
     "pq_rerank_search": pq_rerank_search,
     "ivf_pq_search": ivf_pq_search,
+    "pq_tier_recall": pq_tier_recall,
     "jl_distortion_audit": jl_distortion_audit,
     "mmr_diversified_retrieval": mmr_diversified_retrieval,
     "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
@@ -2928,6 +3071,7 @@ ORACLES = {
     "pq_adc_search": ORACLE_PQ_ADC_SEARCH,
     "pq_rerank_search": ORACLE_PQ_RERANK_SEARCH,
     "ivf_pq_search": ORACLE_IVF_PQ_SEARCH,
+    "pq_tier_recall": ORACLE_PQ_TIER_RECALL,
     "jl_distortion_audit": ORACLE_JL_DISTORTION_AUDIT,
     "mmr_diversified_retrieval": _mmr_oracle(),
     "hybrid_retrieval_rrf": _hybrid_oracle(),

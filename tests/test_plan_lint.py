@@ -133,6 +133,7 @@ CONSTRUCTION_JOBS_ALLOWED = {
     "pq_rerank_search": "PQ training + query-matrix collect (probe set)",
     "jl_distortion_audit": "query-matrix collect (probe set)",
     "ivf_pq_search": "trains both quantizers + query-matrix collect",
+    "pq_tier_recall": "trains both quantizers + query-matrix collect",
     "dedup_clusters": "star-contraction rounds probe convergence",
     "leakage_safe_split": "star-contraction rounds probe convergence",
     "bpe_convergent_merges": "per-round argmax convergence probe (1-row collect)",

@@ -528,3 +528,23 @@ def test_ivf_pq_pruning_contract_and_recall(spark):
         truth = set(ids[np.lexsort((ids, d2))[:10]].tolist())
         recs.append(len(truth & set(ipq[ipq.qid == qv].nid)) / 10)
     assert np.mean(recs) >= 0.4, np.mean(recs)
+
+
+def test_pq_tier_recall_ordering_and_floors(spark):
+    """The tier report's structural invariants: full-scan rerank
+    dominates the cell-pruned rerank (ivf_pq's candidates are a
+    subset), both rerank tiers dominate the pure code scan (same
+    codes, exact rerank can only fix ranks), and the measured
+    floors hold (sf0.001: adc 0.22 / ivf_pq 0.57 / rerank 0.57)."""
+    pdf = similarity.pq_tier_recall(spark, SF_SMOKE).toPandas().set_index("tier")
+    assert set(pdf.index) == {"pq_adc", "pq_rerank", "ivf_pq"}
+    assert (pdf.n_queries == 10).all()
+    adc, rer, ivf = (
+        pdf.loc["pq_adc", "mean_recall"],
+        pdf.loc["pq_rerank", "mean_recall"],
+        pdf.loc["ivf_pq", "mean_recall"],
+    )
+    assert rer >= ivf - 1e-9 and rer >= adc
+    assert ivf >= adc - 0.05
+    assert adc >= 0.1 and rer >= 0.45
+    assert ((pdf.min_recall >= 0) & (pdf.min_recall <= pdf.mean_recall + 1e-9)).all()
