@@ -115,11 +115,14 @@ class PinnedDataFrame(_ClassicDataFrame):
 
     def __del__(self):
         # Release executor storage when the query result is dropped
-        # (see module docstring). Guarded: the JVM/gateway may be
-        # gone at interpreter shutdown.
+        # (see module docstring) — except for SESSION-OWNED pins
+        # (the dedup-family memo frames), whose lifecycle belongs to
+        # the memo registry, not to any one query result. Guarded:
+        # the JVM/gateway may be gone at interpreter shutdown.
         try:
             for p in self.__pins:
-                p.unpersist(blocking=False)
+                if id(p) not in _SESSION_OWNED:
+                    p.unpersist(blocking=False)
         except Exception:
             pass
 
@@ -140,6 +143,24 @@ for _name in _ACTION_METHODS:
     setattr(PinnedDataFrame, _name, _make_action(_name))
 
 
+# DataFrames whose persisted cache is owned by a SESSION-scoped memo
+# (the dedup family's shared LSH / component / semantic-edge state):
+# PinnedDataFrame.__del__ must never unpersist these — evicting them
+# on one query result's GC would strand every other query in the
+# session that is entitled to reuse the memo. Entries are ids of
+# frames held forever by their memo dicts (so the ids can't be
+# recycled by the allocator while registered).
+_SESSION_OWNED: set[int] = set()
+
+
+def mark_session_owned(*dfs: DataFrame) -> None:
+    """Register memo-owned frames as exempt from pin GC-release.
+    The caller (the memo registry) must hold a strong reference to
+    each frame for the session's lifetime."""
+    for df in dfs:
+        _SESSION_OWNED.add(id(df))
+
+
 def pin_on_first_action(
     df: DataFrame, pins: Iterable[DataFrame], fill: bool = True
 ) -> DataFrame:
@@ -153,7 +174,10 @@ def pin_on_first_action(
     order — e.g. the BPE round states, where the action itself
     fills each cache once and explicit fills are pure extra passes
     (measured +1.2s on bpe_merge_rounds) — but the process-lifetime
-    CacheManager entries still need the release path."""
+    CacheManager entries still need the release path.
+
+    Pins registered via :func:`mark_session_owned` are filled like
+    any other but never GC-released by the wrapper."""
     pins = [p for p in pins if p is not None]
     if not pins:
         return df

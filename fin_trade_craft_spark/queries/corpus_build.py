@@ -38,11 +38,17 @@ writes.
 
 Scale shape: stages 1/4/5/6 are hash aggregates and one per-lang
 window over survivor token counts; stage 2's quadratic work is
-confined to LSH band collisions; stage 3's to IVF cells; both
-component loops run over EDGE frames (tiny relative to the corpus)
-with O(log n) star-contraction rounds. Construction launches jobs
-by design (the component loops and the quantizer codebook — same
-exemptions as dedup_clusters/semdedup).
+confined to LSH band collisions; stage 3's to IVF cells. r09: the
+expensive shared state — LSH signatures/verified pairs/components
+and the semantic cell-pair edge set — comes from the SESSION MEMOS
+(queries/dedup._LSH_MEMO, queries/similarity._SEM_MEMO), so the
+capstone no longer re-runs the ladder the sibling queries
+(dedup_clusters, leakage_safe_split, semdedup) already built in the
+same session; stage 2 restricts the full-corpus components (exact —
+proof at the call site), stage 3 re-runs only the component loop
+over the restricted edge frame. Construction launches jobs by
+design (the stage-3 component loop and, on a cold memo, the shared
+builds — same exemptions as dedup_clusters/semdedup).
 
 Reference parity: the reference has no corpus pipeline (it is a
 market-data warehouse); this composes the repo's LLM-pipeline
@@ -56,10 +62,11 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import dedup as D
+from ..operators.pinning import pin_on_first_action
 from ..sources.catalog import load_table
 from .corpus_mix import MIX_ALPHA, _with_mix_weight_quota
-from .dedup import _BANDS, _MH_COLS, _NORM, _SHINGLES, _TOKS
-from .similarity import SEMDEDUP_THETA, _cell_assignments, _emb, _km_sql, cell_pair_edges
+from .dedup import _BANDS, _MH_COLS, _NORM, _SHINGLES, _TOKS, _lsh_components
+from .similarity import SEMDEDUP_THETA, _km_sql, _sem_state
 from .text import QUALITY_SQL, SHARD_TOKEN_BUDGET, quality_score_expr
 
 CB_QUALITY_MIN = 64.0  # ~10th percentile of the fixture corpus —
@@ -95,41 +102,85 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
+    # Each stage's drop list is localCheckpoint-ed (eager) as it is
+    # derived: the frames are tiny ((doc_id, reason) at dup/low-
+    # quality fractions of the corpus), every later stage consumes
+    # them through anti-joins, and the final manifest reads all four
+    # again — without the cut, each downstream evaluation re-runs
+    # the restriction joins and (worst) the component labels' self-
+    # pair branch re-evaluated the whole restricted-edge lineage per
+    # action (measured ~6s of the r09-interim 9s action at sf0.1).
+    # corpus_build's construction launches jobs by design (lint
+    # exemption); at 100 TB these materializations are the manifest
+    # intermediates a production pipeline persists anyway.
     # stage 1: exact dedup (keep min doc_id per content hash)
     canon = enriched.groupBy("h").agg(F.min("doc_id").alias("__c"))
     exact_drop = (
         enriched.join(canon, "h")
         .filter(F.col("doc_id") != F.col("__c"))
         .select("doc_id", F.lit("exact_dup").alias("reason"))
+        .localCheckpoint(eager=True)
     )
     s1 = enriched.join(exact_drop.select("doc_id"), "doc_id", "left_anti")
 
-    # stage 2: MinHash-LSH near-dup clusters among exact survivors
-    sets, pairs = D.lsh_verified_pairs(s1)
-    ncc = D.connected_components(pairs)  # driver-coordinated rounds
-    near_drop = ncc.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id", F.lit("near_dup").alias("reason")
+    # stage 2: MinHash-LSH near-dup drops among exact survivors —
+    # derived from the SESSION-MEMOIZED full-corpus components
+    # (queries/dedup._lsh_components) instead of re-running the
+    # signature build + verify + component loop on s1 (r08 verdict
+    # task 1). Restricting the full-corpus result is EXACT here:
+    # (a) pairs(s1) = pairs(full) ∩ s1×s1 — signatures, band
+    #     collisions, and Jaccard are pairwise functions of the two
+    #     docs alone;
+    # (b) components never split under exact-dup removal — a dropped
+    #     doc d has identical normalized content to its surviving
+    #     canonical c, hence identical shingles/signatures, so every
+    #     edge (x, d) is mirrored by (x, c): any path through d
+    #     re-routes through c within s1;
+    # (c) the component minimum always survives stage 1 — if the min
+    #     m were an exact-drop, its canonical c < m sits in the same
+    #     component (mirror), contradicting minimality — so the full
+    #     labels ARE the s1 labels.
+    # The drop set (doc_id ≠ cluster_id within s1) is therefore
+    # bit-identical to running the ladder on s1, which is exactly
+    # what the oracle below replays.
+    ncc = _lsh_components(spark, sf_dir).join(
+        s1.select("doc_id"), "doc_id", "left_semi"
+    )
+    near_drop = (
+        ncc.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit("near_dup").alias("reason"))
+        .localCheckpoint(eager=True)
     )
     s2 = s1.join(near_drop.select("doc_id"), "doc_id", "left_anti")
 
     # stage 3: SemDeDup among near-dup survivors (embeddings share
-    # the documents' id space; docs without a vector pass through)
-    cells = _cell_assignments(spark, sf_dir)
-    v = (
-        _emb(spark, sf_dir)
-        .select("vec_id", "embedding")
-        .join(cells, "vec_id")
-        .join(s2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    # the documents' id space; docs without a vector pass through).
+    # The within-cell cosine edge set comes from the session memo
+    # (shared with `semdedup`) restricted to s2 on both endpoints —
+    # exact for the same pairwise reason as stage 2(a). The
+    # component loop DOES re-run here (semantic components can split
+    # when near-dup survivors drop out — no mirror-edge guarantee),
+    # but over the restricted edge frame only: edge-sized work, no
+    # kernel re-execution.
+    sedges_full = _sem_state(spark, sf_dir)["edges"]
+    sedges = (
+        sedges_full.join(s2.select(F.col("doc_id").alias("d1")), "d1", "left_semi")
+        .join(s2.select(F.col("doc_id").alias("d2")), "d2", "left_semi")
+        .localCheckpoint(eager=True)
     )
-    scc = D.connected_components(cell_pair_edges(v, SEMDEDUP_THETA))
-    sem_drop = scc.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id", F.lit("semantic_dup").alias("reason")
+    scc = D.connected_components(sedges)
+    sem_drop = (
+        scc.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", F.lit("semantic_dup").alias("reason"))
+        .localCheckpoint(eager=True)
     )
     s3 = s2.join(sem_drop.select("doc_id"), "doc_id", "left_anti")
 
     # stage 4: quality gate (precomputed canonical score)
-    low_drop = s3.filter(F.col("quality") < CB_QUALITY_MIN).select(
-        "doc_id", F.lit("low_quality").alias("reason")
+    low_drop = (
+        s3.filter(F.col("quality") < CB_QUALITY_MIN)
+        .select("doc_id", F.lit("low_quality").alias("reason"))
+        .localCheckpoint(eager=True)
     )
     # kept = survivors MINUS low_drop (anti-join), NOT the symmetric
     # `quality >= min` filter: a NULL quality (NULL text) fails BOTH
@@ -175,7 +226,12 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("mix_weight"),
         F.lit(None).cast("bigint").alias("shard_id"),
     )
-    return kept_m.unionByName(drop_m).orderBy("doc_id")
+    # fill=False: the stage-3 component loop materializes `enriched`
+    # during construction; the pin only registers it for GC-release
+    # (the session-memoized LSH/semantic frames are exempt and stay).
+    return pin_on_first_action(
+        kept_m.unionByName(drop_m).orderBy("doc_id"), [enriched], fill=False
+    )
 
 
 ORACLE_CORPUS_BUILD = f"""

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import dedup as D
-from ..operators.pinning import pin_on_first_action
+from ..operators.pinning import mark_session_owned, pin_on_first_action
 from ..sources.catalog import load_table
 
 _NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
@@ -39,6 +39,66 @@ def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy per-doc compute — the same shape either way."""
     spark_defpar = spark.sparkContext.defaultParallelism
     return load_table(spark, sf_dir, "documents").repartition(spark_defpar, "doc_id")
+
+
+# Session-scoped memo of the full-corpus MinHash-LSH state (r08
+# verdict task 1): one bench/gate pass otherwise runs the signature
+# build + exact-Jaccard verify up to FIVE times over the SAME corpus
+# (minhash_near_dupes, dedup_jaccard_verified, dedup_clusters,
+# leakage_safe_split, the lexical-vs-vector agreement audit — and
+# corpus_build re-derives all of it again on the exact-dedup
+# survivors). Building the LSH index ONCE and serving every consumer
+# from it is the production pattern (the _KMEANS_MEMO codebook
+# precedent, queries/similarity.py:231). The key carries the
+# footer-stamp content fingerprint (per part file: path, mtime_ns,
+# size — sources/catalog.path_stamp), so a dataset regenerated in
+# place misses the cache; the applicationId scopes entries to the
+# owning SparkSession (persisted frames die with their session).
+#
+# Lifecycle: frames are LAZILY persisted — a memo miss adds zero
+# construction-time jobs (the plan lint's invariant); the component
+# frame is built on first request by a CC consumer, whose
+# construction is already on the lint's exemption list (the
+# star-contraction convergence probes are jobs by design). The memo
+# frames are registered via pinning.mark_session_owned, so no query
+# result's GC ever releases them: the caches belong to the session,
+# not to any one query result.
+_LSH_MEMO: dict[tuple, dict] = {}
+
+
+def _lsh_state(spark: SparkSession, sf_dir: str) -> dict:
+    """The memoized (sets, pairs, cc) of the canonical full-corpus
+    LSH chain. ``cc`` starts as None and is filled by
+    :func:`_lsh_components` on first need."""
+    import os
+
+    from ..sources.catalog import path_stamp
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        path_stamp(os.path.join(sf_dir, "documents.parquet")),
+    )
+    st = _LSH_MEMO.get(key)
+    if st is None:
+        sets, pairs = D.lsh_verified_pairs(_docs_wide(spark, sf_dir))
+        st = {"sets": sets, "pairs": pairs.persist(), "cc": None}
+        mark_session_owned(sets, st["pairs"])
+        _LSH_MEMO[key] = st
+    return st
+
+
+def _lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized connected components over the full-corpus verified
+    pair graph — ONE star-contraction loop per (session, dataset)
+    instead of one per consumer. Construction launches jobs (the
+    per-round convergence probe); every caller is on the plan lint's
+    CONSTRUCTION_JOBS_ALLOWED list."""
+    st = _lsh_state(spark, sf_dir)
+    if st["cc"] is None:
+        st["cc"] = D.connected_components(st["pairs"]).persist()
+        mark_session_owned(st["cc"])
+    return st["cc"]
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,11 +154,11 @@ def minhash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint runs upstream exchanges at toRdd time under
     AQE) — it feeds the signature build AND both verification join
     branches."""
-    sets, pairs = D.lsh_verified_pairs(_docs_wide(spark, sf_dir))
-    result = pairs.select("d1", "d2", "jaccard")
+    st = _lsh_state(spark, sf_dir)
+    result = st["pairs"].select("d1", "d2", "jaccard")
     # pin: same three-branch race as dedup_jaccard_verified — the
     # signature chain and both verify-join branches read `sets`.
-    return pin_on_first_action(result, [sets])
+    return pin_on_first_action(result, [st["sets"]])
 
 
 def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,13 +168,13 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in candidates, the shape that survives 100 TB. (The
     full-corpus variant stays registered as the fixture-scale
     recall oracle; THIS one is the bench headline.)"""
-    sets, pairs = D.lsh_verified_pairs(_docs_wide(spark, sf_dir))
-    result = pairs.select("d1", "d2", "inter", "n1", "n2", "jaccard")
+    st = _lsh_state(spark, sf_dir)
+    result = st["pairs"].select("d1", "d2", "inter", "n1", "n2", "jaccard")
     # pin: the signature chain and BOTH verify-join branches read
     # `sets` — the first action fills its cache before those three
     # branches race to re-run tokenize→shingle (r07 bench 0.83→1.74s
     # from that race).
-    return pin_on_first_action(result, [sets])
+    return pin_on_first_action(result, [st["sets"]])
 
 
 
@@ -265,15 +325,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the component) → per-cluster size + canonical flag. The
     verified pair graph is tiny relative to the corpus, so the
     iterative label propagation runs over edges only."""
-    # persist(): the shingle sets feed the signature build AND the
-    # exact-verify pass — one materialization, job-free construction
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
-    sigs = D.minhash_signatures(sets, num_perm=8)
-    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
-    pairs = D.exact_jaccard_pairs(sets, min_jaccard=0.5, candidates=cands)
-    cc = D.connected_components(pairs)
+    st = _lsh_state(spark, sf_dir)
+    cc = _lsh_components(spark, sf_dir)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
+    result = (
         cc.join(sizes, "cluster_id")
         .select(
             "doc_id",
@@ -282,6 +337,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
         )
     )
+    return pin_on_first_action(result, [st["sets"]])
 
 
 # transitive closure by recursive UNION (distinct) — min reachable
@@ -358,15 +414,25 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     a market-data warehouse); this extends the repo's dedup family
     with the split-assignment op an LLM data pipeline runs after
     near-dup clustering."""
-    return leakage_safe_split_on(_docs_wide(spark, sf_dir))
+    st = _lsh_state(spark, sf_dir)
+    return leakage_safe_split_on(
+        _docs_wide(spark, sf_dir),
+        _state=(st["sets"], _lsh_components(spark, sf_dir)),
+    )
 
 
-def leakage_safe_split_on(docs: DataFrame) -> DataFrame:
+def leakage_safe_split_on(docs: DataFrame, _state=None) -> DataFrame:
     """Core over an arbitrary documents frame — factored (like
     ``hybrid_rrf_on``) so the planted-leakage pytest exercises the
-    exact production grouping + split rule."""
-    sets, pairs = D.lsh_verified_pairs(docs)
-    cc = D.connected_components(pairs)
+    exact production grouping + split rule. ``_state`` is the
+    registered query's session-memoized (sets, components) pair —
+    when absent (tests over synthetic frames), the chain builds
+    fresh."""
+    if _state is not None:
+        sets, cc = _state
+    else:
+        sets, pairs = D.lsh_verified_pairs(docs)
+        cc = D.connected_components(pairs)
     hashes = docs.select("doc_id", T.content_hash(F.col("text")).alias("content_md5"))
     exact = hashes.groupBy("content_md5").agg(F.min("doc_id").alias("exact_canonical"))
     grouped = (
@@ -398,7 +464,9 @@ def leakage_safe_split_on(docs: DataFrame) -> DataFrame:
     # (same race dedup_jaccard_verified documents); the component
     # loop is a construction-time action by design (dedup_clusters'
     # exemption) and fills the cache first anyway — the pin makes
-    # that explicit rather than incidental.
+    # that explicit rather than incidental. (Session-memoized state
+    # is exempt from the wrapper's GC-release via mark_session_owned;
+    # test-built pins release as before.)
     return pin_on_first_action(out, [sets])
 
 
@@ -482,8 +550,9 @@ def dedup_lexical_vector_agreement(spark: SparkSession, sf_dir: str) -> DataFram
     the oracle replays it bit-for-bit, JVM expressions only (md5 +
     instr arithmetic, no UDF)."""
     docs = _docs_wide(spark, sf_dir)
-    sets, jpairs = D.lsh_verified_pairs(docs)
-    pairs = jpairs.select("d1", "d2", "jaccard")
+    st = _lsh_state(spark, sf_dir)
+    sets = st["sets"]
+    pairs = st["pairs"].select("d1", "d2", "jaccard")
     # hash only documents that appear in a verified pair: the
     # corpus-wide explode+md5 aggregate would dominate at scale
     # while only |pairs| docs are ever consumed (the oracle computes

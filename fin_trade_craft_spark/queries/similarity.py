@@ -2083,6 +2083,61 @@ def cell_pair_edges(v: DataFrame, theta: float) -> DataFrame:
     return v.groupBy("cell").applyInPandas(cell_pairs, "d1 long, d2 long")
 
 
+# Session-scoped memo of the full-corpus semantic-dedup state (r08
+# verdict task 1, the twin of queries/dedup._LSH_MEMO): the
+# (vec_id, embedding, cell) frame, the within-cell cosine-≥θ edge
+# set, and (lazily) its connected components. One bench/gate pass
+# otherwise rebuilds the cell-pair kernel for `semdedup` AND again
+# inside `corpus_build`'s stage 3. Key includes the quantizer-mode
+# conf (it changes the cell contract) and the embeddings footer
+# stamp (regenerated data misses). Frames are lazily persisted —
+# a memo miss adds no construction jobs beyond the codebook
+# training every consumer already declares; frames are registered
+# session-owned so no query result's GC evicts them.
+_SEM_MEMO: dict[tuple, dict] = {}
+
+
+def _sem_state(spark: SparkSession, sf_dir: str) -> dict:
+    import os
+
+    from ..operators.pinning import mark_session_owned
+    from ..sources.catalog import path_stamp
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        path_stamp(os.path.join(sf_dir, "embeddings.parquet")),
+        spark.conf.get(QUANTIZER_CONF, "auto"),
+    )
+    st = _SEM_MEMO.get(key)
+    if st is None:
+        cells = _cell_assignments(spark, sf_dir)
+        emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+        v = emb.join(cells, "vec_id").persist()
+        edges = cell_pair_edges(v, SEMDEDUP_THETA).persist()
+        mark_session_owned(v, edges)
+        st = {"v": v, "edges": edges, "cc": None}
+        _SEM_MEMO[key] = st
+    return st
+
+
+def _sem_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized connected components over the full-corpus semantic
+    edge set (labels keyed ``vec_id``)."""
+    from ..operators.dedup import connected_components
+    from ..operators.pinning import mark_session_owned
+
+    st = _sem_state(spark, sf_dir)
+    if st["cc"] is None:
+        st["cc"] = (
+            connected_components(st["edges"])
+            .withColumnRenamed("doc_id", "vec_id")
+            .persist()
+        )
+        mark_session_owned(st["cc"])
+    return st["cc"]
+
+
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — semantic deduplication via
     embedding clusters: coarse-quantize every vector to its nearest
@@ -2103,15 +2158,9 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     component loop is the shared operators/dedup.connected_components.
     Output covers EVERY vector (singletons are their own kept
     cluster)."""
-    from ..operators.dedup import connected_components
-
-    cells = _cell_assignments(spark, sf_dir)
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    v = emb.join(cells, "vec_id").persist()
-    edges = cell_pair_edges(v, SEMDEDUP_THETA)
-    comp = connected_components(edges).withColumnRenamed(
-        "doc_id", "vec_id"
-    )
+    st = _sem_state(spark, sf_dir)
+    v = st["v"]
+    comp = _sem_components(spark, sf_dir)
     out = v.select("vec_id", "cell").join(comp, "vec_id", "left")
     out = out.withColumn("cluster_id", F.coalesce("cluster_id", F.col("vec_id")))
     sizes = out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
