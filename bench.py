@@ -122,6 +122,10 @@ def bench_query_names() -> list[str]:
         "ivf_pq_search",
         "mmr_diversified_retrieval",
         "leakage_safe_split",
+        # r09: the incremental curation capstone — a new batch flows
+        # the full ladder against the existing corpus's indexes
+        # without re-clustering history
+        "corpus_build_ingest",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -62,7 +62,6 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import dedup as D
-from ..operators.pinning import pin_on_first_action
 from ..sources.catalog import load_table
 from .corpus_mix import MIX_ALPHA, _with_mix_weight_quota
 from .dedup import _BANDS, _MH_COLS, _NORM, _SHINGLES, _TOKS, _lsh_components
@@ -75,15 +74,32 @@ CB_QUALITY_MIN = 64.0  # ~10th percentile of the fixture corpus —
 # expression is bit-exact cross-engine (doc_quality_scores oracle)
 
 
-def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Session memo of the shared enriched-documents frame (one tokenize
+# pass yielding n_tokens / content hash / quality): corpus_build and
+# corpus_build_ingest both ladder over it, and in a bench/gate pass
+# each ran the tokenize chain privately. Same key discipline as
+# queries/dedup._LSH_MEMO (applicationId + footer stamp).
+_ENRICHED_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.pinning import mark_session_owned
+    from ..sources.catalog import path_stamp
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        path_stamp(os.path.join(sf_dir, "documents.parquet")),
+    )
+    df = _ENRICHED_MEMO.get(key)
+    if df is not None:
+        return df
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    # one enriched pass: tokens / token count / content hash /
-    # quality all derive from a single tokenize, persisted — the
-    # component loops below materialize it during construction, so
-    # every later stage reads the cache (no sibling-branch race)
-    enriched = (
+    df = (
         docs.select("doc_id", "source", "lang", "text", T.tokens(F.col("text")).alias("toks"))
         .select(
             "doc_id",
@@ -101,6 +117,18 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    mark_session_owned(df)
+    _ENRICHED_MEMO[key] = df
+    return df
+
+
+def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one enriched pass: tokens / token count / content hash /
+    # quality all derive from a single tokenize, persisted (session
+    # memo, shared with corpus_build_ingest) — the checkpointed
+    # stage frames below materialize it during construction, so
+    # every later stage reads the cache (no sibling-branch race)
+    enriched = _enriched(spark, sf_dir)
 
     # Each stage's drop list is localCheckpoint-ed (eager) as it is
     # derived: the frames are tiny ((doc_id, reason) at dup/low-
@@ -226,12 +254,10 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("mix_weight"),
         F.lit(None).cast("bigint").alias("shard_id"),
     )
-    # fill=False: the stage-3 component loop materializes `enriched`
-    # during construction; the pin only registers it for GC-release
-    # (the session-memoized LSH/semantic frames are exempt and stay).
-    return pin_on_first_action(
-        kept_m.unionByName(drop_m).orderBy("doc_id"), [enriched], fill=False
-    )
+    # no pin needed: every shared cached frame (enriched, the LSH /
+    # semantic memo state) is session-owned, and the checkpointed
+    # stage frames fill everything during construction.
+    return kept_m.unionByName(drop_m).orderBy("doc_id")
 
 
 ORACLE_CORPUS_BUILD = f"""
@@ -374,5 +400,459 @@ ORDER BY b.doc_id
 """
 
 
-QUERIES = {"corpus_build": corpus_build}
-ORACLES = {"corpus_build": ORACLE_CORPUS_BUILD}
+def corpus_build_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus curation — the 100-TB OPERATIONAL shape of
+    ``corpus_build`` (r08 verdict task 2): a NEW batch of documents
+    (odd doc_ids) flows the full ladder AGAINST the EXISTING corpus
+    (even doc_ids, whose manifest/ indexes are already built) without
+    the batch ever re-clustering the historical corpus. Composes the
+    incremental family's probe shapes: hash-index probe (stage 1),
+    banded-signature probe against the retained canonicals (stage 2,
+    the ``incremental_dedup_ingest`` shape), per-cell cosine probe
+    against the retained semantic representatives (stage 3, the
+    ``incremental_semdedup_ingest`` kernel), plus append-mode mixture
+    reweighting and shard packing that CONTINUES the existing
+    corpus's per-language shard sequence.
+
+    Stage contracts (deterministic, batch-parallel — the oracle
+    replays them exactly):
+
+    1. exact: batch doc x drops iff ANY existing doc or ANY earlier
+       batch doc shares its content hash (plain equality — NULL-text
+       docs pass, as in ``corpus_build``).
+    2. near: x (alive after 1) drops iff a verified Jaccard ≥ 0.5
+       pair links it to an existing STAGE-2 SURVIVOR (the retained
+       near-dup canonicals — what a production signature index
+       actually stores) or an earlier batch doc alive after stage 1.
+       First-wins within the batch: an earlier batch doc counts even
+       if this same stage also drops it — the deterministic
+       batch-parallel contract the incremental family already uses
+       (a strictly sequential-greedy variant would be order-serial).
+    3. semantic: x (alive after 2) drops iff a cosine ≥ θ neighbor
+       exists within its IVF cell among existing STAGE-3 SURVIVORS
+       or earlier batch docs alive after stage 2. The quantizer is
+       trained on the EXISTING half only (the index the existing
+       corpus was built with — same contract as
+       ``incremental_semdedup_ingest``); assignment covers every
+       vector; batch docs without a vector pass through.
+    4. quality: the canonical score vs CB_QUALITY_MIN (NULL passes).
+    5. mixture: temperature weights over the COMBINED survivors'
+       per-source token masses (existing kept + batch kept) — an
+       arriving batch re-balances the mixture, exactly what a
+       production refresh recomputes (per-source scalars only).
+    6. shards: batch survivors append AFTER the existing corpus's
+       per-language token mass — the existing shard sequence is
+       never repacked.
+
+    Output: one row per BATCH document — same manifest schema as
+    ``corpus_build``.
+
+    The EXISTING side's state (its stage survivor sets and kept
+    masses) is recomputed here from the session memos so the query
+    is self-contained and oracle-replayable; in production those
+    frames are the stored manifest + signature/cell index tables,
+    and only the probe joins and the batch's own hashing run per
+    ingest — probe cost ∝ batch: stage 1 is one equi-join into the
+    hash index, stage 2 rides the session-memoized verified-pair
+    frame (at scale: a band equi-join of batch signatures into the
+    signature table), stage 3's kernel touches only cells containing
+    batch vectors. No stage rehashes, re-signs, or re-clusters the
+    historical corpus.
+
+    Reference parity: the watermark-ledger discovery semantics
+    (anti-join what's new, process only that) of
+    transformation_watermark_manager.py:198-270, lifted to the
+    corpus-curation ladder."""
+    from .dedup import _lsh_state
+    from .similarity import _cell_assignments, _emb, cell_probe_new_vs_prior
+
+    enriched = _enriched(spark, sf_dir)
+    odd = F.col("doc_id") % 2 == 1
+
+    # ---- existing corpus: even-only ladder (the PRIOR manifest;
+    # production loads this from storage — see docstring) ----
+    e = enriched.filter(~odd)
+    e_canon = e.groupBy("h").agg(F.min("doc_id").alias("__c"))
+    e_exact_drop = (
+        e.join(e_canon, "h")
+        .filter(F.col("doc_id") != F.col("__c"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    e_s1 = e.select("doc_id").join(e_exact_drop, "doc_id", "left_anti")
+    # even near-dup components: the session-memoized full-corpus
+    # verified pairs restricted to even survivors on both ends; the
+    # component loop re-runs (removing the odd half can split
+    # components — no mirror-edge guarantee for non-exact dups)
+    pairs = _lsh_state(spark, sf_dir)["pairs"]
+    pairs_ee = (
+        pairs.join(e_s1.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
+        .join(e_s1.withColumnRenamed("doc_id", "d2"), "d2", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    e_near_drop = (
+        D.connected_components(pairs_ee)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    e_s2 = e_s1.join(e_near_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+    # even semantic dedup in even-trained cells, members = e_s2
+    cells = _cell_assignments(spark, sf_dir, where=F.col("vec_id") % 2 == 0)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    v_e = (
+        emb.join(cells, "vec_id")
+        .join(e_s2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    )
+    from .similarity import cell_pair_edges
+
+    e_sedges = cell_pair_edges(v_e, SEMDEDUP_THETA).localCheckpoint(eager=True)
+    e_sem_drop = (
+        D.connected_components(e_sedges)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    e_s3 = e_s2.join(e_sem_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+    quality_ok = F.col("quality").isNull() | (F.col("quality") >= F.lit(CB_QUALITY_MIN))
+    e_kept = (
+        enriched.join(e_s3, "doc_id", "left_semi")
+        .filter(quality_ok)
+        .select("doc_id", "source", "lang", "n_tokens")
+    )
+
+    # ---- batch ladder (odds) ----
+    b = enriched.filter(odd)
+    others = enriched.select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
+    b_exact_drop = (
+        b.select("doc_id", "h")
+        .join(
+            others,
+            (F.col("h") == F.col("o_h"))
+            & ((F.col("o_id") % 2 == 0) | (F.col("o_id") < F.col("doc_id"))),
+            "left_semi",
+        )
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    b_s1 = b.select("doc_id").join(b_exact_drop, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    # stage 2 probe: both orientations of the memoized verified pairs
+    und = pairs.select("d1", "d2").unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    x_side = und.join(b_s1.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
+    m_e = x_side.join(e_s2.withColumnRenamed("doc_id", "d2"), "d2", "left_semi")
+    m_b = x_side.filter(F.col("d2") < F.col("d1")).join(
+        b_s1.withColumnRenamed("doc_id", "d2"), "d2", "left_semi"
+    )
+    b_near_drop = (
+        m_e.unionByName(m_b)
+        .select(F.col("d1").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    b_s2 = b_s1.join(b_near_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+    # stage 3 probe: cells restricted to existing stage-3 survivors ∪
+    # batch stage-2 survivors — the shared incremental kernel then
+    # scores each odd member against even members + earlier odds
+    probe_ids = e_s3.unionByName(b_s2).select(F.col("doc_id").alias("vec_id"))
+    v_probe = emb.join(cells, "vec_id").join(probe_ids, "vec_id", "left_semi")
+    b_sem_drop = (
+        cell_probe_new_vs_prior(v_probe, SEMDEDUP_THETA)
+        .filter(F.col("n_dup_matches") > 0)
+        .select(F.col("vec_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    b_s3 = b_s2.join(b_sem_drop, "doc_id", "left_anti")
+    b_alive = enriched.join(b_s3, "doc_id", "left_semi")
+    b_low_drop = (
+        b_alive.filter(~quality_ok).select("doc_id").localCheckpoint(eager=True)
+    )
+    b_kept = b_alive.filter(quality_ok).select("doc_id", "source", "lang", "n_tokens")
+
+    # stage 5: mixture over COMBINED kept masses
+    comb = e_kept.select("source", "n_tokens").unionByName(
+        b_kept.select("source", "n_tokens")
+    )
+    per_src = comb.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+    mixw = _with_mix_weight_quota(per_src).select("source", "mix_weight")
+
+    # stage 6: append-mode shards — batch continues each language's
+    # running token count after the existing corpus's kept mass
+    base_lang = e_kept.groupBy("lang").agg(F.sum("n_tokens").alias("__base"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    before_batch = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    b_kept_m = (
+        b_kept.join(F.broadcast(base_lang), "lang", "left")
+        .withColumn(
+            "__before",
+            F.coalesce(F.col("__base"), F.lit(0)).cast("bigint") + before_batch,
+        )
+        .join(F.broadcast(mixw), "source")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            F.lit("kept").alias("keep_reason"),
+            F.lit(True).alias("kept"),
+            "mix_weight",
+            F.floor(F.col("__before") / F.lit(SHARD_TOKEN_BUDGET))
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+    )
+    b_drops = (
+        b_exact_drop.withColumn("reason", F.lit("exact_dup"))
+        .unionByName(b_near_drop.withColumn("reason", F.lit("near_dup")))
+        .unionByName(b_sem_drop.withColumn("reason", F.lit("semantic_dup")))
+        .unionByName(b_low_drop.withColumn("reason", F.lit("low_quality")))
+    )
+    b_drop_m = enriched.join(b_drops, "doc_id").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        F.col("reason").alias("keep_reason"),
+        F.lit(False).alias("kept"),
+        F.lit(None).cast("double").alias("mix_weight"),
+        F.lit(None).cast("bigint").alias("shard_id"),
+    )
+    return b_kept_m.unionByName(b_drop_m).orderBy("doc_id")
+
+
+_SEM_DOT_SQL = (
+    "CAST(SUM(CAST(floor((a.v * b.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12"
+)
+
+ORACLE_CORPUS_BUILD_INGEST = f"""
+WITH {_km_sql(train_pred="vec_id % 2 = 0")},
+base0 AS MATERIALIZED (
+  SELECT doc_id, source, lang, text, {_TOKS} AS toks FROM documents
+),
+base AS MATERIALIZED (
+  SELECT doc_id, source, lang, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         md5({_NORM}) AS content_md5,
+         {QUALITY_SQL} AS quality
+  FROM base0
+),
+sh_sets AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS shingles FROM base0 WHERE len(toks) >= 3),
+sigs AS MATERIALIZED (
+  SELECT doc_id,
+{_MH_COLS}
+  FROM sh_sets
+),
+banded AS (SELECT doc_id, unnest([{_BANDS}]) AS band FROM sigs),
+cands AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+sizes_sh AS MATERIALIZED (SELECT doc_id, len(shingles) AS n_sh FROM sh_sets),
+exsh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh_sets),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM exsh a JOIN exsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+vpairs AS MATERIALIZED (
+  SELECT d1, d2
+  FROM cands JOIN inter USING (d1, d2)
+  JOIN sizes_sh z1 ON d1 = z1.doc_id JOIN sizes_sh z2 ON d2 = z2.doc_id
+  WHERE inter / CAST(z1.n_sh + z2.n_sh - inter AS DOUBLE) >= 0.5
+),
+-- existing corpus: even-only ladder
+eg AS (
+  SELECT content_md5, MIN(doc_id) AS canon
+  FROM base WHERE doc_id % 2 = 0 GROUP BY content_md5
+),
+e_exact_drop AS MATERIALIZED (
+  SELECT doc_id FROM base JOIN eg USING (content_md5)
+  WHERE doc_id % 2 = 0 AND doc_id <> canon
+),
+e_s1 AS MATERIALIZED (
+  SELECT doc_id FROM base WHERE doc_id % 2 = 0
+    AND doc_id NOT IN (SELECT doc_id FROM e_exact_drop)
+),
+e_pairs AS MATERIALIZED (
+  SELECT d1, d2 FROM vpairs
+  WHERE d1 IN (SELECT doc_id FROM e_s1) AND d2 IN (SELECT doc_id FROM e_s1)
+),
+e_edges AS MATERIALIZED (
+  SELECT d1 AS src, d2 AS dst FROM e_pairs UNION SELECT d2, d1 FROM e_pairs
+),
+e_rec AS MATERIALIZED (
+  WITH RECURSIVE reach(node, root) AS (
+    SELECT src, src FROM e_edges
+    UNION
+    SELECT e.dst, r.root FROM reach r JOIN e_edges e ON e.src = r.node
+  )
+  SELECT node, MIN(root) AS cluster FROM reach GROUP BY node
+),
+e_near_drop AS MATERIALIZED (SELECT node AS doc_id FROM e_rec WHERE cluster <> node),
+e_s2 AS MATERIALIZED (
+  SELECT doc_id FROM e_s1 WHERE doc_id NOT IN (SELECT doc_id FROM e_near_drop)
+),
+cells AS MATERIALIZED (SELECT vec_id, cid AS cell FROM kranked WHERE rn = 1),
+exv AS MATERIALIZED (
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+),
+vnorm AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(SUM(CAST(floor((v * v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS n2v
+  FROM exv GROUP BY vec_id
+),
+e_scand AS MATERIALIZED (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE a.vec_id IN (SELECT doc_id FROM e_s2) AND b.vec_id IN (SELECT doc_id FROM e_s2)
+),
+e_sdots AS MATERIALIZED (
+  SELECT p.d1, p.d2, {_SEM_DOT_SQL} AS dot
+  FROM e_scand p
+  JOIN exv a ON a.vec_id = p.d1
+  JOIN exv b ON b.vec_id = p.d2 AND b.i = a.i
+  GROUP BY 1, 2
+),
+e_sdp AS MATERIALIZED (
+  SELECT d1, d2
+  FROM e_sdots JOIN vnorm na ON d1 = na.vec_id JOIN vnorm nb ON d2 = nb.vec_id
+  WHERE dot / (SQRT(na.n2v) * SQRT(nb.n2v)) >= {SEMDEDUP_THETA}
+),
+e_sedges AS MATERIALIZED (
+  SELECT d1 AS src, d2 AS dst FROM e_sdp UNION SELECT d2, d1 FROM e_sdp
+),
+e_srec AS MATERIALIZED (
+  WITH RECURSIVE reach2(node, root) AS (
+    SELECT src, src FROM e_sedges
+    UNION
+    SELECT e.dst, r.root FROM reach2 r JOIN e_sedges e ON e.src = r.node
+  )
+  SELECT node, MIN(root) AS cluster FROM reach2 GROUP BY node
+),
+e_sem_drop AS MATERIALIZED (SELECT node AS doc_id FROM e_srec WHERE cluster <> node),
+e_s3 AS MATERIALIZED (
+  SELECT doc_id FROM e_s2 WHERE doc_id NOT IN (SELECT doc_id FROM e_sem_drop)
+),
+e_kept AS MATERIALIZED (
+  SELECT b.doc_id, b.source, b.lang, b.n_tokens
+  FROM base b JOIN e_s3 USING (doc_id)
+  WHERE b.quality IS NULL OR b.quality >= {CB_QUALITY_MIN}
+),
+-- batch ladder
+b_exact_drop AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id
+  FROM base x JOIN base y
+    ON x.content_md5 = y.content_md5
+   AND (y.doc_id % 2 = 0 OR y.doc_id < x.doc_id)
+  WHERE x.doc_id % 2 = 1
+),
+b_s1 AS MATERIALIZED (
+  SELECT doc_id FROM base WHERE doc_id % 2 = 1
+    AND doc_id NOT IN (SELECT doc_id FROM b_exact_drop)
+),
+und AS (SELECT d1, d2 FROM vpairs UNION ALL SELECT d2, d1 FROM vpairs),
+b_near_drop AS MATERIALIZED (
+  SELECT DISTINCT u.d1 AS doc_id FROM und u
+  WHERE u.d1 IN (SELECT doc_id FROM b_s1)
+    AND (u.d2 IN (SELECT doc_id FROM e_s2)
+         OR (u.d2 < u.d1 AND u.d2 IN (SELECT doc_id FROM b_s1)))
+),
+b_s2 AS MATERIALIZED (
+  SELECT doc_id FROM b_s1 WHERE doc_id NOT IN (SELECT doc_id FROM b_near_drop)
+),
+b_scand AS MATERIALIZED (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM cells a JOIN cells b ON a.cell = b.cell
+  WHERE a.vec_id IN (SELECT doc_id FROM b_s2)
+    AND (b.vec_id IN (SELECT doc_id FROM e_s3)
+         OR (b.vec_id < a.vec_id AND b.vec_id IN (SELECT doc_id FROM b_s2)))
+),
+b_sdots AS MATERIALIZED (
+  SELECT p.d1, p.d2, {_SEM_DOT_SQL} AS dot
+  FROM b_scand p
+  JOIN exv a ON a.vec_id = p.d1
+  JOIN exv b ON b.vec_id = p.d2 AND b.i = a.i
+  GROUP BY 1, 2
+),
+b_sem_drop AS MATERIALIZED (
+  SELECT DISTINCT d1 AS doc_id
+  FROM b_sdots JOIN vnorm na ON d1 = na.vec_id JOIN vnorm nb ON d2 = nb.vec_id
+  WHERE dot / (SQRT(na.n2v) * SQRT(nb.n2v)) >= {SEMDEDUP_THETA}
+),
+b_s3 AS MATERIALIZED (
+  SELECT doc_id FROM b_s2 WHERE doc_id NOT IN (SELECT doc_id FROM b_sem_drop)
+),
+b_low_drop AS MATERIALIZED (
+  SELECT doc_id FROM base JOIN b_s3 USING (doc_id)
+  WHERE quality < {CB_QUALITY_MIN}
+),
+b_kept AS MATERIALIZED (
+  SELECT b.doc_id, b.source, b.lang, b.n_tokens
+  FROM base b JOIN b_s3 USING (doc_id)
+  WHERE b.quality IS NULL OR b.quality >= {CB_QUALITY_MIN}
+),
+comb AS (
+  SELECT source, n_tokens FROM e_kept
+  UNION ALL
+  SELECT source, n_tokens FROM b_kept
+),
+per_src AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM comb GROUP BY source
+),
+raw_t AS (
+  SELECT source,
+         CAST(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS DECIMAL(28,10)) AS raw
+  FROM per_src
+),
+wt AS (
+  SELECT source, CAST(raw AS DOUBLE) / CAST(SUM(raw) OVER () AS DOUBLE) AS mix_weight
+  FROM raw_t
+),
+base_lang AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS base_tokens FROM e_kept GROUP BY lang
+),
+pk AS (
+  SELECT doc_id,
+         CAST(floor((COALESCE(bl.base_tokens, 0)
+              + CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY k.lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT))
+              / {SHARD_TOKEN_BUDGET}.0) AS BIGINT) AS shard_id
+  FROM b_kept k LEFT JOIN base_lang bl USING (lang)
+),
+kept_w AS (
+  SELECT k.doc_id, wt.mix_weight, pk.shard_id
+  FROM b_kept k JOIN wt USING (source) JOIN pk USING (doc_id)
+)
+SELECT b.doc_id, b.source, b.lang, b.n_tokens,
+  CASE WHEN ed.doc_id IS NOT NULL THEN 'exact_dup'
+       WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+       WHEN sd.doc_id IS NOT NULL THEN 'semantic_dup'
+       WHEN ld.doc_id IS NOT NULL THEN 'low_quality'
+       ELSE 'kept' END AS keep_reason,
+  (ed.doc_id IS NULL AND nd.doc_id IS NULL AND sd.doc_id IS NULL
+   AND ld.doc_id IS NULL) AS kept,
+  kw.mix_weight, kw.shard_id
+FROM base b
+LEFT JOIN b_exact_drop ed USING (doc_id)
+LEFT JOIN b_near_drop nd USING (doc_id)
+LEFT JOIN b_sem_drop sd USING (doc_id)
+LEFT JOIN b_low_drop ld USING (doc_id)
+LEFT JOIN kept_w kw USING (doc_id)
+WHERE b.doc_id % 2 = 1
+ORDER BY b.doc_id
+"""
+
+
+QUERIES = {"corpus_build": corpus_build, "corpus_build_ingest": corpus_build_ingest}
+ORACLES = {
+    "corpus_build": ORACLE_CORPUS_BUILD,
+    "corpus_build_ingest": ORACLE_CORPUS_BUILD_INGEST,
+}

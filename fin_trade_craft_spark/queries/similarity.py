@@ -2609,34 +2609,19 @@ def hierarchical_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def incremental_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental SEMANTIC dedup — the embedding-tier twin of
-    ``incremental_dedup_ingest`` and the production shape for
-    continuous corpus growth: the odd-vec_id half plays the NEW
-    batch arriving against the even half as the EXISTING corpus
-    whose IVF index (k-means centroids, trained on the existing
-    half ONLY) is already built. Each new vector is assigned to its
-    nearest existing cell and exact-cosine-scored ONLY against that
-    cell's members (existing vectors plus earlier new vectors —
-    first-wins within the batch, same contract as the MinHash
-    ingest); it is ingested iff no match ≥ θ exists.
-
-    Scale shape: the historical corpus is never re-embedded,
-    re-assigned, or re-scored — it is touched only as the probe
-    TARGET inside the batch's cells, so probe cost is
-    O(batch · cell population), proportional to the BATCH (asserted
-    structurally in tests). At 100 TB the cell assignment is a
-    stored table partitioned by cell; a batch probe is partition
-    pruning + the per-cell kernel. The cell contract follows the
-    active quantizer tier (``_cell_assignments`` — the index the
-    existing corpus built with), trained on the EXISTING half only."""
+def cell_probe_new_vs_prior(v: DataFrame, theta: float) -> DataFrame:
+    """Per-cell incremental probe kernel over a (vec_id, embedding,
+    cell) frame where ODD ids are the arriving batch and EVEN ids
+    the existing corpus: each odd vector is exact-cosine-scored
+    against the cell's even members plus EARLIER odd members
+    (first-wins), same fixed-point arithmetic as
+    :func:`cell_pair_edges`. Returns (vec_id, cell, n_dup_matches)
+    for odd ids only. Shared by ``incremental_semdedup_ingest`` and
+    the ``corpus_build_ingest`` capstone (which pre-restricts ``v``
+    to the stage's survivor sets — the kernel contract is unchanged
+    because membership is decided by the caller)."""
     import numpy as np
     import pandas as pd
-
-    cells = _cell_assignments(spark, sf_dir, where=F.col("vec_id") % 2 == 0)
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    v = emb.join(cells, "vec_id")
-    theta = SEMDEDUP_THETA
 
     def cell_probe(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(pdf["vec_id"].to_numpy())
@@ -2669,9 +2654,36 @@ def incremental_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"vec_id": out_id, "cell": [cell] * len(out_id), "n_dup_matches": out_n}
         )
 
-    probed = v.groupBy("cell").applyInPandas(
+    return v.groupBy("cell").applyInPandas(
         cell_probe, "vec_id long, cell long, n_dup_matches long"
     )
+
+
+def incremental_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup — the embedding-tier twin of
+    ``incremental_dedup_ingest`` and the production shape for
+    continuous corpus growth: the odd-vec_id half plays the NEW
+    batch arriving against the even half as the EXISTING corpus
+    whose IVF index (k-means centroids, trained on the existing
+    half ONLY) is already built. Each new vector is assigned to its
+    nearest existing cell and exact-cosine-scored ONLY against that
+    cell's members (existing vectors plus earlier new vectors —
+    first-wins within the batch, same contract as the MinHash
+    ingest); it is ingested iff no match ≥ θ exists.
+
+    Scale shape: the historical corpus is never re-embedded,
+    re-assigned, or re-scored — it is touched only as the probe
+    TARGET inside the batch's cells, so probe cost is
+    O(batch · cell population), proportional to the BATCH (asserted
+    structurally in tests). At 100 TB the cell assignment is a
+    stored table partitioned by cell; a batch probe is partition
+    pruning + the per-cell kernel. The cell contract follows the
+    active quantizer tier (``_cell_assignments`` — the index the
+    existing corpus built with), trained on the EXISTING half only."""
+    cells = _cell_assignments(spark, sf_dir, where=F.col("vec_id") % 2 == 0)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    v = emb.join(cells, "vec_id")
+    probed = cell_probe_new_vs_prior(v, SEMDEDUP_THETA)
     return probed.select(
         "vec_id", "cell", "n_dup_matches", (F.col("n_dup_matches") == 0).alias("ingested")
     ).orderBy("vec_id")

@@ -1175,28 +1175,34 @@ ORDER BY doc_id
 
 QUALITY_LABEL_THRESHOLD = 75.0
 
+# Frozen quality-classifier artifact (r08 verdict task 5): the
+# coefficients of LogisticRegression(maxIter=25, regParam=0.01) over
+# (n_tokens, stop_ratio, ttr, avg_token_len) with the weak label
+# quality_score >= QUALITY_LABEL_THRESHOLD, trained on the sf0.001
+# driver fixture by the pytest harness
+# (tests/test_text_queries.py::test_quality_classifier_frozen_artifact
+# re-trains and pins decision agreement, so the artifact cannot rot
+# silently). Production shape: training runs OFFLINE; the data
+# pipeline applies the persisted artifact — the same model-artifact
+# seam as S15 (reference: backtesting/trade_success_predictor.py
+# persists the fitted model, the scorer loads it).
+QC_INTERCEPT = -3.572873075380068
+QC_COEFS = (
+    0.10424488463865915,  # n_tokens
+    -9.790660495926534,  # stop_ratio
+    -8.295708561452905,  # ttr
+    0.7622049783388496,  # avg_token_len
+)
 
-def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based curation — the FineWeb/DCLM-style classifier
-    filtering stage: weak-label the corpus with the heuristic
-    quality score (≥75 → good; ~60/40 split on this data), train a
-    logistic-regression quality classifier on the cheap per-doc
-    features (token count, stopword ratio, type-token ratio, mean
-    token length), then score EVERY document and keep p(good) ≥ 0.5.
 
-    Registered rows-only BY DESIGN: distributed LBFGS training is
-    iterative and not SQL-expressible; correctness evidence is the
-    pytest contract (agreement with the weak label, probability
-    monotonicity vs the quality score) — same policy as the sketch
-    and EWM families.
-
-    Scale shape: training aggregates gradients via treeAggregate
-    (map-side partial sums, log(n) combine depth); the fitted model
-    is a handful of coefficients broadcast into a codegen'd scoring
-    expression — scoring is map-only. In production the trainer
-    would fit on a hash-sampled slice (train_eval_split) and score
-    the full corpus; here both run on the same frame to keep the
-    query self-contained."""
+def _train_quality_classifier(spark: SparkSession, sf_dir: str):
+    """The OFFLINE training harness (pytest-only, unregistered):
+    weak-label the corpus with the heuristic quality score, fit the
+    logistic-regression quality classifier via distributed LBFGS
+    (treeAggregate gradients — map-side partials, log(n) combine
+    depth), and return (model, scored frame with p_good/kept).
+    The registered ``quality_classifier_filter`` applies the FROZEN
+    artifact these runs produce."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
@@ -1220,12 +1226,79 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = LogisticRegression(maxIter=25, regParam=0.01).fit(assembled)
     scored = model.transform(assembled)
     p_good = vector_to_array(F.col("probability")).getItem(1)
-    return scored.select(
+    return model, scored.select(
         "doc_id",
         F.col("label").cast("boolean").alias("label_weak"),
         F.round(p_good, 6).alias("p_good"),
         (p_good >= 0.5).alias("kept"),
     ).orderBy("doc_id")
+
+
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based curation — the FineWeb/DCLM-style classifier
+    filtering stage, applying the FROZEN artifact (QC_INTERCEPT /
+    QC_COEFS, provenance above): score every document's cheap
+    features and keep where the linear margin ≥ 0 (⟺ p(good) ≥ 0.5
+    — the sigmoid is monotone, so the keep decision needs NO
+    transcendental call and is bit-exact cross-engine, unlike a
+    libm ``exp``). Emits the weak label for audit alongside.
+
+    r09 (verdict task 5): previously rows-only (in-plan LBFGS);
+    training now lives in the pytest harness
+    (``_train_quality_classifier``) and the registered filter is
+    fully value-oracled — the margin is a fixed-order dot product
+    over features that are themselves bit-exact (doc_quality_scores
+    oracle).
+
+    Scale shape: map-only scoring inside whole-stage codegen — the
+    artifact is four doubles folded into the expression; no shuffle
+    beyond the output sort."""
+    feats = doc_quality_scores(spark, sf_dir)
+    z = (
+        F.lit(QC_INTERCEPT)
+        + F.lit(QC_COEFS[0]) * F.col("n_tokens").cast("double")
+        + F.lit(QC_COEFS[1]) * F.col("stop_ratio")
+        + F.lit(QC_COEFS[2]) * F.col("ttr")
+        + F.lit(QC_COEFS[3]) * F.col("avg_token_len")
+    )
+    return feats.select(
+        "doc_id",
+        (F.col("quality_score") >= F.lit(QUALITY_LABEL_THRESHOLD)).alias("label_weak"),
+        F.round(z, 9).alias("margin"),
+        (z >= F.lit(0.0)).alias("kept"),
+    ).orderBy("doc_id")
+
+
+ORACLE_QUALITY_CLASSIFIER_FILTER = f"""
+WITH d AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks,
+    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    CAST(len(toks) AS DOUBLE) AS nt,
+    len(list_filter(toks, t -> t IN ({_STOP_SQL}))) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+    len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS ttr,
+    (length(norm) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+    {QUALITY_SQL} AS quality_score
+  FROM d
+)
+SELECT doc_id,
+  quality_score >= CAST({QUALITY_LABEL_THRESHOLD!r} AS DOUBLE) AS label_weak,
+  ROUND(CAST({QC_INTERCEPT!r} AS DOUBLE)
+        + CAST({QC_COEFS[0]!r} AS DOUBLE) * nt
+        + CAST({QC_COEFS[1]!r} AS DOUBLE) * stop_ratio
+        + CAST({QC_COEFS[2]!r} AS DOUBLE) * ttr
+        + CAST({QC_COEFS[3]!r} AS DOUBLE) * avg_token_len, 9) AS margin,
+  (CAST({QC_INTERCEPT!r} AS DOUBLE)
+        + CAST({QC_COEFS[0]!r} AS DOUBLE) * nt
+        + CAST({QC_COEFS[1]!r} AS DOUBLE) * stop_ratio
+        + CAST({QC_COEFS[2]!r} AS DOUBLE) * ttr
+        + CAST({QC_COEFS[3]!r} AS DOUBLE) * avg_token_len) >= CAST(0.0 AS DOUBLE) AS kept
+FROM f
+ORDER BY doc_id
+"""
 
 
 FUZZY_TITLE_LEN = 32
@@ -1867,7 +1940,6 @@ QUERIES = {
     "unigram_logprob_scores": unigram_logprob_scores,
     "bigram_interpolated_scores": bigram_interpolated_scores,
     "fuzzy_title_matches": fuzzy_title_matches,
-    # rows-only by design: iterative LBFGS training isn't SQL
     "quality_classifier_filter": quality_classifier_filter,
     "doc_quality_scores": doc_quality_scores,
     "doc_repetition_filter": doc_repetition_filter,
@@ -1899,6 +1971,7 @@ ORACLES = {
     "bigram_interpolated_scores": ORACLE_BIGRAM_INTERPOLATED_SCORES,
     "fuzzy_title_matches": ORACLE_FUZZY_TITLE_MATCHES,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "quality_classifier_filter": ORACLE_QUALITY_CLASSIFIER_FILTER,
     "doc_quality_scores": ORACLE_DOC_QUALITY_SCORES,
     "doc_repetition_filter": ORACLE_DOC_REPETITION_FILTER,
     "train_eval_split": ORACLE_TRAIN_EVAL_SPLIT,

@@ -138,8 +138,11 @@ CONSTRUCTION_JOBS_ALLOWED = {
     "leakage_safe_split": "star-contraction rounds probe convergence",
     "bpe_convergent_merges": "per-round argmax convergence probe (1-row collect)",
     "corpus_build": "dedup-ladder capstone: two component loops + codebook training",
+    "corpus_build_ingest": "prior-manifest component loops + probe-kernel stage checkpoints",
     "pagerank_copurchase": "per-iteration lineage cut (localCheckpoint)",
-    "quality_classifier_filter": "L-BFGS training iterations are jobs",
+    # quality_classifier_filter left this list in r09: it now applies
+    # the frozen artifact (training moved to the pytest harness), so
+    # its construction is job-free like any other single-plan query.
     # --- sketch-then-verify: the freqItems candidate sweep is a
     # driver-side sketch whose output parameterizes the verify plan.
     "frequent_tokens": "freqItems sketch collect feeds the verify filter",

@@ -27,27 +27,43 @@ def test_text_vs_oracle(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_quality_classifier_filter_contract(spark):
-    """Rows-only query contract: the trained classifier must (a)
-    score every document exactly once, (b) agree strongly with its
-    own weak label (the features contain the label's ingredients,
-    so LBFGS failing to recover it means a broken pipeline), and
-    (c) produce probabilities that rank quality_score ordering."""
+def test_quality_classifier_frozen_artifact(spark):
+    """The registered filter applies a FROZEN artifact (r09: training
+    moved to this harness so the filter is value-oracled). Pins:
+    (a) re-training on the same fixture reproduces the frozen
+    coefficients (LBFGS is deterministic given data + params — a
+    drift here means the artifact rotted against its training data);
+    (b) the frozen margin's keep decision agrees with the freshly
+    trained model's p_good ≥ 0.5; (c) the margin ranks
+    quality_score; (d) strong weak-label agreement; (e) coverage."""
     from fin_trade_craft_spark.queries.text import (
-        QUALITY_LABEL_THRESHOLD,
+        QC_COEFS,
+        QC_INTERCEPT,
+        _train_quality_classifier,
         doc_quality_scores,
         quality_classifier_filter,
     )
 
+    model, scored = _train_quality_classifier(spark, SF_SMOKE)
+    assert abs(model.intercept - QC_INTERCEPT) < 1e-4
+    for got, want in zip(model.coefficients, QC_COEFS):
+        assert abs(got - want) < 1e-4
     pdf = quality_classifier_filter(spark, SF_SMOKE).toPandas()
     qs = doc_quality_scores(spark, SF_SMOKE).select("doc_id", "quality_score").toPandas()
     assert len(pdf) == len(qs) == pdf["doc_id"].nunique()
-    merged = pdf.merge(qs, on="doc_id")
+    tr = scored.select(
+        "doc_id",
+        scored["kept"].alias("kept_trained"),
+        scored["p_good"].alias("p_good_trained"),
+    ).toPandas()
+    merged = pdf.merge(tr, on="doc_id").merge(qs, on="doc_id")
+    agree_fresh = (merged["kept"] == merged["kept_trained"]).mean()
+    assert agree_fresh >= 0.98, f"frozen vs fresh decisions: {agree_fresh:.2%}"
     agree = (merged["kept"] == merged["label_weak"]).mean()
     assert agree >= 0.9, f"classifier disagrees with weak label: {agree:.2%}"
-    # probability must rank quality: Spearman-ish via corr of ranks
-    rho = merged["p_good"].rank().corr(merged["quality_score"].rank())
-    assert rho >= 0.7, f"p_good does not rank quality_score (rho={rho:.2f})"
+    # the margin must rank quality: Spearman-ish via corr of ranks
+    rho = merged["margin"].rank().corr(merged["quality_score"].rank())
+    assert rho >= 0.7, f"margin does not rank quality_score (rho={rho:.2f})"
     # both classes present (non-degenerate threshold)
     assert 0.2 <= merged["label_weak"].mean() <= 0.8
 
