@@ -67,8 +67,13 @@ _LSH_MEMO: dict[tuple, dict] = {}
 
 
 def _lsh_state(spark: SparkSession, sf_dir: str) -> dict:
-    """The memoized (sets, pairs, cc) of the canonical full-corpus
-    LSH chain. ``cc`` starts as None and is filled by
+    """The memoized (sets, scored, pairs, cc) of the canonical
+    full-corpus LSH chain. ``scored`` is every band-collision
+    candidate with its exact Jaccard (NO threshold — what the
+    persisted pair-score table of a production dedup service holds);
+    ``pairs`` is the canonical ≥ 0.5 verified view over it, so the
+    containment tier (which needs sub-0.5-Jaccard pairs) shares the
+    same materialization. ``cc`` starts as None and is filled by
     :func:`_lsh_components` on first need."""
     import os
 
@@ -81,9 +86,15 @@ def _lsh_state(spark: SparkSession, sf_dir: str) -> dict:
     )
     st = _LSH_MEMO.get(key)
     if st is None:
-        sets, pairs = D.lsh_verified_pairs(_docs_wide(spark, sf_dir))
-        st = {"sets": sets, "pairs": pairs.persist(), "cc": None}
-        mark_session_owned(sets, st["pairs"])
+        sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
+        sigs = D.minhash_signatures(sets, num_perm=8)
+        cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
+        scored = D.exact_jaccard_pairs(
+            sets, min_jaccard=0.0, candidates=cands
+        ).persist()
+        pairs = scored.filter(F.col("jaccard") >= 0.5)
+        st = {"sets": sets, "scored": scored, "pairs": pairs, "cc": None}
+        mark_session_owned(sets, scored)
         _LSH_MEMO[key] = st
     return st
 
@@ -854,12 +865,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the containment tier seeds candidates from the SHORTER
     side's shingles instead (probe-side banding) — same join shape,
     different signature build."""
-    sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
-    sigs = D.minhash_signatures(sets, num_perm=8)
-    cands = D.lsh_candidate_pairs(sigs, num_perm=8, rows_per_band=2)
-    scored = D.exact_jaccard_pairs(sets, min_jaccard=0.0, candidates=cands)
+    st = _lsh_state(spark, sf_dir)
+    scored = st["scored"]  # threshold-free scored candidates (session memo)
     containment = F.col("inter") / F.least("n1", "n2").cast("double")
-    return (
+    result = (
         scored.select(
             "d1",
             "d2",
@@ -874,6 +883,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_MIN)
     )
+    return pin_on_first_action(result, [st["sets"]])
 
 
 ORACLE_DEDUP_CONTAINMENT_PAIRS = f"""

@@ -172,13 +172,23 @@ _QV_EXPR = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) 
 #   spark.fin_trade_craft.hierMinRows = corpus-size threshold for auto
 #
 # Every DuckDB-oracle'd query replays the FLAT build, so the default
-# threshold sits far above any oracle fixture (the oracle gate runs
-# at sf0.01–sf1, ≤ 50k vectors); "auto" therefore means "flat at
-# verification scale, hierarchical at corpus scale".
+# threshold sits above any oracle fixture (the oracle gate runs at
+# sf0.01–sf1, ≤ 20k vectors); "auto" therefore means "flat at
+# verification scale, hierarchical at corpus scale". An oracle sweep
+# on a replica above the threshold must force `quantizer=flat` (or
+# use the hierarchical family's own oracles) — the flat replay and
+# the auto tier diverge there by design.
+#
+# Threshold provenance (r09, sf5 replica = 100k vectors, 32 cores):
+# flat build = 39.7s train + 24.5s assignment vs hierarchical =
+# 15.6s total — the flat tier's n² terms (Lloyd sample ∝ k ∝ n at
+# k·dims distances per row; assignment at k distances per vector)
+# already dominate at 10⁵ vectors, so the crossover sits near
+# 5×10⁴, not the r05 guess of 10⁶.
 # ------------------------------------------------------------------
 QUANTIZER_CONF = "spark.fin_trade_craft.quantizer"
 HIER_MIN_ROWS_CONF = "spark.fin_trade_craft.hierMinRows"
-HIER_MIN_ROWS = 1_000_000
+HIER_MIN_ROWS = 50_000
 
 
 def _quantizer_mode(spark: SparkSession, n_rows: int) -> str:

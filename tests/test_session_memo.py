@@ -34,7 +34,9 @@ def test_lsh_memo_single_entry_and_reuse(spark):
     st2 = QD._lsh_state(spark, SF_SMOKE)
     assert st1 is st2, "same (session, dataset) must hit the memo"
     assert id(st1["sets"]) in _SESSION_OWNED
-    assert id(st1["pairs"]) in _SESSION_OWNED
+    # the persisted frame is the threshold-free scored candidates;
+    # `pairs` is a derived >= 0.5 view over it
+    assert id(st1["scored"]) in _SESSION_OWNED
 
 
 def test_memoized_pairs_match_fresh_chain(spark):
@@ -66,7 +68,7 @@ def test_memo_survives_consumer_gc(spark):
     gc.collect()
     # the memo frames are still persisted (StorageLevel non-NONE) and
     # a second consumer returns identical rows
-    assert st["pairs"].storageLevel.useMemory or st["pairs"].storageLevel.useDisk
+    assert st["scored"].storageLevel.useMemory or st["scored"].storageLevel.useDisk
     n2 = QD.dedup_jaccard_verified(spark, SF_SMOKE).count()
     assert n1 == n2
 

@@ -56,19 +56,23 @@ def main() -> None:
     q = all_queries()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    timings: dict[str, float] = {}
+    # Both attempts are recorded: for session-memoized queries the
+    # FIRST attempt carries the one-time index build (LSH signatures,
+    # semantic edges, codebooks) and the second the warm serving cost
+    # — the scale curve needs both (build cost scales with the
+    # corpus; serving cost with the probe set).
+    timings: dict[str, list[float]] = {}
     for name in names:
-        best = None
+        atts = []
         for _ in range(2):
             t0 = time.time()
             df = q[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            atts.append(round(time.time() - t0, 3))
             del df
             gc.collect()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        timings[name] = atts
+        print(f"# {name}: {atts}", file=sys.stderr)
     print(json.dumps({"sf_dir": sf_dir, "queries": timings}))
 
 
