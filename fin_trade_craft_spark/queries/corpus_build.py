@@ -464,7 +464,7 @@ def corpus_build_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformation_watermark_manager.py:198-270, lifted to the
     corpus-curation ladder."""
     from .dedup import _lsh_state
-    from .similarity import _cell_assignments, _emb, cell_probe_new_vs_prior
+    from .similarity import _emb, _even_trained_cells, cell_probe_new_vs_prior
 
     enriched = _enriched(spark, sf_dir)
     odd = F.col("doc_id") % 2 == 1
@@ -498,7 +498,7 @@ def corpus_build_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e_s2 = e_s1.join(e_near_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
     # even semantic dedup in even-trained cells, members = e_s2
-    cells = _cell_assignments(spark, sf_dir, where=F.col("vec_id") % 2 == 0)
+    cells = _even_trained_cells(spark, sf_dir)
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     v_e = (
         emb.join(cells, "vec_id")

@@ -2619,6 +2619,33 @@ def hierarchical_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session memo of the EVEN-trained cell assignment (the index the
+# "existing corpus" of the incremental family was built with) —
+# shared by incremental_semdedup_ingest and corpus_build_ingest,
+# which otherwise each re-run the full assignment kernel per call.
+_EVEN_CELLS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _even_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.pinning import mark_session_owned
+    from ..sources.catalog import path_stamp
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        path_stamp(os.path.join(sf_dir, "embeddings.parquet")),
+        spark.conf.get(QUANTIZER_CONF, "auto"),
+    )
+    df = _EVEN_CELLS_MEMO.get(key)
+    if df is None:
+        df = _cell_assignments(spark, sf_dir, where=F.col("vec_id") % 2 == 0).persist()
+        mark_session_owned(df)
+        _EVEN_CELLS_MEMO[key] = df
+    return df
+
+
 def cell_probe_new_vs_prior(v: DataFrame, theta: float) -> DataFrame:
     """Per-cell incremental probe kernel over a (vec_id, embedding,
     cell) frame where ODD ids are the arriving batch and EVEN ids
@@ -2690,7 +2717,7 @@ def incremental_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning + the per-cell kernel. The cell contract follows the
     active quantizer tier (``_cell_assignments`` — the index the
     existing corpus built with), trained on the EXISTING half only."""
-    cells = _cell_assignments(spark, sf_dir, where=F.col("vec_id") % 2 == 0)
+    cells = _even_trained_cells(spark, sf_dir)
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     v = emb.join(cells, "vec_id")
     probed = cell_probe_new_vs_prior(v, SEMDEDUP_THETA)
