@@ -2844,6 +2844,90 @@ def hybrid_rrf_on(
     )
 
 
+CLUSTER_LABEL_TOP_K = 5
+
+
+def semantic_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF cluster labeling (the BERTopic recipe, Grootendorst
+    2022): after coarse-quantizing the corpus into semantic cells,
+    label each cell with its most DISTINCTIVE terms — per-cell term
+    frequency weighted by an inverse cell-frequency factor
+    ln(1 + n_cells/df) — the corpus-understanding report a curation
+    pipeline runs to see WHAT each embedding cluster contains
+    (topic drift, contamination, single-language cells). Top-{K}
+    terms per cell, ties broken by term for determinism; the score
+    is rounded to 9dp BEFORE ranking so order never hinges on libm
+    ulps (the bm25_retrieval discipline).
+
+    Scale shape: one token explode (linear in corpus bytes) keyed
+    by cell, two hash aggregates ((cell, term) and term), a 1-row
+    broadcast for n_cells, and a per-cell top-K window — partitioned
+    by cell, never global. Cells come from the tier-appropriate
+    quantizer via ``_cell_assignments``; the oracle replays the flat
+    build (fixture scale) with the shared ``_km_sql`` block."""
+    from ..functions import text as T
+
+    cells = _cell_assignments(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "text"
+    )
+    toks = docs.join(cells, "vec_id").select(
+        "cell", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("cell", "term").agg(F.count(F.lit(1)).alias("tf_cell"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_cells"))
+    ncells = cells.agg(F.count_distinct("cell").alias("n_cells"))
+    score = F.round(
+        F.col("tf_cell").cast("double")
+        * F.log(
+            F.lit(1.0) + F.col("n_cells").cast("double") / F.col("df_cells").cast("double")
+        ),
+        9,
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ncells))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= CLUSTER_LABEL_TOP_K)
+        .select("cell", "rank", "term", "tf_cell", "df_cells", "score")
+    )
+
+
+def _cluster_labels_oracle() -> str:
+    from .text import _TOKS
+
+    return f"""
+WITH {_km_sql()},
+cells AS MATERIALIZED (SELECT vec_id, cid AS cell FROM kranked WHERE rn = 1),
+toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+term AS (
+  SELECT c.cell, unnest(t.toks) AS term
+  FROM toks t JOIN cells c ON t.doc_id = c.vec_id
+),
+tf AS (SELECT cell, term, COUNT(*) AS tf_cell FROM term GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df_cells FROM tf GROUP BY term),
+nc AS (SELECT COUNT(DISTINCT cell) AS n_cells FROM cells),
+scored AS (
+  SELECT cell, term, tf_cell, df_cells,
+         ROUND(CAST(tf_cell AS DOUBLE)
+               * ln(1.0e0 + CAST(n_cells AS DOUBLE) / CAST(df_cells AS DOUBLE)),
+               9) AS score
+  FROM tf JOIN dfreq USING (term), nc
+),
+r AS (
+  SELECT cell, term, tf_cell, df_cells, score,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT cell, rank, term, tf_cell, df_cells, score
+FROM r WHERE rank <= {CLUSTER_LABEL_TOP_K}
+"""
+
+
 def _docs_for_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import load_table
 
@@ -3153,6 +3237,7 @@ QUERIES = {
     "incremental_semdedup_ingest": incremental_semdedup_ingest,
     "kmeans_centroids": kmeans_centroids,
     "semdedup": semdedup,
+    "semantic_cluster_labels": semantic_cluster_labels,
     "sq8_rerank_search": sq8_rerank_search,
     "embedding_quantize_int8": embedding_quantize_int8,
     "knn_bruteforce": knn_bruteforce,
@@ -3180,6 +3265,7 @@ ORACLES = {
     "incremental_semdedup_ingest": ORACLE_INCREMENTAL_SEMDEDUP_INGEST,
     "kmeans_centroids": ORACLE_KMEANS_CENTROIDS,
     "semdedup": ORACLE_SEMDEDUP,
+    "semantic_cluster_labels": _cluster_labels_oracle(),
     "sq8_rerank_search": ORACLE_SQ8_RERANK_SEARCH,
     "embedding_quantize_int8": ORACLE_EMBEDDING_QUANTIZE_INT8,
     "ann_recall": ORACLE_ANN_RECALL,

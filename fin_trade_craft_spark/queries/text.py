@@ -491,6 +491,84 @@ FROM c
 """
 
 
+SEQ_LEN = 512
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk SEQUENCE packing — the step that turns a
+    curated corpus into fixed-length training examples (GPT-style:
+    documents are concatenated per language in stable doc_id order
+    and the token stream is cut every {SEQ_LEN} tokens; a document
+    crossing a boundary is SPLIT, unlike ``shard_packing`` where a
+    doc always lands whole in one shard). Output is the stitching
+    manifest a data loader consumes: one row per (document,
+    sequence) overlap with the half-open token slice on both axes —
+    (lang, doc_id, seq_id, doc_tok_start, doc_tok_end,
+    seq_tok_start). Docs with no tokens contribute nothing.
+
+    Scale shape: one per-lang window for the running offset (the
+    same single shuffle any per-lang feature pays), then an in-plan
+    ``sequence``/explode over each doc's overlapped sequence ids —
+    output rows ≈ docs + total_tokens/{SEQ_LEN}, linear. All
+    arithmetic is integer (div/greatest/least) — bit-exact in any
+    engine, no floats anywhere."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.size(T.tokens(F.col("text"))).alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    d2 = d.withColumn("off", off)
+    seqs = F.expr(
+        f"sequence(off div {SEQ_LEN}, (off + n_tokens - 1) div {SEQ_LEN})"
+    )
+    e = d2.select(
+        "lang", "doc_id", "n_tokens", "off", F.explode(seqs).alias("seq_id")
+    )
+    lo = F.greatest(F.col("off"), F.col("seq_id") * F.lit(SEQ_LEN))
+    hi = F.least(
+        F.col("off") + F.col("n_tokens"), (F.col("seq_id") + F.lit(1)) * F.lit(SEQ_LEN)
+    )
+    return e.select(
+        "lang",
+        "doc_id",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        (lo - F.col("off")).cast("bigint").alias("doc_tok_start"),
+        (hi - F.col("off")).cast("bigint").alias("doc_tok_end"),
+        (lo - F.col("seq_id") * F.lit(SEQ_LEN)).cast("bigint").alias("seq_tok_start"),
+    )
+
+
+ORACLE_SEQUENCE_PACKING = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), f AS (
+  SELECT * FROM t WHERE n_tokens >= 1
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM f
+), e AS (
+  SELECT lang, doc_id, n_tokens, off,
+         unnest(range(off // {SEQ_LEN}, (off + n_tokens - 1) // {SEQ_LEN} + 1)) AS seq_id
+  FROM c
+)
+SELECT lang, doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(GREATEST(off, seq_id * {SEQ_LEN}) - off AS BIGINT) AS doc_tok_start,
+       CAST(LEAST(off + n_tokens, (seq_id + 1) * {SEQ_LEN}) - off AS BIGINT) AS doc_tok_end,
+       CAST(GREATEST(off, seq_id * {SEQ_LEN}) - seq_id * {SEQ_LEN} AS BIGINT) AS seq_tok_start
+FROM e
+"""
+
+
 def props_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Number-scrubbing redaction over the semi-structured ``props``
     column (the PII-scrub shape: pattern → placeholder, with audit
@@ -1945,6 +2023,7 @@ QUERIES = {
     "doc_repetition_filter": doc_repetition_filter,
     "train_eval_split": train_eval_split,
     "shard_packing": shard_packing,
+    "sequence_packing": sequence_packing,
     "props_redact": props_redact,
     "lang_id_heuristic": lang_id_heuristic,
     "token_stats": token_stats,
@@ -1976,6 +2055,7 @@ ORACLES = {
     "doc_repetition_filter": ORACLE_DOC_REPETITION_FILTER,
     "train_eval_split": ORACLE_TRAIN_EVAL_SPLIT,
     "shard_packing": ORACLE_SHARD_PACKING,
+    "sequence_packing": ORACLE_SEQUENCE_PACKING,
     "props_redact": ORACLE_PROPS_REDACT,
     "lang_id_heuristic": ORACLE_LANG_ID_HEURISTIC,
     "token_stats": ORACLE_TOKEN_STATS,

@@ -117,6 +117,7 @@ CONSTRUCTION_JOBS_ALLOWED = {
     "ivf_search": "trains the codebook",
     "ann_recall": "trains the codebook + query-matrix collect",
     "semdedup": "trains the codebook",
+    "semantic_cluster_labels": "trains the codebook",
     "semdedup_quality_representatives": "trains the codebook",
     "hierarchical_level1_centroids": "trains the level-1 codebook",
     "hierarchical_assignments": "trains both quantizer levels",
