@@ -61,12 +61,20 @@ SELECT
   l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+  -- decimal→double via VARCHAR: DuckDB's direct cast converts the
+  -- int128 to double FIRST and divides by 10^scale after (two
+  -- roundings) — once the scaled integer exceeds 2^53 (these scale-
+  -- 4/6 sums do at the 50× replica) that can land 1 ulp off the
+  -- correctly-rounded value Spark's BigDecimal.doubleValue always
+  -- produces; strtod is correctly rounded, so the string hop makes
+  -- both engines round the SAME exact decimal identically
+  -- (measured: sum_charge N/O group off by 3.05e-05 at sf5).
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE)
     AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE)
     AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
