@@ -191,11 +191,13 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PRODUCT_PROFIT = """
 SELECT n_name AS nation,
        EXTRACT(YEAR FROM o_orderdate) AS o_year,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+       -- VARCHAR hop: correctly-rounded decimal->double past 2^53
+       -- scaled units (see ORACLE_PRICING_SUMMARY)
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
                 - CAST(p_retailprice AS DECIMAL(18,4))
                   * CAST(0.60 AS DECIMAL(3,2))
-                  * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+                  * CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -287,15 +289,17 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PROMO_REVENUE_SHARE = """
 SELECT EXTRACT(MONTH FROM l_shipdate) AS ship_month,
-       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+       -- VARCHAR hops: correctly-rounded decimal->double past 2^53
+       -- scaled units (see ORACLE_PRICING_SUMMARY)
+       100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                     THEN CAST(l_extendedprice AS DECIMAL(18,4))
                          * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-                    END) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                    END) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE)
          AS promo_share,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE)
          AS total_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -343,8 +347,8 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DISJUNCTIVE_PART_REVENUE = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE)
          AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -501,8 +505,8 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_FORECAST_REVENUE_CHANGE = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-              * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
