@@ -520,7 +520,309 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return io.read("results").orderBy("vec_id")
 
 
+def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus CURATION as a real streaming job — the
+    streaming form of the ``corpus_build_ingest`` capstone: new
+    documents (odd ids) ARRIVE as a file-source stream in TWO
+    id-ordered micro-batches; each ``foreachBatch`` runs the full
+    probe ladder against GROWING stores —
+
+    - hash_store: content hashes of every doc seen (exact tier);
+    - sig_store: shingle sets + MinHash signatures of the stage-2
+      partner set (existing near-dup canonicals + arrived batch
+      stage-1 survivors);
+    - sem_store: (vector, even-trained cell) of the stage-3 partner
+      set (existing semantic representatives + arrived batch
+      stage-2 survivors);
+
+    — appends its own survivors to each store, and records the
+    keep decision. After the drain, the manifest FINALIZE step
+    computes the combined-mass mixture weights and append-mode
+    shards over all recorded decisions — exactly the batch
+    capstone's stages 5/6.
+
+    Because micro-batches are id-ordered, "arrived earlier ⟺
+    smaller id", so every probe reproduces the batch query's
+    deterministic first-wins contracts and the result is
+    VALUE-IDENTICAL to ``corpus_build_ingest`` — it registers the
+    SAME DuckDB oracle verbatim: bit-exact streaming evidence for
+    the whole curation ladder, not a rows-only drain. (Exact
+    fixed-point cosines and integer Jaccard make the equality
+    independent of partitioning within each batch.)
+
+    Scale shape: the stores are TableIO parquet tables (at 100 TB:
+    hash/signature stores partitioned by key prefix, the vector
+    store by cell → each batch's probes are partition pruning +
+    per-key joins); per-batch probe cost ∝ batch, the historical
+    corpus is never re-hashed, re-signed, or re-scored."""
+    import numpy as np  # noqa: F401  (parity with the semdedup twin's env probe)
+
+    from ..functions import text as T
+    from ..operators import dedup as D
+    from ..operators import similarity as S
+    from ..sources.catalog import load_table
+    from ..sources.io import TableIO
+    from .corpus_build import CB_QUALITY_MIN, _even_prior_state
+    from .corpus_mix import _with_mix_weight_quota
+    from .dedup import _lsh_state
+    from .similarity import SEMDEDUP_THETA, _emb, _even_trained_cells
+    from .text import SHARD_TOKEN_BUDGET, quality_score_expr
+
+    prior = _even_prior_state(spark, sf_dir)
+    lsh = _lsh_state(spark, sf_dir)
+    cells = _even_trained_cells(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    docs = load_table(spark, sf_dir, "documents")
+
+    wh = tempfile.mkdtemp(prefix="stream_corpus_")
+    io = TableIO(spark, wh)
+    even_h = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", T.content_hash(F.col("text")).alias("h")
+    )
+    io.overwrite(even_h, "hash_store")
+    # stage-2 partner seed: the existing corpus's retained near-dup
+    # canonicals, with shingles + signatures (the production
+    # signature table); sets come from the session-memoized chain
+    e_s2_sets = lsh["sets"].join(prior["e_s2"], "doc_id", "left_semi")
+    e_s2_sigs = D.minhash_signatures(e_s2_sets, num_perm=8)
+    io.overwrite(e_s2_sets.join(e_s2_sigs, "doc_id"), "sig_store")
+    # stage-3 partner seed: existing semantic representatives
+    sem_seed = (
+        emb.join(cells, "vec_id")
+        .join(
+            prior["e_s3"].select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+    )
+    io.overwrite(sem_seed, "sem_store")
+
+    # stage the arriving batch as two id-ordered parquet files (the
+    # split point is one scalar aggregate — same staging discipline
+    # as streaming_semdedup_ingest)
+    odd_docs = docs.filter(F.col("doc_id") % 2 == 1).localCheckpoint(eager=True)
+    median = odd_docs.agg(F.expr("percentile(doc_id, 0.5)").alias("m")).collect()[0]["m"]
+    arrivals = Path(tempfile.mkdtemp(prefix="stream_corpus_arrivals_"))
+    odd_docs.filter(F.col("doc_id") < median).coalesce(1).write.parquet(
+        str(arrivals / "b0")
+    )
+    odd_docs.filter(F.col("doc_id") >= median).coalesce(1).write.parquet(
+        str(arrivals / "b1")
+    )
+    stage = Path(tempfile.mkdtemp(prefix="stream_corpus_src_"))
+    for i, sub in enumerate(("b0", "b1")):
+        part = next((arrivals / sub).glob("*.parquet"))
+        dst = stage / f"batch_{i}.parquet"
+        os.rename(part, dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    cos = S.cosine(S.dot_exact("e1", "e2"), S.norm2_exact("e1"), S.norm2_exact("e2"))
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.localCheckpoint(eager=True)
+        be = (
+            b.select(
+                "doc_id", "source", "lang", "text", T.tokens(F.col("text")).alias("toks")
+            )
+            .select(
+                "doc_id",
+                "source",
+                "lang",
+                "text",
+                F.expr("CASE WHEN toks IS NULL THEN NULL ELSE size(toks) END")
+                .cast("bigint")
+                .alias("n_tokens"),
+                T.content_hash(F.col("text")).alias("h"),
+                quality_score_expr().alias("quality"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # ---- stage 1: exact probe (store = evens + earlier odds;
+        # same-batch = smaller id) ----
+        hs = io.read("hash_store").select(
+            F.col("doc_id").alias("o_id"), F.col("h").alias("o_h")
+        )
+        m_store = be.select("doc_id", "h").join(
+            hs, (F.col("h") == F.col("o_h")), "left_semi"
+        )
+        bh = be.select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
+        m_same = be.select("doc_id", "h").join(
+            bh,
+            (F.col("h") == F.col("o_h")) & (F.col("o_id") < F.col("doc_id")),
+            "left_semi",
+        )
+        b_exact_drop = (
+            m_store.select("doc_id")
+            .unionByName(m_same.select("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        io.append(be.select("doc_id", "h"), "hash_store")
+        s1b = be.join(b_exact_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+        # ---- stage 2: MinHash-LSH probe ----
+        bsets = D.with_shingle_sets(
+            s1b.select("doc_id", "text")
+        ).localCheckpoint(eager=True)
+        bsigs = D.minhash_signatures(bsets, num_perm=8)
+        store_sigs = io.read("sig_store")
+        union_sigs = store_sigs.select(bsigs.columns).unionByName(bsigs)
+        cands = D.lsh_candidate_pairs(union_sigs, num_perm=8, rows_per_band=2)
+        bids1 = bsets.select("doc_id")
+        cands = (
+            cands.join(bids1.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
+            .unionByName(
+                cands.join(bids1.withColumnRenamed("doc_id", "d2"), "d2", "left_semi")
+            )
+            .distinct()
+        )
+        comb_sets = store_sigs.select("doc_id", "shingles").unionByName(
+            bsets.select("doc_id", "shingles")
+        )
+        verified = D.exact_jaccard_pairs(comb_sets, min_jaccard=0.5, candidates=cands)
+        in_batch = lambda c: F.col(c) % 2 == 1  # noqa: E731
+        # partner rule per verified pair (a < b): b (odd, this batch)
+        # drops on ANY partner a; a (odd, this batch) drops only on
+        # an EVEN b (a larger odd is not a valid partner for a)
+        drop_hi = verified.join(
+            bids1.withColumnRenamed("doc_id", "d2"), "d2", "left_semi"
+        ).select(F.col("d2").alias("doc_id"))
+        drop_lo = (
+            verified.filter(F.col("d2") % 2 == 0)
+            .join(bids1.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
+            .select(F.col("d1").alias("doc_id"))
+        )
+        b_near_drop = (
+            drop_hi.unionByName(drop_lo).distinct().localCheckpoint(eager=True)
+        )
+        s2b = s1b.join(b_near_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+        io.append(bsets.join(bsigs, "doc_id"), "sig_store")
+        # ---- stage 3: semantic probe in even-trained cells ----
+        bv = (
+            emb.join(cells, "vec_id")
+            .join(
+                s2b.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        store_v = io.read("sem_store")
+        new_side = bv.select(
+            F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"), "cell"
+        )
+        prior_side = store_v.select(
+            F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), "cell"
+        )
+        cand_sem = prior_side.join(new_side, "cell")
+        same_sem = (
+            bv.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"), "cell")
+            .join(new_side, "cell")
+            .filter(F.col("d1") < F.col("d2"))
+        )
+        sem_matches = (
+            cand_sem.unionByName(same_sem)
+            .filter(cos >= F.lit(SEMDEDUP_THETA))
+            .select(F.col("d2").alias("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        s3b = s2b.join(sem_matches, "doc_id", "left_anti")
+        io.append(bv, "sem_store")
+        # ---- stage 4 + decision record ----
+        quality_ok = F.col("quality").isNull() | (
+            F.col("quality") >= F.lit(CB_QUALITY_MIN)
+        )
+        b_low_drop = s3b.filter(~quality_ok).select("doc_id")
+        dec = (
+            be.select("doc_id", "source", "lang", "n_tokens")
+            .join(b_exact_drop.withColumn("r1", F.lit(1)), "doc_id", "left")
+            .join(b_near_drop.withColumn("r2", F.lit(1)), "doc_id", "left")
+            .join(sem_matches.withColumn("r3", F.lit(1)), "doc_id", "left")
+            .join(b_low_drop.withColumn("r4", F.lit(1)), "doc_id", "left")
+            .select(
+                "doc_id",
+                "source",
+                "lang",
+                "n_tokens",
+                F.when(F.col("r1").isNotNull(), F.lit("exact_dup"))
+                .when(F.col("r2").isNotNull(), F.lit("near_dup"))
+                .when(F.col("r3").isNotNull(), F.lit("semantic_dup"))
+                .when(F.col("r4").isNotNull(), F.lit("low_quality"))
+                .otherwise(F.lit("kept"))
+                .alias("keep_reason"),
+            )
+        )
+        io.append(dec, "decisions")
+
+    schema = odd_docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_corpus_ingest_")
+    q = (
+        stream.writeStream.foreachBatch(probe_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_corpus_ingest drain timed out")
+
+    # ---- manifest finalize: combined-mass mixture + append shards
+    # over ALL recorded decisions (the batch capstone's stages 5/6)
+    d = io.read("decisions")
+    kept_b = d.filter(F.col("keep_reason") == "kept").select(
+        "doc_id", "source", "lang", "n_tokens"
+    )
+    e_kept = prior["e_kept"]
+    comb = e_kept.select("source", "n_tokens").unionByName(
+        kept_b.select("source", "n_tokens")
+    )
+    per_src = comb.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+    mixw = _with_mix_weight_quota(per_src).select("source", "mix_weight")
+    base_lang = e_kept.groupBy("lang").agg(F.sum("n_tokens").alias("__base"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    before_batch = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    kept_m = (
+        kept_b.join(F.broadcast(base_lang), "lang", "left")
+        .withColumn(
+            "__before",
+            F.coalesce(F.col("__base"), F.lit(0)).cast("bigint") + before_batch,
+        )
+        .join(F.broadcast(mixw), "source")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            F.lit("kept").alias("keep_reason"),
+            F.lit(True).alias("kept"),
+            "mix_weight",
+            F.floor(F.col("__before") / F.lit(SHARD_TOKEN_BUDGET))
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+    )
+    drop_m = d.filter(F.col("keep_reason") != "kept").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        "keep_reason",
+        F.lit(False).alias("kept"),
+        F.lit(None).cast("double").alias("mix_weight"),
+        F.lit(None).cast("bigint").alias("shard_id"),
+    )
+    return kept_m.unionByName(drop_m).orderBy("doc_id")
+
+
 QUERIES = {
+    "streaming_corpus_ingest": streaming_corpus_ingest,
     "streaming_semdedup_ingest": streaming_semdedup_ingest,
     "streaming_segment_activity": streaming_segment_activity,
     "streaming_top_spenders": streaming_top_spenders,
@@ -533,12 +835,15 @@ QUERIES = {
     "streaming_zone_signals_stateful": streaming_zone_signals_stateful,
 }
 
+from .corpus_build import ORACLE_CORPUS_BUILD_INGEST as _OCBI
 from .similarity import ORACLE_INCREMENTAL_SEMDEDUP_INGEST as _OSI
 
 ORACLES = {
-    # value-identical to the batch incremental query BY CONSTRUCTION
-    # (id-ordered micro-batches), so it shares that oracle verbatim
+    # value-identical to the batch incremental queries BY
+    # CONSTRUCTION (id-ordered micro-batches), so they share those
+    # oracles verbatim
     "streaming_semdedup_ingest": _OSI,
+    "streaming_corpus_ingest": _OCBI,
     "streaming_segment_activity": ORACLE_STREAMING_SEGMENT_ACTIVITY,
     "streaming_top_spenders": ORACLE_STREAMING_TOP_SPENDERS,
     "streaming_hourly_rollup": ORACLE_STREAMING_HOURLY_ROLLUP,
