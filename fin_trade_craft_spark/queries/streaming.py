@@ -289,13 +289,23 @@ ORDER BY win_start, event_type
 def streaming_zone_signals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The W18 RSI-zone state machine as a TRUE streaming operator:
     ``applyInPandasWithState`` holds per-user zone state across
-    micro-batches (the genuinely non-SQL-expressible §2.9 piece —
-    registered rows-only BY DESIGN: its correctness evidence is the
-    cross-micro-batch state test in tests/test_streaming_stateful.py
-    and the batch twin's oracle). Events stand in for the price
-    series: the 30/70 zone machine runs on ``value`` directly, with
-    ``bar = unix_micros(ts)`` as the (unique per user — verified)
-    event-time sort key, so per-batch folding is deterministic."""
+    micro-batches. Events stand in for the price series: the 30/70
+    zone machine runs on ``value`` directly, with ``bar =
+    unix_micros(ts)`` as the (unique per user — verified) event-time
+    sort key, so per-batch folding is deterministic.
+
+    Value-oracled since r9: the state machine itself is not SQL, but
+    its OUTPUT is — the de-stating proof for the batch twin
+    (operators/signals.zone_confirmation_signals: a fire requires
+    ``prev_rsi <= 30``, which itself forces the zone flag at the
+    previous row, so the flags carry no information the lag doesn't)
+    applies verbatim to the streamed fold, and ``_events_stream``
+    drains the directory in ONE micro-batch (maxFilesPerTrigger =
+    n_files) whose fold sorts by ``bar`` — so the streamed output
+    equals the ordered replay and the LAG-based SQL below is a
+    legitimate bit-exact oracle. Cross-micro-batch state carriage is
+    separately proven by tests/test_streaming_stateful.py (multi-file
+    ordered feed, state persists across batches)."""
     from ..streaming.stateful_signals import zone_signals_stateful
 
     ev = _events_stream(spark, sf_dir)
@@ -305,6 +315,27 @@ def streaming_zone_signals_stateful(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("value").alias("rsi"),
     )
     return _drain(zone_signals_stateful(bars), "append").orderBy("symbol_id", "bar")
+
+
+ORACLE_STREAMING_ZONE_SIGNALS_STATEFUL = """
+WITH b AS (
+  SELECT user_id AS symbol_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS bar,
+         CAST(value AS DOUBLE) AS rsi
+  FROM events
+  WHERE value IS NOT NULL
+), x AS (
+  SELECT symbol_id, bar, rsi,
+    (LAG(rsi) OVER w <= 30 AND rsi > 30 AND rsi < 70) AS buy_signal,
+    (LAG(rsi) OVER w >= 70 AND rsi < 70 AND rsi > 30) AS sell_signal
+  FROM b
+  WINDOW w AS (PARTITION BY symbol_id ORDER BY bar)
+)
+SELECT symbol_id, bar, rsi, buy_signal, sell_signal,
+       CASE WHEN buy_signal THEN rsi ELSE 100.0 - rsi END AS signal_strength
+FROM x WHERE buy_signal OR sell_signal
+ORDER BY symbol_id, bar
+"""
 
 
 def streaming_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,6 +883,7 @@ ORACLES = {
     "streaming_dedup_hashes": ORACLE_STREAMING_DEDUP_HASHES,
     "streaming_click_attribution": ORACLE_STREAMING_CLICK_ATTRIBUTION,
     "streaming_sliding_rollup": ORACLE_STREAMING_SLIDING_ROLLUP,
-    # streaming_zone_signals_stateful: rows-only by design (stateful
-    # applyInPandasWithState is not SQL-expressible; see docstring)
+    # r9: flipped from rows-only — the de-stating proof makes the
+    # stateful fold's OUTPUT SQL-expressible (see its docstring)
+    "streaming_zone_signals_stateful": ORACLE_STREAMING_ZONE_SIGNALS_STATEFUL,
 }
