@@ -41,16 +41,23 @@ def _stage_dir(sf_dir: str, name: str) -> tuple[str, int]:
     swallow the whole directory in one micro-batch — parts carry no
     event-time order, so a multi-micro-batch split could advance the
     watermark past late rows the batch oracle keeps."""
-    src = Path(sf_dir.rstrip("/")) / f"{name}.parquet"
+    # resolve() — a RELATIVE sf_dir would otherwise produce symlinks
+    # that dangle from inside the temp dir, and a file-source stream
+    # over dangling links SILENTLY yields zero rows (caught by the
+    # sf5 replica sweep, which passes ".testdata/sf5")
+    src = (Path(sf_dir.rstrip("/")) / f"{name}.parquet").resolve()
     d = Path(tempfile.mkdtemp(prefix=f"stream_{name}_"))
     if src.is_dir():
         parts = sorted(src.glob("*.parquet"))
         for i, part in enumerate(parts):
-            (d / f"part_{i}.parquet").symlink_to(part)
+            (d / f"part_{i}.parquet").symlink_to(part.resolve())
         n = len(parts)
     else:
         (d / f"{name}.parquet").symlink_to(src)
         n = 1
+    staged = sorted(d.glob("*.parquet"))
+    if n == 0 or not all(p.exists() for p in staged):
+        raise FileNotFoundError(f"staging {src} -> {d} produced no readable files")
     return str(d), n
 
 
