@@ -147,18 +147,35 @@ for _name in _ACTION_METHODS:
 # (the dedup family's shared LSH / component / semantic-edge state):
 # PinnedDataFrame.__del__ must never unpersist these — evicting them
 # on one query result's GC would strand every other query in the
-# session that is entitled to reuse the memo. Entries are ids of
-# frames held forever by their memo dicts (so the ids can't be
-# recycled by the allocator while registered).
-_SESSION_OWNED: set[int] = set()
+# session that is entitled to reuse the memo. The registry holds the
+# DataFrame objects THEMSELVES (id -> strong ref), so the
+# no-id-recycling invariant is local to this dict rather than a
+# cross-module contract with the memo dicts (ADVICE r09): a recycled
+# id can never alias an unrelated pin while the owning frame is
+# registered, and releasing an entry both unpersists the frame and
+# frees the executor storage the old bare-id set leaked.
+_SESSION_OWNED: dict[int, DataFrame] = {}
 
 
 def mark_session_owned(*dfs: DataFrame) -> None:
     """Register memo-owned frames as exempt from pin GC-release.
-    The caller (the memo registry) must hold a strong reference to
-    each frame for the session's lifetime."""
+    The registry itself keeps each frame alive (strong reference)
+    until :func:`release_session_owned` drops it."""
     for df in dfs:
-        _SESSION_OWNED.add(id(df))
+        _SESSION_OWNED[id(df)] = df
+
+
+def release_session_owned(*dfs: DataFrame) -> None:
+    """Drop memo frames from the registry and unpersist them —
+    the memo-eviction path (dataset regeneration, explicit reset).
+    Unknown frames are ignored."""
+    for df in dfs:
+        owned = _SESSION_OWNED.pop(id(df), None)
+        if owned is not None:
+            try:
+                owned.unpersist(blocking=False)
+            except Exception:
+                pass
 
 
 def pin_on_first_action(

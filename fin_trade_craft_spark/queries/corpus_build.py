@@ -82,6 +82,30 @@ CB_QUALITY_MIN = 64.0  # ~10th percentile of the fixture corpus —
 _ENRICHED_MEMO: dict[tuple, DataFrame] = {}
 
 
+def _enrich_projection(docs: DataFrame) -> DataFrame:
+    """The ladder's one-pass document enrichment — tokens / token
+    count / content hash / quality from a single tokenize. Shared by
+    the session-memoized full-corpus frame and the stored-index
+    ingest's BATCH-ONLY enrichment (same expressions ⇒ same values,
+    whatever slice of documents flows in)."""
+    return docs.select(
+        "doc_id", "source", "lang", "text", T.tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        # size(NULL) is -1 under Spark's legacy sizeOfNull — the
+        # oracle's len(NULL) is NULL, and a -1 would also poison
+        # the mixture token sums; propagate NULL explicitly
+        F.expr("CASE WHEN toks IS NULL THEN NULL ELSE size(toks) END")
+        .cast("bigint")
+        .alias("n_tokens"),
+        T.content_hash(F.col("text")).alias("h"),
+        quality_score_expr().alias("quality"),
+    )
+
+
 def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
@@ -99,24 +123,7 @@ def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    df = (
-        docs.select("doc_id", "source", "lang", "text", T.tokens(F.col("text")).alias("toks"))
-        .select(
-            "doc_id",
-            "source",
-            "lang",
-            "text",
-            # size(NULL) is -1 under Spark's legacy sizeOfNull — the
-            # oracle's len(NULL) is NULL, and a -1 would also poison
-            # the mixture token sums; propagate NULL explicitly
-            F.expr("CASE WHEN toks IS NULL THEN NULL ELSE size(toks) END")
-            .cast("bigint")
-            .alias("n_tokens"),
-            T.content_hash(F.col("text")).alias("h"),
-            quality_score_expr().alias("quality"),
-        )
-        .persist()
-    )
+    df = _enrich_projection(docs).persist()
     mark_session_owned(df)
     _ENRICHED_MEMO[key] = df
     return df
@@ -676,6 +683,258 @@ def corpus_build_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b_kept_m.unionByName(b_drop_m).orderBy("doc_id")
 
 
+def publish_corpus_index_tables(spark: SparkSession, sf_dir: str, io) -> None:
+    """corpus_build's WRITE side (r09 verdict task 1): persist the
+    curation ladder's manifest + index tables for the EXISTING
+    corpus (the incremental family's even half) via TableIO — the
+    tables a production build materializes so every later ingest
+    probes STORED state instead of recomputing the prior ladder:
+
+    - ``kept_manifest``  (doc_id, source, lang, n_tokens) — the kept
+      rows; stages 5/6 of any ingest read their base masses here.
+    - ``hash_index``     (doc_id, h) for EVERY corpus doc — the
+      stage-1 exact-dup probe target.
+    - ``sig_index``      (doc_id, shingles, mh0..mh7) for the
+      stage-2 survivors (the retained near-dup canonicals) — what a
+      production signature service stores; arriving batches band-join
+      their fresh signatures against it.
+    - ``cell_index``     (vec_id, embedding, cell) for the stage-3
+      survivors (the retained semantic representatives), cells from
+      the corpus-trained quantizer.
+    - ``codebook``       (cid, i, cv) — the trained coarse-quantizer
+      codebook (:func:`queries.similarity.kmeans_centroids` layout),
+      so batch vectors are assigned WITHOUT retraining.
+
+    Deriving the tables runs the ladder once — this IS the initial
+    corpus build; the point is that no subsequent ingest re-runs it.
+    At 100 TB: hash/sig indexes partitioned by key prefix, cell_index
+    partitioned by cell (TableIO partition_by), each probe a
+    partition-pruned equi-join."""
+    from .dedup import _lsh_state
+    from .similarity import _emb, _even_trained_cells, _train_kmeans
+
+    prior = _even_prior_state(spark, sf_dir)
+    enriched = _enriched(spark, sf_dir)
+    io.overwrite(prior["e_kept"], "kept_manifest")
+    io.overwrite(
+        enriched.filter(F.col("doc_id") % 2 == 0).select("doc_id", "h"), "hash_index"
+    )
+    lsh = _lsh_state(spark, sf_dir)
+    e_s2_sets = lsh["sets"].join(prior["e_s2"], "doc_id", "left_semi")
+    e_s2_sigs = D.minhash_signatures(e_s2_sets, num_perm=8)
+    io.overwrite(e_s2_sets.join(e_s2_sigs, "doc_id"), "sig_index")
+    cells = _even_trained_cells(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    sem_rep = (
+        emb.join(cells, "vec_id")
+        .join(prior["e_s3"].select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+        .select("vec_id", "embedding", "cell")
+    )
+    io.overwrite(sem_rep, "cell_index")
+    cids, C, _ = _train_kmeans(spark, sf_dir, where=F.col("vec_id") % 2 == 0)
+    rows = [
+        (int(cid), int(i), int(C[j, i]))
+        for j, cid in enumerate(cids)
+        for i in range(C.shape[1])
+    ]
+    io.overwrite(spark.createDataFrame(rows, "cid long, i long, cv long"), "codebook")
+
+
+# warehouse path of the published index store per (session, dataset):
+# publish once — the initial corpus build — then every ingest call
+# (bench attempt 2, the oracle run, repeated batches) reads parquet.
+_INDEX_STORE_MEMO: dict[tuple, str] = {}
+
+
+def _index_store(spark: SparkSession, sf_dir: str):
+    import os
+    import tempfile
+
+    from ..sources.catalog import path_stamp
+    from ..sources.io import TableIO
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        path_stamp(os.path.join(sf_dir, "documents.parquet")),
+        path_stamp(os.path.join(sf_dir, "embeddings.parquet")),
+    )
+    wh = _INDEX_STORE_MEMO.get(key)
+    if wh is None:
+        wh = tempfile.mkdtemp(prefix="corpus_index_store_")
+        publish_corpus_index_tables(spark, sf_dir, TableIO(spark, wh))
+        _INDEX_STORE_MEMO[key] = wh
+    return TableIO(spark, wh)
+
+
+def corpus_build_ingest_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_build_ingest`` with the prior ladder read from the
+    PERSISTED index tables (r09 verdict task 1) — the production
+    refresh shape end to end: the plan touches ONLY the stored
+    kept_manifest / hash_index / sig_index / cell_index / codebook
+    tables plus the arriving batch (odd docs + their vectors). No
+    stage recomputes, re-hashes, re-signs, re-trains, or re-clusters
+    the historical corpus — where the memo twin leans on session
+    state rebuilt per process, this one reads parquet a previous
+    build committed (:func:`publish_corpus_index_tables`, run once
+    per (session, dataset) here as the initial build).
+
+    Per-stage probe shapes against the stores:
+
+    1. exact — batch hashes equi-join ``hash_index`` (+ smaller-id
+       self-collisions within the batch).
+    2. near — the batch's FRESH shingle sets/signatures band-join the
+       ``sig_index`` signatures (union banding finds exactly the
+       cross and within-batch collisions the full-corpus banding
+       would — band keys are per-doc); exact-Jaccard verify confined
+       to those candidates; a batch doc drops on a stored canonical
+       partner or a smaller surviving batch id (first-wins).
+    3. semantic — batch vectors assigned from the stored ``codebook``
+       (:func:`queries.similarity.cells_from_codebook`, bit-exact
+       twin of the trainer-side assignment), then the shared
+       per-cell probe kernel against ``cell_index`` members + earlier
+       batch survivors.
+    4–6. quality / mixture / append-shards — batch-side expressions;
+       base masses from ``kept_manifest``.
+
+    Output and oracle: IDENTICAL to ``corpus_build_ingest`` — it
+    registers ORACLE_CORPUS_BUILD_INGEST verbatim, and
+    tests/test_corpus_build_ingest.py proves the two manifests
+    byte-equal. Probe cost ∝ batch at any corpus size.
+
+    Reference parity: transformation_watermark_manager.py:198-270's
+    stored-watermark discovery (process only what the ledger says is
+    new), here with the ledger generalized to the ladder's index
+    tables."""
+    from .similarity import cell_probe_new_vs_prior, cells_from_codebook
+
+    io = _index_store(spark, sf_dir)
+    odd = F.col("doc_id") % 2 == 1
+    quality_ok = F.col("quality").isNull() | (F.col("quality") >= F.lit(CB_QUALITY_MIN))
+
+    # ---- the batch: enrichment of the odd docs only (∝ batch) ----
+    docs_b = load_table(spark, sf_dir, "documents").filter(odd)
+    be = _enrich_projection(docs_b).localCheckpoint(eager=True)
+
+    # ---- stage 1: exact probe against hash_index ----
+    hs = io.read("hash_index").select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
+    m_store = be.select("doc_id", "h").join(hs, F.col("h") == F.col("o_h"), "left_semi")
+    bh = be.select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
+    m_same = be.select("doc_id", "h").join(
+        bh, (F.col("h") == F.col("o_h")) & (F.col("o_id") < F.col("doc_id")), "left_semi"
+    )
+    b_exact_drop = (
+        m_store.select("doc_id")
+        .unionByName(m_same.select("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s1b = be.join(b_exact_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    # ---- stage 2: fresh batch signatures band-join sig_index ----
+    bsets = D.with_shingle_sets(s1b.select("doc_id", "text")).localCheckpoint(eager=True)
+    bsigs = D.minhash_signatures(bsets, num_perm=8)
+    store_sigs = io.read("sig_index")
+    union_sigs = store_sigs.select(bsigs.columns).unionByName(bsigs)
+    cands = D.lsh_candidate_pairs(union_sigs, num_perm=8, rows_per_band=2)
+    bids = bsets.select("doc_id")
+    cands_b = (
+        cands.join(bids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
+        .unionByName(cands.join(bids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi"))
+        .distinct()
+    )
+    comb_sets = store_sigs.select("doc_id", "shingles").unionByName(
+        bsets.select("doc_id", "shingles")
+    )
+    verified = D.exact_jaccard_pairs(comb_sets, min_jaccard=0.5, candidates=cands_b)
+    # partner rule per verified pair (d1 < d2): a batch d2 drops on
+    # ANY partner (stored canonical or smaller batch id); a batch d1
+    # drops only on a STORED (even) d2 — a larger batch id is not a
+    # valid partner under first-wins
+    drop_hi = verified.join(bids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi").select(
+        F.col("d2").alias("doc_id")
+    )
+    drop_lo = (
+        verified.filter(F.col("d2") % 2 == 0)
+        .join(bids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
+        .select(F.col("d1").alias("doc_id"))
+    )
+    b_near_drop = drop_hi.unionByName(drop_lo).distinct().localCheckpoint(eager=True)
+    s2b = s1b.join(b_near_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    # ---- stage 3: codebook assignment + probe against cell_index ----
+    emb_b = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+        .join(s2b.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
+    )
+    b_cells = cells_from_codebook(io.read("codebook"), emb_b)
+    bv = emb_b.join(b_cells, "vec_id").select("vec_id", "embedding", "cell")
+    v = io.read("cell_index").unionByName(bv)
+    b_sem_drop = (
+        cell_probe_new_vs_prior(v, SEMDEDUP_THETA)
+        .filter(F.col("n_dup_matches") > 0)
+        .select(F.col("vec_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    b_s3 = s2b.join(b_sem_drop, "doc_id", "left_anti")
+
+    # ---- stage 4: quality gate ----
+    b_low_drop = b_s3.filter(~quality_ok).select("doc_id").localCheckpoint(eager=True)
+    b_kept = b_s3.filter(quality_ok).select("doc_id", "source", "lang", "n_tokens")
+
+    # ---- stage 5: mixture over kept_manifest + batch kept ----
+    e_kept = io.read("kept_manifest")
+    comb = e_kept.select("source", "n_tokens").unionByName(b_kept.select("source", "n_tokens"))
+    per_src = comb.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+    mixw = _with_mix_weight_quota(per_src).select("source", "mix_weight")
+
+    # ---- stage 6: append-mode shards after the stored kept mass ----
+    base_lang = e_kept.groupBy("lang").agg(F.sum("n_tokens").alias("__base"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    before_batch = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    b_kept_m = (
+        b_kept.join(F.broadcast(base_lang), "lang", "left")
+        .withColumn(
+            "__before",
+            F.coalesce(F.col("__base"), F.lit(0)).cast("bigint") + before_batch,
+        )
+        .join(F.broadcast(mixw), "source")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            F.lit("kept").alias("keep_reason"),
+            F.lit(True).alias("kept"),
+            "mix_weight",
+            F.floor(F.col("__before") / F.lit(SHARD_TOKEN_BUDGET))
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+    )
+    b_drops = (
+        b_exact_drop.withColumn("reason", F.lit("exact_dup"))
+        .unionByName(b_near_drop.withColumn("reason", F.lit("near_dup")))
+        .unionByName(b_sem_drop.withColumn("reason", F.lit("semantic_dup")))
+        .unionByName(b_low_drop.withColumn("reason", F.lit("low_quality")))
+    )
+    b_drop_m = be.join(b_drops, "doc_id").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        F.col("reason").alias("keep_reason"),
+        F.lit(False).alias("kept"),
+        F.lit(None).cast("double").alias("mix_weight"),
+        F.lit(None).cast("bigint").alias("shard_id"),
+    )
+    return b_kept_m.unionByName(b_drop_m).orderBy("doc_id")
+
+
 _SEM_DOT_SQL = (
     "CAST(SUM(CAST(floor((a.v * b.v) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12"
 )
@@ -900,8 +1159,15 @@ ORDER BY b.doc_id
 """
 
 
-QUERIES = {"corpus_build": corpus_build, "corpus_build_ingest": corpus_build_ingest}
+QUERIES = {
+    "corpus_build": corpus_build,
+    "corpus_build_ingest": corpus_build_ingest,
+    "corpus_build_ingest_stored": corpus_build_ingest_stored,
+}
 ORACLES = {
     "corpus_build": ORACLE_CORPUS_BUILD,
     "corpus_build_ingest": ORACLE_CORPUS_BUILD_INGEST,
+    # value-identical BY CONSTRUCTION (same contracts, prior state
+    # read from the published index tables instead of session memos)
+    "corpus_build_ingest_stored": ORACLE_CORPUS_BUILD_INGEST,
 }

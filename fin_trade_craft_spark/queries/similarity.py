@@ -374,6 +374,50 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "cid long, i long, cv long")
 
 
+def cells_from_codebook(codebook: DataFrame, vecs: DataFrame) -> DataFrame:
+    """Nearest-cell assignment of ``vecs`` (vec_id, embedding) from a
+    PERSISTED codebook table (cid, i, cv) — the consumer-side LOAD
+    path of :func:`kmeans_centroids`: a production ingest reads the
+    stored codebook instead of re-training, then assigns only the
+    arriving batch. Bit-exact twin of the trainer-side assignment
+    (same 1e-6 quantized vectors, same exact integer L2, same
+    first-min tie-break over ascending cids — np.argmin returns the
+    first minimum and the centroid matrix is cid-sorted). Returns
+    (vec_id, cell). The codebook collect is k·dims ints — the same
+    bounded closure the trainer ships (see the quantizer block
+    comment); flat-tier codebooks only (the hierarchical tier
+    persists a two-level codebook pair and has its own consumers)."""
+    import numpy as np
+
+    rows = codebook.collect()  # codebook-sized by design (k·dims ints)
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_cid.setdefault(int(r["cid"]), {})[int(r["i"])] = int(r["cv"])
+    cids = np.array(sorted(by_cid), dtype=np.int64)
+    dims = max(max(d) for d in by_cid.values()) + 1
+    C = np.stack(
+        [np.array([by_cid[int(c)][i] for i in range(dims)], dtype=np.int64) for c in cids]
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        n2c = (C * C).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+            d2 = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + n2c[None, :]
+            a = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cell": cids[a]}
+            )
+
+    return vecs.select("vec_id", F.expr(_QV_EXPR).alias("qv")).mapInPandas(
+        fn, "vec_id long, cell long"
+    )
+
+
 def _cell_scores(
     spark: SparkSession, sf_dir: str, max_rank: int, trained=None
 ) -> DataFrame:

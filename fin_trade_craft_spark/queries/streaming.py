@@ -30,6 +30,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType as T_IntegerType
+from pyspark.sql.types import LongType as T_LongType
 
 from ..streaming.stream_agg import read_events_stream
 
@@ -59,6 +61,60 @@ def _stage_dir(sf_dir: str, name: str) -> tuple[str, int]:
     if n == 0 or not all(p.exists() for p in staged):
         raise FileNotFoundError(f"staging {src} -> {d} produced no readable files")
     return str(d), n
+
+
+def _events_stream_time_ordered(
+    spark: SparkSession, sf_dir: str, n_batches: int = 2
+) -> DataFrame:
+    """Stage the events table as ``n_batches`` TIME-ORDERED parquet
+    files — a global split at ts quantiles, mtimes pinned so the
+    file source delivers them oldest-first — and stream them ONE
+    file per trigger. Each micro-batch then holds a contiguous time
+    slice (every bar in batch k precedes every bar in batch k+1, per
+    key and globally), so a stateful query exercises cross-batch
+    state carriage INSIDE the value-oracled path (r09 verdict task
+    4: the zone machine's oracle previously held only for a
+    single-batch drain) while the ordered-replay oracle stays
+    bit-exact: per-key fold order is identical to the one-batch
+    sort. Same staging discipline as streaming_corpus_ingest's
+    id-ordered arrivals, with time as the arrival axis."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    df = spark.read.parquet(src)
+    schema = df.schema
+    # one scalar-row job computes every split point; ts may be
+    # INT64-nanos (already numeric) or a timestamp flavor
+    # (TIMESTAMP/TIMESTAMP_NTZ reject a direct double cast — go
+    # through unix_micros, monotone either way)
+    if isinstance(schema["ts"].dataType, (T_LongType, T_IntegerType)):
+        key_sql = "CAST(ts AS DOUBLE)"
+    else:
+        key_sql = "CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE)"
+    key = F.expr(key_sql)
+    qs = [i / n_batches for i in range(1, n_batches)]
+    cuts = df.agg(
+        *[F.expr(f"percentile({key_sql}, {q})").alias(f"c{i}") for i, q in enumerate(qs)]
+    ).collect()[0]
+    bounds = [None, *[cuts[f"c{i}"] for i in range(len(qs))], None]
+    out = Path(tempfile.mkdtemp(prefix="stream_events_scratch_"))
+    stage = Path(tempfile.mkdtemp(prefix="stream_events_ordered_"))
+    for i in range(n_batches):
+        part = df
+        if bounds[i] is not None:
+            part = part.filter(key >= F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(key < F.lit(bounds[i + 1]))
+        part.coalesce(1).write.parquet(str(out / f"b{i}"))
+        src_part = next((out / f"b{i}").glob("*.parquet"))
+        dst = stage / f"batch_{i}.parquet"
+        # MOVE (not symlink): Java lastModified follows symlinks, so
+        # only a moved file's own pinned mtime controls batch order
+        os.rename(src_part, dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+    staged = sorted(stage.glob("*.parquet"))
+    if len(staged) != n_batches or not all(p.exists() for p in staged):
+        raise FileNotFoundError(f"time-ordered staging produced {staged}")
+    return read_events_stream(spark, str(stage), schema, max_files_per_trigger=1)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,21 +357,24 @@ def streaming_zone_signals_stateful(spark: SparkSession, sf_dir: str) -> DataFra
     unix_micros(ts)`` as the (unique per user — verified) event-time
     sort key, so per-batch folding is deterministic.
 
-    Value-oracled since r9: the state machine itself is not SQL, but
-    its OUTPUT is — the de-stating proof for the batch twin
+    Value-oracled since r9; since r10 the oracle covers CROSS-BATCH
+    state carriage too. The state machine itself is not SQL, but its
+    OUTPUT is — the de-stating proof for the batch twin
     (operators/signals.zone_confirmation_signals: a fire requires
     ``prev_rsi <= 30``, which itself forces the zone flag at the
     previous row, so the flags carry no information the lag doesn't)
-    applies verbatim to the streamed fold, and ``_events_stream``
-    drains the directory in ONE micro-batch (maxFilesPerTrigger =
-    n_files) whose fold sorts by ``bar`` — so the streamed output
-    equals the ordered replay and the LAG-based SQL below is a
-    legitimate bit-exact oracle. Cross-micro-batch state carriage is
-    separately proven by tests/test_streaming_stateful.py (multi-file
-    ordered feed, state persists across batches)."""
+    applies verbatim to the streamed fold. The events arrive via
+    ``_events_stream_time_ordered`` as TWO time-sliced micro-batches
+    (every bar in batch 0 precedes every bar in batch 1), so a zone
+    entered in batch 0 must SURVIVE the state store to fire in
+    batch 1 — and because per-key fold order across the two batches
+    equals the one-batch sort, the LAG-based SQL below remains a
+    bit-exact oracle of the multi-batch run (r09 verdict task 4).
+    tests/test_streaming_stateful.py additionally drives the fold
+    file-by-file with golden series."""
     from ..streaming.stateful_signals import zone_signals_stateful
 
-    ev = _events_stream(spark, sf_dir)
+    ev = _events_stream_time_ordered(spark, sf_dir, n_batches=2)
     bars = ev.select(
         F.col("user_id").alias("symbol_id"),
         F.unix_micros("ts").alias("bar"),
@@ -330,7 +389,12 @@ WITH b AS (
          epoch_us(CAST(ts AS TIMESTAMP)) AS bar,
          CAST(value AS DOUBLE) AS rsi
   FROM events
-  WHERE value IS NOT NULL
+  -- mirror the stateful fold's skip set exactly: _fold drops NULL
+  -- AND NaN rows without touching prev_rsi, while DuckDB orders NaN
+  -- above all values (and, unlike IEEE, evaluates NaN = NaN as TRUE)
+  -- — an unguarded NaN would make LAG(rsi) >= 70 true and fire a
+  -- spurious sell here (ADVICE r09).
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
 ), x AS (
   SELECT symbol_id, bar, rsi,
     (LAG(rsi) OVER w <= 30 AND rsi > 30 AND rsi < 70) AS buy_signal,

@@ -22,6 +22,7 @@ import pytest
 from fin_trade_craft_spark.queries.corpus_build import (
     corpus_build,
     corpus_build_ingest,
+    corpus_build_ingest_stored,
 )
 
 K_A = (
@@ -177,6 +178,43 @@ def test_ingest_equals_from_scratch_rebuild_on_batch(spark, ingest_dirs):
             assert b["mix_weight"] is None, did
         else:
             assert abs(a["mix_weight"] - b["mix_weight"]) < 1e-12, did
+
+
+def test_stored_index_ingest_byte_equal_manifest(spark, ingest_dirs):
+    """r09 verdict task 1: the PRODUCTION refresh shape — prior
+    ladder read from the TableIO-published index tables
+    (kept_manifest / hash_index / sig_index / cell_index /
+    codebook) — must produce a manifest BYTE-EQUAL to the
+    session-memo twin, every column including the float
+    mix_weight (same exact arithmetic on both paths). Also proves
+    the write side actually committed the five tables."""
+    import os
+
+    from fin_trade_craft_spark.queries.corpus_build import _index_store
+
+    full, _ = ingest_dirs
+    memo = corpus_build_ingest(spark, full).toPandas()
+    stored = corpus_build_ingest_stored(spark, full).toPandas()
+    pd.testing.assert_frame_equal(memo, stored, check_exact=True)
+
+    io = _index_store(spark, full)
+    for t in ("kept_manifest", "hash_index", "sig_index", "cell_index", "codebook"):
+        assert io.exists(t), f"index table {t} not published"
+        assert os.path.isdir(io.path(t)), t
+    # the codebook consumers load is the SAME centroids the trainer
+    # memoized — k·dims rows of exact 1e-6 integers
+    cb = io.read("codebook").toPandas()
+    assert set(cb.columns) == {"cid", "i", "cv"} and len(cb) > 0
+
+
+def test_stored_index_ingest_matches_on_testdata(spark):
+    """Byte-equality on the real sf0.001 fixture corpus too — the
+    planted fixture exercises every reason path, this one exercises
+    fixture-scale cell layouts and multi-source mixtures."""
+    sf = "/root/testdata/sf0.001"
+    memo = corpus_build_ingest(spark, sf).toPandas()
+    stored = corpus_build_ingest_stored(spark, sf).toPandas()
+    pd.testing.assert_frame_equal(memo, stored, check_exact=True)
 
 
 def test_append_leaves_existing_manifest_stable(spark, ingest_dirs):

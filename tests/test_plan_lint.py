@@ -71,6 +71,37 @@ def test_no_cartesian_product_in_any_plan(spark):
     assert not offenders, f"CartesianProduct planned in: {offenders}"
 
 
+# Ceiling on planned Exchange occurrences in a query's physical-plan
+# STRING (the PLANS.md metric: cached-subtree reprints included, so
+# this bounds total compiled plan text, which is what actually grows
+# without bound in an unrolled iterative loop). r09 verdict task 5:
+# pagerank at 5 unrolled rounds compiled 337; with the
+# PR_CKPT_EVERY=3 lineage cadence it compiles ~114, and a 20-round
+# variant stays O(cadence) instead of ~1300. The ceiling sits above
+# today's max non-iterative plan (dedup_lexical_vector_agreement,
+# 192 — shared-memo lineage reprinted per consumer) with headroom,
+# and far below where an unbounded loop lands within a few rounds.
+PLAN_SHUFFLE_STRING_CEILING = 256
+
+
+def test_iterative_plan_growth_bounded(spark):
+    import re
+
+    offenders = {}
+    for name, fn in sorted(all_queries().items()):
+        if name.startswith("streaming_"):
+            continue
+        df = fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", plan))
+        if n > PLAN_SHUFFLE_STRING_CEILING:
+            offenders[name] = n
+    assert not offenders, (
+        f"compiled plans exceed {PLAN_SHUFFLE_STRING_CEILING} planned exchanges "
+        f"(unbounded iterative unrolling? add a lineage checkpoint cadence): {offenders}"
+    )
+
+
 def test_no_unpartitioned_window_in_any_plan(spark):
     offenders = {}
     for name, fn in sorted(all_queries().items()):
@@ -140,6 +171,7 @@ CONSTRUCTION_JOBS_ALLOWED = {
     "bpe_convergent_merges": "per-round argmax convergence probe (1-row collect)",
     "corpus_build": "dedup-ladder capstone: two component loops + codebook training",
     "corpus_build_ingest": "prior-manifest component loops + probe-kernel stage checkpoints",
+    "corpus_build_ingest_stored": "one-time index publish (the initial build) + batch stage checkpoints + codebook load",
     "pagerank_copurchase": "per-iteration lineage cut (localCheckpoint)",
     # quality_classifier_filter left this list in r09: it now applies
     # the frozen artifact (training moved to the pytest harness), so

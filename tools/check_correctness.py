@@ -158,7 +158,16 @@ def main() -> int:
         if "=" in kv:
             k, v = kv.split("=", 1)
             extra[k.strip()] = v.strip()
-    spark = get_spark("correctness-check", shuffle_partitions=8, extra_conf=extra or None)
+    # ADVICE r09: every registered DuckDB oracle replays the FLAT
+    # quantizer build, but quantizer=auto flips the embedding family
+    # to the hierarchical tier above HIER_MIN_ROWS (50k vectors — the
+    # sf5 replica crosses it). Pin flat here so an oracle sweep at ANY
+    # scale compares like with like; the hierarchical tier keeps its
+    # own oracles (hierarchical_cell_stats replays the two-level build
+    # explicitly, independent of this conf). SPARK_GRAFT_EXTRA_CONF
+    # can still override for tier-divergence experiments.
+    extra.setdefault("spark.fin_trade_craft.quantizer", "flat")
+    spark = get_spark("correctness-check", shuffle_partitions=8, extra_conf=extra)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'")
