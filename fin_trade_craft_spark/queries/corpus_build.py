@@ -767,6 +767,142 @@ def _index_store(spark: SparkSession, sf_dir: str):
     return TableIO(spark, wh)
 
 
+def _stored_ingest_ladder(
+    spark: SparkSession, io, docs_b: DataFrame, emb_b_all: DataFrame
+) -> dict:
+    """Stages 1–4 of the stored-index probe ladder for ONE arriving
+    batch frame — the reusable refresh step: every prior-state read
+    is a TableIO table (hash_index / sig_index / cell_index /
+    codebook), every computation is ∝ batch. Returns the stage drop
+    frames, the kept rows, and the store-append frames a committing
+    refresh persists (:func:`commit_ingest_batch`) so the NEXT batch
+    probes this one through the same tables — the loop
+    ``streaming_corpus_ingest`` runs per micro-batch, here in batch
+    form. First-wins within the batch: partners are stored survivors
+    or smaller surviving batch ids."""
+    from .similarity import cell_probe_new_vs_prior, cells_from_codebook
+
+    quality_ok = F.col("quality").isNull() | (F.col("quality") >= F.lit(CB_QUALITY_MIN))
+
+    # ---- the batch: enrichment of the arriving docs only (∝ batch) ----
+    be = _enrich_projection(docs_b).localCheckpoint(eager=True)
+
+    # ---- stage 1: exact probe against hash_index ----
+    hs = io.read("hash_index").select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
+    m_store = be.select("doc_id", "h").join(hs, F.col("h") == F.col("o_h"), "left_semi")
+    bh = be.select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
+    m_same = be.select("doc_id", "h").join(
+        bh, (F.col("h") == F.col("o_h")) & (F.col("o_id") < F.col("doc_id")), "left_semi"
+    )
+    b_exact_drop = (
+        m_store.select("doc_id")
+        .unionByName(m_same.select("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s1b = be.join(b_exact_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    # ---- stage 2: fresh batch signatures band-join sig_index ----
+    # probe shape (r10 perf pass at sf5): candidates from the
+    # (store ∪ batch) ⋈ batch band join — never store ⋈ store — and
+    # the Jaccard verify reads ONLY candidate-touching shingle rows
+    # (semi-join restriction) instead of shuffling the whole store's
+    # shingle arrays to score a candidate-sized pair set. Together:
+    # stage-2 wall 51 → ~12s at sf5 (125k-doc batch, 111k-row store).
+    bsets = D.with_shingle_sets(s1b.select("doc_id", "text")).localCheckpoint(eager=True)
+    bsigs = D.minhash_signatures(bsets, num_perm=8)
+    store_sigs = io.read("sig_index")
+    cands_b = D.lsh_probe_candidate_pairs(
+        bsigs, store_sigs.select(bsigs.columns), num_perm=8, rows_per_band=2
+    ).localCheckpoint(eager=True)
+    bids = bsets.select("doc_id")
+    touched = (
+        cands_b.select(F.col("d1").alias("doc_id"))
+        .unionByName(cands_b.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    comb_sets = (
+        store_sigs.select("doc_id", "shingles")
+        .unionByName(bsets.select("doc_id", "shingles"))
+        .join(touched, "doc_id", "left_semi")
+    )
+    verified = D.exact_jaccard_pairs(comb_sets, min_jaccard=0.5, candidates=cands_b)
+    # partner rule per verified pair (d1 < d2): a batch d2 drops on
+    # ANY partner (stored canonical or smaller batch id); a batch d1
+    # drops only on a STORED d2 — a larger batch id is not a valid
+    # partner under first-wins. Stored ids are recognized by
+    # anti-join against the batch id set (NOT parity: committed
+    # earlier batches land in the store whatever their parity).
+    drop_hi = verified.join(bids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi").select(
+        F.col("d2").alias("doc_id")
+    )
+    drop_lo = (
+        verified.join(bids.withColumnRenamed("doc_id", "d2"), "d2", "left_anti")
+        .join(bids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
+        .select(F.col("d1").alias("doc_id"))
+    )
+    b_near_drop = drop_hi.unionByName(drop_lo).distinct().localCheckpoint(eager=True)
+    s2b = s1b.join(b_near_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    # ---- stage 3: codebook assignment + probe against cell_index ----
+    emb_b = emb_b_all.select("vec_id", "embedding").join(
+        s2b.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    b_cells = cells_from_codebook(io.read("codebook"), emb_b)
+    bv = emb_b.join(b_cells, "vec_id").select("vec_id", "embedding", "cell").localCheckpoint(
+        eager=True
+    )
+    # the probe kernel only emits rows for batch members, so cells
+    # WITHOUT a batch vector are pure Arrow-serialization overhead —
+    # semi-join the store down to the batch's cells first (probe
+    # cost ∝ batch's cell footprint, not the store's cell count)
+    v = (
+        io.read("cell_index")
+        .join(bv.select("cell").distinct(), "cell", "left_semi")
+        .unionByName(bv)
+    )
+    b_sem_drop = (
+        cell_probe_new_vs_prior(v, SEMDEDUP_THETA)
+        .filter(F.col("n_dup_matches") > 0)
+        .select(F.col("vec_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    b_s3 = s2b.join(b_sem_drop, "doc_id", "left_anti")
+
+    # ---- stage 4: quality gate ----
+    b_low_drop = b_s3.filter(~quality_ok).select("doc_id").localCheckpoint(eager=True)
+    b_kept = b_s3.filter(quality_ok).select("doc_id", "source", "lang", "n_tokens")
+    return {
+        "be": be,
+        "exact_drop": b_exact_drop,
+        "near_drop": b_near_drop,
+        "sem_drop": b_sem_drop,
+        "low_drop": b_low_drop,
+        "kept": b_kept,
+        # store-append frames (the streaming twin's per-batch appends):
+        # hash rows for EVERY batch doc, signature rows for stage-1
+        # survivors, (vector, cell) rows for stage-2 survivors —
+        # exactly the partner sets later batches probe.
+        "append_hash": be.select("doc_id", "h"),
+        "append_sig": bsets.join(bsigs, "doc_id"),
+        "append_cell": bv,
+    }
+
+
+def commit_ingest_batch(io, ladder: dict) -> None:
+    """Persist a refresh step: append the batch's partner-set rows to
+    the probe indexes and its kept rows to the manifest — after
+    this, a subsequent :func:`_stored_ingest_ladder` call probes the
+    committed batch exactly as it probes the original corpus (the
+    production refresh LOOP; proven equivalent to a one-shot ingest
+    over the concatenated batches in
+    tests/test_corpus_build_ingest.py::test_sequential_committed_refreshes)."""
+    io.append(ladder["append_hash"], "hash_index")
+    io.append(ladder["append_sig"], "sig_index")
+    io.append(ladder["append_cell"], "cell_index")
+    io.append(ladder["kept"], "kept_manifest")
+
+
 def corpus_build_ingest_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``corpus_build_ingest`` with the prior ladder read from the
     PERSISTED index tables (r09 verdict task 1) — the production
@@ -779,7 +915,8 @@ def corpus_build_ingest_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     build committed (:func:`publish_corpus_index_tables`, run once
     per (session, dataset) here as the initial build).
 
-    Per-stage probe shapes against the stores:
+    Per-stage probe shapes against the stores
+    (:func:`_stored_ingest_ladder`):
 
     1. exact — batch hashes equi-join ``hash_index`` (+ smaller-id
        self-collisions within the batch).
@@ -800,89 +937,24 @@ def corpus_build_ingest_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output and oracle: IDENTICAL to ``corpus_build_ingest`` — it
     registers ORACLE_CORPUS_BUILD_INGEST verbatim, and
     tests/test_corpus_build_ingest.py proves the two manifests
-    byte-equal. Probe cost ∝ batch at any corpus size.
+    byte-equal. Probe cost ∝ batch at any corpus size. This query is
+    a read-only refresh (no store commit); the committing LOOP —
+    ladder, :func:`commit_ingest_batch`, next batch probes the last
+    — is pytest-proven equivalent to the one-shot ingest.
 
     Reference parity: transformation_watermark_manager.py:198-270's
     stored-watermark discovery (process only what the ledger says is
     new), here with the ledger generalized to the ladder's index
     tables."""
-    from .similarity import cell_probe_new_vs_prior, cells_from_codebook
-
     io = _index_store(spark, sf_dir)
     odd = F.col("doc_id") % 2 == 1
-    quality_ok = F.col("quality").isNull() | (F.col("quality") >= F.lit(CB_QUALITY_MIN))
 
-    # ---- the batch: enrichment of the odd docs only (∝ batch) ----
     docs_b = load_table(spark, sf_dir, "documents").filter(odd)
-    be = _enrich_projection(docs_b).localCheckpoint(eager=True)
-
-    # ---- stage 1: exact probe against hash_index ----
-    hs = io.read("hash_index").select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
-    m_store = be.select("doc_id", "h").join(hs, F.col("h") == F.col("o_h"), "left_semi")
-    bh = be.select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
-    m_same = be.select("doc_id", "h").join(
-        bh, (F.col("h") == F.col("o_h")) & (F.col("o_id") < F.col("doc_id")), "left_semi"
-    )
-    b_exact_drop = (
-        m_store.select("doc_id")
-        .unionByName(m_same.select("doc_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    s1b = be.join(b_exact_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
-
-    # ---- stage 2: fresh batch signatures band-join sig_index ----
-    bsets = D.with_shingle_sets(s1b.select("doc_id", "text")).localCheckpoint(eager=True)
-    bsigs = D.minhash_signatures(bsets, num_perm=8)
-    store_sigs = io.read("sig_index")
-    union_sigs = store_sigs.select(bsigs.columns).unionByName(bsigs)
-    cands = D.lsh_candidate_pairs(union_sigs, num_perm=8, rows_per_band=2)
-    bids = bsets.select("doc_id")
-    cands_b = (
-        cands.join(bids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
-        .unionByName(cands.join(bids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi"))
-        .distinct()
-    )
-    comb_sets = store_sigs.select("doc_id", "shingles").unionByName(
-        bsets.select("doc_id", "shingles")
-    )
-    verified = D.exact_jaccard_pairs(comb_sets, min_jaccard=0.5, candidates=cands_b)
-    # partner rule per verified pair (d1 < d2): a batch d2 drops on
-    # ANY partner (stored canonical or smaller batch id); a batch d1
-    # drops only on a STORED (even) d2 — a larger batch id is not a
-    # valid partner under first-wins
-    drop_hi = verified.join(bids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi").select(
-        F.col("d2").alias("doc_id")
-    )
-    drop_lo = (
-        verified.filter(F.col("d2") % 2 == 0)
-        .join(bids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi")
-        .select(F.col("d1").alias("doc_id"))
-    )
-    b_near_drop = drop_hi.unionByName(drop_lo).distinct().localCheckpoint(eager=True)
-    s2b = s1b.join(b_near_drop, "doc_id", "left_anti").localCheckpoint(eager=True)
-
-    # ---- stage 3: codebook assignment + probe against cell_index ----
-    emb_b = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 2 == 1)
-        .select("vec_id", "embedding")
-        .join(s2b.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
-    )
-    b_cells = cells_from_codebook(io.read("codebook"), emb_b)
-    bv = emb_b.join(b_cells, "vec_id").select("vec_id", "embedding", "cell")
-    v = io.read("cell_index").unionByName(bv)
-    b_sem_drop = (
-        cell_probe_new_vs_prior(v, SEMDEDUP_THETA)
-        .filter(F.col("n_dup_matches") > 0)
-        .select(F.col("vec_id").alias("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    b_s3 = s2b.join(b_sem_drop, "doc_id", "left_anti")
-
-    # ---- stage 4: quality gate ----
-    b_low_drop = b_s3.filter(~quality_ok).select("doc_id").localCheckpoint(eager=True)
-    b_kept = b_s3.filter(quality_ok).select("doc_id", "source", "lang", "n_tokens")
+    emb_b_all = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 1)
+    lad = _stored_ingest_ladder(spark, io, docs_b, emb_b_all)
+    be = lad["be"]
+    b_exact_drop, b_near_drop = lad["exact_drop"], lad["near_drop"]
+    b_sem_drop, b_low_drop, b_kept = lad["sem_drop"], lad["low_drop"], lad["kept"]
 
     # ---- stage 5: mixture over kept_manifest + batch kept ----
     e_kept = io.read("kept_manifest")

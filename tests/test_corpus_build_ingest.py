@@ -217,6 +217,78 @@ def test_stored_index_ingest_matches_on_testdata(spark):
     pd.testing.assert_frame_equal(memo, stored, check_exact=True)
 
 
+def test_sequential_committed_refreshes_match_one_shot(spark, ingest_dirs):
+    """The production refresh LOOP (r10): publish the index tables
+    once, then run TWO id-ordered batches through the stored-index
+    ladder, COMMITTING each (appending its partner rows to
+    hash/sig/cell stores and its kept rows to the manifest) so batch
+    2 probes batch 1 through the same parquet tables it probes the
+    original corpus through. Keep decisions across the two committed
+    steps must equal the one-shot stored ingest over the
+    concatenated batch — the same cross-batch equivalence
+    streaming_corpus_ingest proves for its micro-batches, here for
+    the batch TableIO path."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fin_trade_craft_spark.queries.corpus_build import (
+        _stored_ingest_ladder,
+        commit_ingest_batch,
+        publish_corpus_index_tables,
+    )
+    from fin_trade_craft_spark.sources.catalog import load_table
+    from fin_trade_craft_spark.sources.io import TableIO
+
+    full, _ = ingest_dirs
+    io = TableIO(spark, tempfile.mkdtemp(prefix="seq_refresh_"))
+    publish_corpus_index_tables(spark, full, io)
+
+    docs = load_table(spark, full, "documents")
+    embs = load_table(spark, full, "embeddings")
+    odd_doc = F.col("doc_id") % 2 == 1
+    odd_vec = F.col("vec_id") % 2 == 1
+
+    def reasons(lad):
+        out = {}
+        for key, reason in (
+            ("exact_drop", "exact_dup"),
+            ("near_drop", "near_dup"),
+            ("sem_drop", "semantic_dup"),
+            ("low_drop", "low_quality"),
+            ("kept", "kept"),
+        ):
+            for r in lad[key].select("doc_id").collect():
+                assert r["doc_id"] not in out, "stage reasons not disjoint"
+                out[r["doc_id"]] = reason
+        return out
+
+    seq = {}
+    for lo, hi in ((101, 110), (110, 200)):  # id-ordered batches
+        cond_d = odd_doc & (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        cond_v = odd_vec & (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        lad = _stored_ingest_ladder(spark, io, docs.filter(cond_d), embs.filter(cond_v))
+        seq.update(reasons(lad))
+        commit_ingest_batch(io, lad)
+
+    one_shot = {
+        r["doc_id"]: r["keep_reason"]
+        for r in corpus_build_ingest_stored(spark, full).collect()
+    }
+    assert seq == one_shot
+    # the committed manifest now holds existing + both batches' kept
+    # rows — the base masses the NEXT refresh's stages 5/6 read
+    committed_kept = {
+        r["doc_id"] for r in io.read("kept_manifest").select("doc_id").collect()
+    }
+    expect_kept = {d for d, why in one_shot.items() if why == "kept"} | {
+        r["doc_id"]
+        for r in corpus_build(spark, full).collect()
+        if r["doc_id"] % 2 == 0 and r["kept"]
+    }
+    assert committed_kept == expect_kept
+
+
 def test_append_leaves_existing_manifest_stable(spark, ingest_dirs):
     """The existing corpus's keep decisions and shard ids must be
     identical whether the batch exists or not (the append never

@@ -71,33 +71,51 @@ def test_no_cartesian_product_in_any_plan(spark):
     assert not offenders, f"CartesianProduct planned in: {offenders}"
 
 
-# Ceiling on planned Exchange occurrences in a query's physical-plan
-# STRING (the PLANS.md metric: cached-subtree reprints included, so
-# this bounds total compiled plan text, which is what actually grows
-# without bound in an unrolled iterative loop). r09 verdict task 5:
-# pagerank at 5 unrolled rounds compiled 337; with the
-# PR_CKPT_EVERY=3 lineage cadence it compiles ~114, and a 20-round
-# variant stays O(cadence) instead of ~1300. The ceiling sits above
-# today's max non-iterative plan (dedup_lexical_vector_agreement,
-# 192 — shared-memo lineage reprinted per consumer) with headroom,
-# and far below where an unbounded loop lands within a few rounds.
-PLAN_SHUFFLE_STRING_CEILING = 256
+# Ceiling on ShuffleExchange NODES in a query's compiled physical
+# tree (post-EnsureRequirements, AQE wrapper unwrapped via
+# initialPlan — walking the AdaptiveSparkPlanExec's empty children()
+# would count zero everywhere). The tree walk is session-stable
+# (cached frames appear as one InMemoryTableScan leaf; a warmer
+# session can only LOWER the count), unlike the plan-STRING Exchange
+# count (PLANS.md's metric), which reprints cached subtrees once per
+# consumer and swung 114→240+ for pagerank depending on which memo
+# caches existed. r09 verdict task 5: an unrolled iterative loop is
+# exactly what grows this without bound (~2 exchanges per unrolled
+# round — a 20-round pagerank would compile ~42); the
+# PR_CKPT_EVERY=3 lineage cadence keeps pagerank at 2, and today's
+# repo-wide max is 18 (database_summary).
+PLAN_EXCHANGE_NODE_CEILING = 32
+
+
+def _unwrap_aqe(p):
+    if p.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        return p.initialPlan()
+    return p
+
+
+def _iter_physical(jnode):
+    yield jnode
+    children = jnode.children()
+    for i in range(children.size()):
+        yield from _iter_physical(_unwrap_aqe(children.apply(i)))
 
 
 def test_iterative_plan_growth_bounded(spark):
-    import re
-
     offenders = {}
     for name, fn in sorted(all_queries().items()):
         if name.startswith("streaming_"):
             continue
         df = fn(spark, SF_SMOKE)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        n = len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning", plan))
-        if n > PLAN_SHUFFLE_STRING_CEILING:
+        plan = _unwrap_aqe(df._jdf.queryExecution().executedPlan())
+        n = sum(
+            1
+            for nd in _iter_physical(plan)
+            if nd.getClass().getSimpleName().startswith("ShuffleExchange")
+        )
+        if n > PLAN_EXCHANGE_NODE_CEILING:
             offenders[name] = n
     assert not offenders, (
-        f"compiled plans exceed {PLAN_SHUFFLE_STRING_CEILING} planned exchanges "
+        f"compiled plans exceed {PLAN_EXCHANGE_NODE_CEILING} shuffle-exchange nodes "
         f"(unbounded iterative unrolling? add a lineage checkpoint cadence): {offenders}"
     )
 

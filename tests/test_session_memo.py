@@ -120,3 +120,25 @@ def test_sem_memo_reuse_and_key_includes_quantizer_mode(spark):
         assert st_flat is not st1
     finally:
         spark.conf.unset(SQ.QUANTIZER_CONF)
+
+
+def test_release_session_owned_evicts_and_unpersists(spark):
+    """ADVICE r09: the registry holds the frames themselves (strong
+    refs), and the eviction path both drops the entry and releases
+    the persisted storage — no bare-id aliasing, no monotonic
+    leak when a memo is regenerated."""
+    from fin_trade_craft_spark.operators.pinning import (
+        mark_session_owned,
+        release_session_owned,
+    )
+
+    df = spark.range(100).select(F.col("id").alias("k")).persist()
+    df.count()
+    mark_session_owned(df)
+    assert id(df) in _SESSION_OWNED
+    assert _SESSION_OWNED[id(df)] is df  # strong ref, not a bare id
+    release_session_owned(df)
+    assert id(df) not in _SESSION_OWNED
+    assert df.storageLevel.useMemory is False  # unpersisted
+    # releasing an unknown frame is a no-op
+    release_session_owned(df)

@@ -47,6 +47,7 @@ DEFAULT_QUERIES = [
     "ivf_pq_search",
     "corpus_build",
     "corpus_build_ingest",
+    "corpus_build_ingest_stored",
     "fin_signals_pipeline",
 ]
 
