@@ -374,7 +374,7 @@ raw_t AS (
   FROM per_src
 ),
 wt AS (
-  SELECT source, CAST(raw AS DOUBLE) / CAST(SUM(raw) OVER () AS DOUBLE) AS mix_weight
+  SELECT source, CAST(CAST(raw AS VARCHAR) AS DOUBLE) / CAST(CAST(SUM(raw) OVER () AS VARCHAR) AS DOUBLE) AS mix_weight
   FROM raw_t
 ),
 pk AS (
@@ -1193,7 +1193,7 @@ raw_t AS (
   FROM per_src
 ),
 wt AS (
-  SELECT source, CAST(raw AS DOUBLE) / CAST(SUM(raw) OVER () AS DOUBLE) AS mix_weight
+  SELECT source, CAST(CAST(raw AS VARCHAR) AS DOUBLE) / CAST(CAST(SUM(raw) OVER () AS VARCHAR) AS DOUBLE) AS mix_weight
   FROM raw_t
 ),
 base_lang AS (

@@ -106,8 +106,12 @@ WITH per_src AS (
          CAST(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS DECIMAL(28,10)) AS raw
   FROM per_src
 ), wt AS (
+  -- decimal->double via VARCHAR (r9 2^53 policy, tripped again by the
+  -- r10 sf5 sweep): SUM(raw)'s scaled integer exceeds 2^53 at 50x, where
+  -- DuckDB's direct int128->double cast double-rounds 1-5 ulp off
+  -- Spark's correctly-rounded BigDecimal.doubleValue; strtod matches it
   SELECT source, n_docs, total_tokens,
-         CAST(raw AS DOUBLE) / CAST(SUM(raw) OVER () AS DOUBLE) AS mix_weight
+         CAST(CAST(raw AS VARCHAR) AS DOUBLE) / CAST(CAST(SUM(raw) OVER () AS VARCHAR) AS DOUBLE) AS mix_weight
   FROM raw_t
 )
 SELECT source, n_docs, total_tokens, mix_weight,
@@ -195,9 +199,9 @@ WITH d AS (
   FROM per_src
 ), eps AS (
   SELECT source,
-         CAST(raw AS DOUBLE) / CAST(SUM(raw) OVER () AS DOUBLE)
+         CAST(CAST(raw AS VARCHAR) AS DOUBLE) / CAST(CAST(SUM(raw) OVER () AS VARCHAR) AS DOUBLE)
            * {float(MIX_TOKEN_BUDGET)} / CAST(total_tokens AS DOUBLE) AS epochs,
-         CAST(raw AS DOUBLE) / CAST(SUM(raw) OVER () AS DOUBLE)
+         CAST(CAST(raw AS VARCHAR) AS DOUBLE) / CAST(CAST(SUM(raw) OVER () AS VARCHAR) AS DOUBLE)
            * {float(MIX_TOKEN_BUDGET)} AS token_quota
   FROM raw_t
 ), copies AS (
