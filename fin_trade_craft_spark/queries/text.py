@@ -1133,12 +1133,23 @@ def bigram_interpolated_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent); incoherent token soup scores LOW even when its
     unigrams are common — the signal unigram models can't see.
 
-    Determinism: per-doc (bigram, counts) structs are array_sort'd
-    and folded sequentially; compared outputs round at 9dp (libm
-    log10 policy). Scale shape: two hash aggregates keyed by bigram
-    and by context token (both partial-aggregating map-side), the
-    stats join back on the bigram key, scalar totals on a 1-row
-    broadcast; the per-doc fold is map-side."""
+    Determinism: each (doc, bigram) term's double contribution
+    t = c_d·log10(·) is computed BEFORE the per-doc aggregate (the
+    scalar totals ride a 1-row broadcast onto the stats join), then
+    the per-doc list of t values is array_sort'd and folded
+    sequentially — ascending-double order is engine-independent and
+    bit-equal doubles commute under the fold, so the accumulation
+    is as deterministic as the old sort-by-bigram-string fold while
+    shuffling ONE double per term instead of the full
+    (bigram, c_d, c_b, c_ctx, c_u) struct (~8× fewer bytes through
+    the per-doc exchange — this was the repo's only sf5 spiller,
+    2.9GB, before the r10 slim-down). Compared outputs round at 9dp
+    (libm log10 last-ulp policy; an ulp-level cross-engine t
+    difference can reorder near-ties, perturbing the fold at
+    ulp scale — absorbed by the rounding, same class as before).
+    Scale shape: two hash aggregates keyed by bigram and by context
+    token (both partial-aggregating map-side), the stats join back
+    on the bigram key, the per-doc fold map-side."""
     d = (
         _docs(spark, sf_dir)
         .select("doc_id", T.tokens(F.col("text")).alias("toks"))
@@ -1169,32 +1180,30 @@ def bigram_interpolated_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(uni.select(F.col("term").alias("y"), "c_u"), "y")
         .select("bigram", "c_b", "c_ctx", "c_u")
     )
+    lam = float(BIGRAM_LAMBDA)
+    t_expr = F.col("c_d").cast("double") * F.log10(
+        F.lit(lam)
+        * (
+            (F.col("c_b") + F.lit(1)).cast("double")
+            / (F.col("c_ctx").cast("double") + F.col("vocab").cast("double"))
+        )
+        + F.lit(BIGRAM_LAMBDA_C)
+        * (
+            (F.col("c_u") + F.lit(1)).cast("double")
+            / (F.col("n_uni") + F.col("vocab")).cast("double")
+        )
+    )
     per_doc = (
         doc_bg.join(stats, "bigram")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", "c_d", t_expr.alias("t"))
         .groupBy("doc_id")
         .agg(
             F.sum("c_d").alias("n_bigrams"),
-            F.array_sort(F.collect_list(F.struct("bigram", "c_d", "c_b", "c_ctx", "c_u"))).alias(
-                "terms"
-            ),
+            F.array_sort(F.collect_list("t")).alias("ts"),
         )
-        .crossJoin(F.broadcast(totals))
-        .withColumn("v_d", F.col("vocab").cast("double"))
-        .withColumn("den_u", (F.col("n_uni") + F.col("vocab")).cast("double"))
     )
-    lam = float(BIGRAM_LAMBDA)
-    fold = F.aggregate(
-        F.col("terms"),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + s["c_d"].cast("double")
-        * F.log10(
-            F.lit(lam)
-            * ((s["c_b"] + F.lit(1)).cast("double") / (s["c_ctx"].cast("double") + F.col("v_d")))
-            + F.lit(BIGRAM_LAMBDA_C)
-            * ((s["c_u"] + F.lit(1)).cast("double") / F.col("den_u"))
-        ),
-    )
+    fold = F.aggregate(F.col("ts"), F.lit(0.0), lambda acc, x: acc + x)
     return per_doc.select(
         "doc_id",
         "n_bigrams",
@@ -1228,25 +1237,26 @@ WITH d AS (
   SELECT bigram, c_b, c_ctx, c_u
   FROM bg JOIN ctx USING (x) JOIN uni ON bg.y = uni.term
 ), per_doc AS (
+  -- t is computed per (doc, bigram) BEFORE the per-doc list, and the
+  -- fold runs in ascending-double order — mirrors the Spark side
+  -- exactly (bit-equal doubles commute, so sort-by-t is as
+  -- deterministic as the old sort-by-bigram-string fold).
   SELECT doc_id,
          CAST(SUM(c_d) AS BIGINT) AS n_bigrams,
-         list_sort(list(struct_pack(bigram := bigram, c_d := c_d, c_b := c_b,
-                                    c_ctx := c_ctx, c_u := c_u))) AS terms
-  FROM doc_bg JOIN stats USING (bigram)
+         list_sort(list(
+           CAST(c_d AS DOUBLE)
+           * log10({BIGRAM_LAMBDA} * (CAST(c_b + 1 AS DOUBLE)
+                     / (CAST(c_ctx AS DOUBLE) + CAST(vocab AS DOUBLE)))
+                   + {BIGRAM_LAMBDA_C!r} * (CAST(c_u + 1 AS DOUBLE)
+                     / CAST(n_uni + vocab AS DOUBLE))))) AS ts
+  FROM doc_bg JOIN stats USING (bigram), totals
   GROUP BY doc_id
 )
 SELECT doc_id, n_bigrams,
        ROUND(
-         list_reduce(
-           list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(terms,
-               s -> CAST(s['c_d'] AS DOUBLE)
-                    * log10({BIGRAM_LAMBDA} * (CAST(s['c_b'] + 1 AS DOUBLE)
-                              / (CAST(s['c_ctx'] AS DOUBLE) + CAST(vocab AS DOUBLE)))
-                            + {BIGRAM_LAMBDA_C!r} * (CAST(s['c_u'] + 1 AS DOUBLE)
-                              / CAST(n_uni + vocab AS DOUBLE))))),
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
            (acc, x) -> acc + x) / n_bigrams, 9) AS avg_logprob10_interp
-FROM per_doc, totals
+FROM per_doc
 ORDER BY doc_id
 """
 
