@@ -37,10 +37,28 @@ def asof_join(
     validity: Column | None = None,
     tiebreak: list[Column] | None = None,
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_time <= left_time`` (and, if given, within
-    ``validity``), preserving unmatched left rows when how='left'.
+    """For each left row, attach ONE right row selected by
+    ``direction`` (pandas ``merge_asof`` parity), preserving
+    unmatched left rows when how='left':
+
+    - ``backward`` (default): the latest right row with
+      ``right_time <= left_time`` — the reference's
+      point-in-time enrichment.
+    - ``forward``: the earliest right row with
+      ``right_time >= left_time`` (next-event fill).
+    - ``nearest``: the right row minimizing
+      ``|left_time - right_time|``; equidistant candidates resolve
+      BACKWARD (the earlier right row wins), matching pandas.
+      No time inequality enters the join condition, so bound the
+      candidate set with ``validity`` (a two-sided window) — at
+      scale an unbounded nearest join degenerates to the full
+      per-key cross product.
+
+    Time distance is measured in microseconds via ``unix_micros``
+    (timestamp columns); backward/forward never need the distance,
+    only the ordering.
 
     ``left_key`` uniquely identifies a left row (the dedup grain).
     ``validity`` is an extra boolean Column over the joined row
@@ -55,8 +73,21 @@ def asof_join(
     two same-named time columns in the output (both values are
     meaningful) — select them qualified or pre-rename if needed.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     lt, rt = left[left_time], right[right_time]
-    cond = rt <= lt
+    if direction == "backward":
+        cond = rt <= lt
+        order = [rt.desc_nulls_last()]
+    elif direction == "forward":
+        cond = rt >= lt
+        order = [rt.asc_nulls_last()]
+    else:  # nearest: candidates bounded by validity only
+        cond = F.lit(True)
+        dist = F.abs(F.unix_micros(lt) - F.unix_micros(rt))
+        # NULL rt (unmatched left-join rows) must sort last so a
+        # real match always beats the NULL row at rn=1.
+        order = [dist.asc_nulls_last(), rt.asc_nulls_last()]
     if validity is not None:
         cond = cond & validity
     for k in on:
@@ -66,6 +97,6 @@ def asof_join(
     for k in on:
         joined = joined.drop(right[k])
     left_key = [left_key] if isinstance(left_key, str) else left_key
-    order = [rt.desc_nulls_last()] + list(tiebreak or [])
+    order = order + list(tiebreak or [])
     w = Window.partitionBy(*[left[k] for k in left_key]).orderBy(*order)
     return joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")

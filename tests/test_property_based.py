@@ -95,6 +95,47 @@ def test_asof_join_property(spark, left_ts, right_ts, validity):
         assert got.get(i) == want, (left_ts, right_ts, validity, i)
 
 
+@SETTINGS
+@given(
+    left_ts=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=12),
+    right_ts=st.lists(st.integers(min_value=0, max_value=100), min_size=0, max_size=12),
+    validity=st.integers(min_value=1, max_value=50),
+)
+def test_asof_join_direction_property(spark, left_ts, right_ts, validity):
+    """forward/nearest asof_join vs brute force. Forward: earliest
+    right ≥ left within window, ties → smaller rid. Nearest:
+    min |Δt| within a two-sided window, equidistant → backward
+    (earlier rt), then smaller rid — pandas merge_asof semantics."""
+    d0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, d0 + timedelta(hours=t)) for i, t in enumerate(left_ts)], "lid int, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(i, d0 + timedelta(hours=t)) for i, t in enumerate(right_ts)], "rid int, rt timestamp"
+    ) if right_ts else spark.createDataFrame([], "rid int, rt timestamp")
+    h = 3_600_000_000
+
+    fwd_win = F.unix_micros(F.col("rt")) - F.unix_micros(F.col("lt")) <= validity * h
+    out_f = asof_join(
+        left, right, on=[], left_time="lt", right_time="rt", left_key="lid",
+        validity=fwd_win, tiebreak=[F.col("rid").asc()], direction="forward",
+    )
+    got_f = {r.lid: r.rid for r in out_f.collect()}
+    near_win = F.abs(F.unix_micros(F.col("lt")) - F.unix_micros(F.col("rt"))) <= validity * h
+    out_n = asof_join(
+        left, right, on=[], left_time="lt", right_time="rt", left_key="lid",
+        validity=near_win, tiebreak=[F.col("rid").asc()], direction="nearest",
+    )
+    got_n = {r.lid: r.rid for r in out_n.collect()}
+    for i, lt in enumerate(left_ts):
+        fc = [(t, rid) for rid, t in enumerate(right_ts) if t >= lt and t - lt <= validity]
+        want_f = min(fc, key=lambda c: (c[0], c[1]))[1] if fc else None
+        assert got_f.get(i) == want_f, ("forward", left_ts, right_ts, validity, i)
+        nc = [(abs(t - lt), t, rid) for rid, t in enumerate(right_ts) if abs(t - lt) <= validity]
+        want_n = min(nc)[2] if nc else None
+        assert got_n.get(i) == want_n, ("nearest", left_ts, right_ts, validity, i)
+
+
 def test_asof_join_on_keys_and_shared_time_name(spark):
     """The advertised `on=[...]` path with BOTH time columns named
     `ts` (the natural as-of call): side-qualified resolution must
