@@ -817,6 +817,47 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step of exact-substring dedup — applies
+    ``duplicate_spans``'s maximal extents to the corpus and rebuilds
+    each document's text with every duplicated span removed (the
+    policy of Lee et al.'s released ExactSubstr tool: ALL occurrences
+    of a duplicated substring are cut, accepting slight over-removal
+    for a driver-free, embarrassingly-parallel pass). Output is the
+    per-doc removal manifest a curation ladder records: token counts
+    before/after, spans cut, and the md5 of the cleaned text (the
+    value proof that the cut itself — not just the extent report —
+    is cross-engine exact; the full cleaned string would dominate
+    the comparison payload for no extra signal).
+
+    Scale shape: the span frame is the duplicate_spans plan; spans
+    collapse to one array per doc (bounded by span count) and join
+    back to the docs on doc_id; the cut is a per-row JVM lambda
+    (filter-with-index + exists over the doc's spans) — linear in
+    corpus tokens, no Python, no extra shuffle beyond the span
+    grouping. Docs shorter than K (no windows) pass through
+    untouched via the left join."""
+    spans = duplicate_spans(spark, sf_dir)
+    spans_by_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("spans")
+    )
+    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    joined = d.join(spans_by_doc, "doc_id", "left").withColumn(
+        "spans", F.coalesce(F.col("spans"), F.expr("array()"))
+    )
+    kept = F.expr(
+        "filter(toks, (tok, i) -> NOT exists(spans,"
+        " s -> i + 1 >= s.span_start AND i + 1 < s.span_start + s.span_len))"
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.size("spans").cast("long").alias("n_spans_cut"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_md5"),
+    )
+
+
 ORACLE_DUPLICATE_SPANS = f"""
 WITH d AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -843,6 +884,54 @@ SELECT doc_id, MIN(pos) AS span_start,
        MAX(pos) - MIN(pos) + {DUPSPAN_K} AS span_len,
        COUNT(*) AS n_windows
 FROM isl GROUP BY doc_id, island
+"""
+
+
+ORACLE_DUPLICATE_SPAN_REMOVAL = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), t AS (
+  SELECT doc_id, toks FROM d WHERE len(toks) >= {DUPSPAN_K}
+), grams AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+         array_to_string(list_slice(toks, p, p + {DUPSPAN_K - 1}), ' ') AS g
+  FROM t, unnest(range(1, len(toks) - {DUPSPAN_K} + 2)) AS r(p)
+), dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS cnt FROM grams
+  ) WHERE cnt >= 2
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {DUPSPAN_K} THEN 0 ELSE 1 END AS b
+  FROM dup
+), isl AS (
+  SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+), spans AS (
+  SELECT doc_id, island, MIN(pos) AS span_start,
+         MAX(pos) - MIN(pos) + {DUPSPAN_K} AS span_len
+  FROM isl GROUP BY doc_id, island
+), covered AS (
+  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+  FROM spans, unnest(range(span_start, span_start + span_len)) AS r(p)
+), positions AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos, toks[p] AS tok
+  FROM d, unnest(range(1, len(toks) + 1)) AS r(p)
+), keptpos AS (
+  SELECT doc_id, pos, tok FROM positions ANTI JOIN covered USING (doc_id, pos)
+), kept AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS clean
+  FROM keptpos GROUP BY doc_id
+), nspans AS (
+  SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans_cut,
+       md5(COALESCE(clean, '')) AS clean_md5
+FROM d LEFT JOIN kept USING (doc_id) LEFT JOIN nspans USING (doc_id)
 """
 
 
@@ -2044,6 +2133,7 @@ QUERIES = {
     "eval_contamination": eval_contamination,
     "boilerplate_ngrams": boilerplate_ngrams,
     "duplicate_spans": duplicate_spans,
+    "duplicate_span_removal": duplicate_span_removal,
     "tfidf_top_terms": tfidf_top_terms,
 }
 
@@ -2054,6 +2144,7 @@ ORACLES = {
     "bpe_apply_compression": ORACLE_BPE_APPLY_COMPRESSION,
     "bm25_retrieval": _bm25_oracle(),
     "duplicate_spans": ORACLE_DUPLICATE_SPANS,
+    "duplicate_span_removal": ORACLE_DUPLICATE_SPAN_REMOVAL,
     "transcript_title_share": ORACLE_TRANSCRIPT_TITLE_SHARE,
     "variant_props_stats": ORACLE_VARIANT_PROPS_STATS,
     "unigram_logprob_scores": ORACLE_UNIGRAM_LOGPROB_SCORES,

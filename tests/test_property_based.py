@@ -222,6 +222,32 @@ def test_duplicate_spans_property(spark, tmp_path_factory, tokens, data):
     }
     assert got == want, (docs, got, want)
 
+    # the CUT step: duplicate_span_removal vs brute-force coverage cut
+    import hashlib
+
+    from fin_trade_craft_spark.queries.text import duplicate_span_removal
+
+    spans_by_doc = {}
+    for i, start, length, _n in want:
+        spans_by_doc.setdefault(i, []).append((start, length))
+    want_cut = {}
+    for i, toks in enumerate(docs):
+        covered = set()
+        for start, length in spans_by_doc.get(i, []):
+            covered.update(range(start, start + length))
+        kept = [f"t{t}" for p, t in enumerate(toks, start=1) if p not in covered]
+        want_cut[i] = (
+            len(toks),
+            len(kept),
+            len(spans_by_doc.get(i, [])),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got_cut = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.n_spans_cut, r.clean_md5)
+        for r in duplicate_span_removal(spark, str(d)).collect()
+    }
+    assert got_cut == want_cut, (docs, got_cut, want_cut)
+
 
 @SETTINGS
 @given(
