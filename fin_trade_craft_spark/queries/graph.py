@@ -277,11 +277,101 @@ FROM {prev} r JOIN deg d ON r.src = d.src
 
 ORACLE_PAGERANK_COPURCHASE = _pagerank_oracle()
 
+LPA_ITERS = 4
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the co-purchase graph — the third iterative graph
+    operator next to PageRank and the dedup connected-components.
+    L0(v) = v; each round every node adopts the most frequent label
+    among its neighbors, ties → smallest label. A FIXED round count
+    with a deterministic tie-break makes synchronous LPA (which can
+    oscillate if run to convergence) a pure integer fixed-point —
+    bit-exact across engines with no float discipline needed.
+
+    Scale shape: per round one shuffle joining labels to edges on src
+    plus two hash aggregates — the (node, label) frequency count and
+    the per-node argmax (min over (-count, label) structs, one agg,
+    no window) — the canonical Pregel round as DataFrame ops. The
+    label frame (|V| rows) is the only carried state; lineage is cut
+    every PR_CKPT_EVERY rounds, same cadence (and plan-growth lint
+    bound) as pagerank_copurchase."""
+    e = _edges(spark, sf_dir)
+    edges = (
+        e.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionByName(e.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .persist()
+    )
+    labels = edges.select("src").distinct().select("src", F.col("src").alias("lab"))
+    for it in range(LPA_ITERS):
+        nb = edges.join(labels, "src").select(F.col("dst").alias("p"), "lab")
+        cnt = nb.groupBy("p", "lab").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("p")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("lab"))).alias("m"))
+            .select(F.col("p").alias("src"), F.col("m.lab").alias("lab"))
+        )
+        if (it + 1) % PR_CKPT_EVERY == 0 and it != LPA_ITERS - 1:
+            # same lineage-cut cadence (and construction-jobs lint
+            # exemption) as pagerank_copurchase: under AQE even a
+            # lazy localCheckpoint materializes the upstream shuffle
+            # stages, so the cut is an action by design
+            labels = labels.localCheckpoint(eager=True)
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "lab").select(
+        F.col("src").alias("p"), F.col("lab").alias("community"), "community_size"
+    )
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous-LPA oracle — generated like the pagerank
+    one; every step is integer counts + ROW_NUMBER, so the replay is
+    exact with no float policy."""
+    head = f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_orderkey, a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+), e0 AS (
+  SELECT p1, p2 FROM pairs GROUP BY p1, p2 HAVING COUNT(*) >= {MIN_CO_ORDERS}
+), edges AS MATERIALIZED (
+  SELECT p1 AS src, p2 AS dst FROM e0 UNION ALL SELECT p2, p1 FROM e0
+), r0 AS (
+  SELECT DISTINCT src, src AS lab FROM edges
+)"""
+    body = ""
+    prev = "r0"
+    for i in range(1, LPA_ITERS + 1):
+        body += f""", m{i} AS (
+  SELECT e.dst AS p, r.lab, COUNT(*) AS c
+  FROM edges e JOIN {prev} r ON e.src = r.src
+  GROUP BY e.dst, r.lab
+), r{i} AS (
+  SELECT p AS src, lab FROM (
+    SELECT p, lab, ROW_NUMBER() OVER (PARTITION BY p ORDER BY c DESC, lab ASC) AS rn
+    FROM m{i}
+  ) WHERE rn = 1
+)"""
+        prev = f"r{i}"
+    tail = f"""
+SELECT r.src AS p, r.lab AS community, s.community_size
+FROM {prev} r JOIN (
+  SELECT lab, COUNT(*) AS community_size FROM {prev} GROUP BY lab
+) s ON r.lab = s.lab
+"""
+    return head + body + tail
+
+
+ORACLE_LABEL_PROPAGATION_COMMUNITIES = _lpa_oracle()
+
 QUERIES = {
     "graph_triangle_stats": graph_triangle_stats,
     "pagerank_copurchase": pagerank_copurchase,
+    "label_propagation_communities": label_propagation_communities,
 }
 ORACLES = {
     "graph_triangle_stats": ORACLE_GRAPH_TRIANGLE_STATS,
     "pagerank_copurchase": ORACLE_PAGERANK_COPURCHASE,
+    "label_propagation_communities": ORACLE_LABEL_PROPAGATION_COMMUNITIES,
 }

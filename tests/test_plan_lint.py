@@ -191,6 +191,7 @@ CONSTRUCTION_JOBS_ALLOWED = {
     "corpus_build_ingest": "prior-manifest component loops + probe-kernel stage checkpoints",
     "corpus_build_ingest_stored": "one-time index publish (the initial build) + batch stage checkpoints + codebook load",
     "pagerank_copurchase": "per-iteration lineage cut (localCheckpoint)",
+    "label_propagation_communities": "per-iteration lineage cut (localCheckpoint)",
     # quality_classifier_filter left this list in r09: it now applies
     # the frozen artifact (training moved to the pytest harness), so
     # its construction is job-free like any other single-plan query.
