@@ -644,29 +644,34 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_t").alias("n_t"),
         F.count(F.lit(1)).alias("vocab"),
     )
+    # same exchange slim-down as unigram/bigram LM scoring (queries/
+    # text.py): each term's double contribution is computed on the
+    # stats join (totals ride a 1-row broadcast), the per-doc fold
+    # sorts and folds bare doubles — ascending-double order is
+    # engine-independent and bit-equal doubles commute, so the
+    # accumulation is as deterministic as the old sort-by-term-string
+    # fold with no term string through the per-doc exchange
+    t_dsir = F.col("c_d").cast("double") * (
+        F.log10(
+            (F.col("c_t") + F.lit(1)).cast("double")
+            / (F.col("n_t") + F.col("vocab")).cast("double")
+        )
+        - F.log10(
+            (F.col("c_r") + F.lit(1)).cast("double")
+            / (F.col("n_r") + F.col("vocab")).cast("double")
+        )
+    )
     per_doc = (
         td.join(stats, "term")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", "lang", "c_d", t_dsir.alias("t"))
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("c_d").alias("n_tokens"),
-            F.array_sort(F.collect_list(F.struct("term", "c_d", "c_t", "c_r"))).alias(
-                "terms"
-            ),
+            F.array_sort(F.collect_list("t")).alias("ts"),
         )
-        .crossJoin(F.broadcast(totals))
-        .withColumn("den_t", (F.col("n_t") + F.col("vocab")).cast("double"))
-        .withColumn("den_r", (F.col("n_r") + F.col("vocab")).cast("double"))
     )
-    fold = F.aggregate(
-        F.col("terms"),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + s["c_d"].cast("double")
-        * (
-            F.log10((s["c_t"] + F.lit(1)).cast("double") / F.col("den_t"))
-            - F.log10((s["c_r"] + F.lit(1)).cast("double") / F.col("den_r"))
-        ),
-    )
+    fold = F.aggregate(F.col("ts"), F.lit(0.0), lambda acc, x: acc + x)
     li = F.round(fold, 9)
     return per_doc.select(
         "doc_id",
@@ -698,19 +703,19 @@ WITH term AS (
 ), per_doc AS (
   SELECT doc_id, lang,
          CAST(SUM(c_d) AS BIGINT) AS n_tokens,
-         list_sort(list(struct_pack(term := term, c_d := c_d, c_t := c_t, c_r := c_r))) AS terms
-  FROM td JOIN stats USING (term)
+         -- mirrors the Spark side: t per (doc, term) BEFORE the
+         -- per-doc list, fold in ascending-double order
+         list_sort(list(
+           CAST(c_d AS DOUBLE)
+           * (log10(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + vocab AS DOUBLE))
+              - log10(CAST(c_r + 1 AS DOUBLE) / CAST(n_r + vocab AS DOUBLE))))) AS ts
+  FROM td JOIN stats USING (term), totals
   GROUP BY doc_id, lang
 ), scored AS (
   SELECT doc_id, lang, n_tokens,
-         list_reduce(
-           list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(terms,
-               s -> CAST(s['c_d'] AS DOUBLE)
-                    * (log10(CAST(s['c_t'] + 1 AS DOUBLE) / CAST(n_t + vocab AS DOUBLE))
-                       - log10(CAST(s['c_r'] + 1 AS DOUBLE) / CAST(n_r + vocab AS DOUBLE))))),
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
            (acc, x) -> acc + x) AS li
-  FROM per_doc, totals
+  FROM per_doc
 )
 SELECT doc_id, lang, n_tokens,
        ROUND(li, 9) AS log10_importance,

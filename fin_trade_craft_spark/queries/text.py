@@ -1147,23 +1147,28 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = term_doc.groupBy("term").agg(F.sum("c_d").alias("c_t"))
     total = corpus.agg(F.sum("c_t").alias("n_corpus"))
+    # same exchange slim-down as bigram_interpolated_scores: t is
+    # computed on the join (total rides a 1-row broadcast), the
+    # per-doc fold sorts and folds bare doubles — ascending-double
+    # order is engine-independent and bit-equal doubles commute, so
+    # determinism matches the old sort-by-term-string fold while the
+    # per-doc exchange drops the term string entirely
+    t_uni = F.col("c_d").cast("double") * F.log10(
+        F.col("c_t").cast("double") / F.col("n_corpus").cast("double")
+    )
     per_doc = (
         term_doc.join(corpus, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "c_d", "c_t", t_uni.alias("t"))
         .groupBy("doc_id")
         .agg(
             F.sum("c_d").alias("n_tokens"),
             F.count(F.lit(1)).alias("doc_vocab"),
             F.min("c_t").alias("rarest_count"),
-            F.array_sort(F.collect_list(F.struct("term", "c_d", "c_t"))).alias("terms"),
+            F.array_sort(F.collect_list("t")).alias("ts"),
         )
-        .crossJoin(F.broadcast(total))
     )
-    n = F.col("n_corpus").cast("double")
-    fold = F.aggregate(
-        F.col("terms"),
-        F.lit(0.0),
-        lambda acc, s: acc + s["c_d"].cast("double") * F.log10(s["c_t"].cast("double") / n),
-    )
+    fold = F.aggregate(F.col("ts"), F.lit(0.0), lambda acc, x: acc + x)
     return per_doc.select(
         "doc_id",
         "n_tokens",
@@ -1183,23 +1188,22 @@ WITH term AS (
 ), total AS (
   SELECT CAST(SUM(c_t) AS BIGINT) AS n_corpus FROM corpus
 ), per_doc AS (
+  -- mirrors the Spark side: t per (doc, term) BEFORE the per-doc
+  -- list, fold in ascending-double order (bit-equal doubles commute)
   SELECT doc_id,
          CAST(SUM(c_d) AS BIGINT) AS n_tokens,
          COUNT(*) AS doc_vocab,
          MIN(c_t) AS rarest_count,
-         list_sort(list(struct_pack(term := term, c_d := c_d, c_t := c_t))) AS terms
-  FROM td JOIN corpus USING (term)
+         list_sort(list(CAST(c_d AS DOUBLE)
+                        * log10(CAST(c_t AS DOUBLE) / n_corpus))) AS ts
+  FROM td JOIN corpus USING (term), total
   GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, doc_vocab, rarest_count,
        ROUND(
-         list_reduce(
-           list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(terms,
-               s -> CAST(s['c_d'] AS DOUBLE)
-                    * log10(CAST(s['c_t'] AS DOUBLE) / n_corpus))),
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
            (acc, x) -> acc + x) / n_tokens, 9) AS avg_logprob10
-FROM per_doc, total
+FROM per_doc
 ORDER BY doc_id
 """
 
