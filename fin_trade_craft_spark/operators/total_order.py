@@ -247,6 +247,35 @@ def global_ntile(
     return base.withColumn(out, tile).drop(_PID, "__rn", "__n")
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out: str = "run_sum",
+) -> DataFrame:
+    """INCLUSIVE running SUM of ``value_col`` over a global total
+    order — the distributed scan-sum primitive (systematic/PPS
+    sampling boundaries, cumulative-weight splits, global CDFs) —
+    with the same two-phase shape as the rest of this module: a
+    per-partition running sum plus each partition's incoming offset
+    from the smaller-pid theta-join over the P-row per-partition
+    totals. ``order_cols`` must be a total order (unique tiebreak)
+    for a deterministic result; the sum is exact for integral
+    ``value_col`` (BIGINT accumulation — use the fixed-point
+    discipline of functions/exact.py first if the weights are
+    doubles)."""
+    rp = _range_partitioned(df, order_cols)
+    cnt = _per_partition_agg(rp, [], F.sum(F.col(value_col)))
+    off = _exclusive_prefix(cnt, [], F.sum("__v2"), F.lit(0).cast("long"))
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    local = F.sum(value_col).over(w)  # inclusive within the partition
+    return (
+        rp.join(F.broadcast(off), [_PID])
+        .withColumn(out, (local + F.col("__off")).cast("long"))
+        .drop(_PID, "__off")
+    )
+
+
 def range_prefix_scan_max(
     df: DataFrame,
     order_cols: list,

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators.total_order import global_ntile
+from ..operators.total_order import global_ntile, global_prefix_sum
 from ..sources.catalog import load_table
 
 _NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
@@ -726,8 +726,65 @@ ORDER BY doc_id
 """
 
 
+PPS_SAMPLE_K = 100
+
+
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling — the
+    deterministic weighted-sampling stage of a corpus-mixture
+    pipeline (sample documents proportional to their length so the
+    sampled TOKEN mass, not the doc count, matches the budget):
+    walk the corpus in doc_id order, lay the k = PPS_SAMPLE_K
+    sampling boundaries at multiples of W/k over the cumulative
+    weight line, and select each document once per boundary its
+    weight interval covers (a doc longer than W/k is selected with
+    multiplicity — the textbook systematic-PPS estimator, zero RNG).
+
+    Everything is BIGINT: the hit count is
+    floor(cum·k/W) − floor((cum−w)·k/W), so the sample is bit-exact
+    across engines, runs, and parallelism. cum·k needs headroom:
+    total corpus chars × k must stay under 2⁶³ (at 100 TB text and
+    k = 100 that is ~10¹⁶ — three orders inside the BIGINT range).
+
+    Scale shape: the cumulative weight is the distributed scan-sum
+    (operators/total_order.global_prefix_sum — range partition +
+    P-row theta-join offsets, no single-partition window); the total
+    rides a 1-row broadcast; selection is a per-row integer
+    predicate. One balanced exchange end to end."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    cum = global_prefix_sum(d, ["doc_id"], "w", out="cum")
+    total = d.agg(F.sum("w").alias("tw"))
+    k = int(PPS_SAMPLE_K)
+    n_hits = F.expr(f"cum * {k} DIV tw - (cum - w) * {k} DIV tw")
+    return (
+        cum.join(F.broadcast(total))
+        .select("doc_id", "source", "w", "cum", n_hits.alias("n_hits"))
+        .filter(F.col("n_hits") >= 1)
+    )
+
+
+ORACLE_PPS_SYSTEMATIC_SAMPLE = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w FROM documents
+), c AS (
+  SELECT doc_id, source, w,
+         CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+  FROM d
+), t AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS tw FROM d
+)
+SELECT doc_id, source, w, cum,
+       cum * {PPS_SAMPLE_K} // tw - (cum - w) * {PPS_SAMPLE_K} // tw AS n_hits
+FROM c, t
+WHERE cum * {PPS_SAMPLE_K} // tw - (cum - w) * {PPS_SAMPLE_K} // tw >= 1
+"""
+
+
 QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
+    "pps_systematic_sample": pps_systematic_sample,
     "source_curation_report": source_curation_report,
     "source_mixture_weights": source_mixture_weights,
     "length_curriculum_buckets": length_curriculum_buckets,
@@ -740,6 +797,7 @@ QUERIES = {
 
 ORACLES = {
     "dsir_importance_weights": ORACLE_DSIR_IMPORTANCE_WEIGHTS,
+    "pps_systematic_sample": ORACLE_PPS_SYSTEMATIC_SAMPLE,
     "source_curation_report": ORACLE_SOURCE_CURATION_REPORT,
     "contrastive_negatives": ORACLE_CONTRASTIVE_NEGATIVES,
     "length_curriculum_buckets": ORACLE_LENGTH_CURRICULUM_BUCKETS,

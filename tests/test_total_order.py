@@ -107,6 +107,17 @@ def test_range_prefix_scan_max_matches_window(spark):
     assert _no_unpartitioned_window(got) == []
 
 
+def test_global_prefix_sum_matches_window(spark):
+    df = _fixture(spark)
+    got = TO.global_prefix_sum(df, [F.col("v").asc(), F.col("id").asc()], "id", "rs")
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("rs", F.sum("id").over(w))
+    g = {(r.id, r.rs) for r in got.collect()}
+    ww = {(r.id, r.rs) for r in want.collect()}
+    assert g == ww
+    assert _no_unpartitioned_window(got) == []
+
+
 def test_null_group_keys_are_their_own_group(spark):
     """A NULL group key must behave exactly like Window.partitionBy:
     its rows rank/tile within their own group instead of silently
