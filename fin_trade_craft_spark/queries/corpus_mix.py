@@ -611,9 +611,17 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two term-keyed hash aggregates (target + raw — the
     target one prunes with a pushed lang filter), one term join
     back (AQE skew-splits Zipf-heavy grams), scalar totals on a
-    1-row broadcast; per-doc scoring is a map-side fold."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", "lang", T.tokens(F.col("text")).alias("toks")
+    1-row broadcast; per-doc scoring is a map-side fold. The corpus
+    is repartitioned to full parallelism before the term explode —
+    map-side width sized to the EXPLODED volume, not the compressed
+    scan width (same fix and rationale as
+    bigram_interpolated_scores: the sf5 scan yielded 8 splits on 32
+    cores and the partial (doc, term) agg spilled 650MB; with the
+    repartition it is spill-free)."""
+    d = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", T.tokens(F.col("text")).alias("toks"))
     )
     # td feeds THREE consumers (raw, tgt, per-doc scoring join) and
     # is deliberately NOT cached: caching a term-EXPLODED corpus
