@@ -130,6 +130,13 @@ def bench_query_names() -> list[str]:
         # state read from the TableIO-published index tables (no
         # session-memo recompute in the plan)
         "corpus_build_ingest_stored",
+        # r10 late: the exact-substring CUT step (span extents applied
+        # to the corpus), synchronous label-propagation communities
+        # (second Pregel-round family), and the nearest-direction
+        # as-of join (two-sided bounded candidate set)
+        "duplicate_span_removal",
+        "label_propagation_communities",
+        "asof_nearest_match",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]
