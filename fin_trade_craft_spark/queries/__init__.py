@@ -32,6 +32,7 @@ _MODULES: list[str] = [
     "graph",
     "pandas_islands",
     "fin_domain",
+    "fin_ml",
     "multimodal",
     "sketches",
     "reporting",
