@@ -137,6 +137,15 @@ def bench_query_names() -> list[str]:
         "duplicate_span_removal",
         "label_propagation_communities",
         "asof_nearest_match",
+        # r10 late: fin-ML dataset prep — rank-exact MAD outlier
+        # screen (two rank windows + broadcast median probe),
+        # purged walk-forward fold manifests, and triple-barrier
+        # labeling (fixed-width lead-array window scan)
+        "robust_outlier_mad",
+        "purged_walkforward_splits",
+        "triple_barrier_labels",
+        "frac_diff_features",
+        "label_uniqueness_weights",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -335,14 +335,260 @@ ORDER BY rb.user_id, rb.date
 """
 
 
+# Fractional differentiation: fixed-width window (López de Prado
+# ch. 5 "FFD"): w_0 = 1, w_k = -w_{k-1} * (d - k + 1) / k
+FFD_D = 0.4
+FFD_WINDOW = 20
+
+
+def _ffd_weights(d: float = FFD_D, width: int = FFD_WINDOW) -> list[float]:
+    w = [1.0]
+    for k in range(1, width):
+        w.append(-w[-1] * (d - k + 1) / k)
+    return w
+
+
+# The close-only bar CTE shared by the label-family oracles
+_BARS_CTE = """
+WITH t AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS date, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_d
+  FROM events
+),
+bars AS (
+  SELECT user_id, date, MIN(CASE WHEN rn_d = 1 THEN value END) AS close
+  FROM t GROUP BY user_id, date
+),
+rb AS (
+  SELECT user_id, date, close,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY date) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM bars
+)"""
+
+
+def frac_diff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width fractional differentiation of the close series
+    (López de Prado 2018 ch. 5): the d=0.4 FFD series keeps long
+    memory that integer differencing destroys while restoring
+    (approximate) stationarity — the standard feature transform
+    between raw prices and an ML model.
+
+    The binomial weights are driver-computed ONCE (20 floats) and
+    embedded as literals; the series value is a 20-term
+    weight×lag dot product written as one left-associated sum, so
+    Spark and the SQL oracle evaluate the identical IEEE expression
+    tree — bit-exact with no tolerance.
+
+    Scale shape: a single WindowExec per series key (20 lag
+    expressions share one sort), no join, no Python. Weights ride
+    in the plan, not in data."""
+    from .fin_domain import ohlcv_resample
+
+    bars = ohlcv_resample(spark, sf_dir).select("user_id", "date", "close")
+    w = Window.partitionBy("user_id").orderBy("date")
+    weights = _ffd_weights()
+    expr = F.lit(weights[0]) * F.col("close")
+    for k in range(1, FFD_WINDOW):
+        expr = expr + F.lit(weights[k]) * F.lag("close", k).over(w)
+    return (
+        bars.select(
+            "user_id",
+            "date",
+            "close",
+            F.row_number().over(w).alias("rn"),
+            expr.alias("ffd"),
+        )
+        .filter(F.col("rn") > FFD_WINDOW - 1)
+        .select("user_id", "date", "close", "ffd")
+        .orderBy("user_id", "date")
+    )
+
+
+def _ffd_oracle() -> str:
+    # Weights are emitted in SCIENTIFIC notation: DuckDB parses a
+    # plain decimal literal as DECIMAL and the DECIMAL→DOUBLE cast
+    # double-rounds (probed: 1-ulp off Python's float for several
+    # FFD weights), while an e-notation literal is parsed straight
+    # to the correctly-rounded DOUBLE. 17 significant digits
+    # round-trip every binary64 exactly.
+    weights = _ffd_weights()
+    terms = [f"CAST({weights[0]:.17e} AS DOUBLE) * close"]
+    terms += [
+        f"CAST({weights[k]:.17e} AS DOUBLE) * LAG(close, {k}) OVER wlag"
+        for k in range(1, FFD_WINDOW)
+    ]
+    series = " + ".join(terms)
+    return f"""{_BARS_CTE},
+ffd AS (
+  SELECT user_id, date, close, rn, {series} AS ffd
+  FROM rb
+  WINDOW wlag AS (PARTITION BY user_id ORDER BY date)
+)
+SELECT user_id, date, close, ffd
+FROM ffd WHERE rn > {FFD_WINDOW - 1}
+ORDER BY user_id, date
+"""
+
+
+# The shared triple-barrier hit columns, SQL side (first_up/first_dn
+# per (user_id, rn) from the bounded-range self-join)
+_HITS_CTE = f"""
+h AS (
+  SELECT a.user_id, a.rn,
+         MIN(CASE WHEN b.close >= a.close * {TB_PT} THEN b.rn - a.rn END) AS first_up,
+         MIN(CASE WHEN b.close <= a.close * {TB_SL} THEN b.rn - a.rn END) AS first_dn
+  FROM rb a JOIN rb b
+    ON a.user_id = b.user_id AND b.rn > a.rn AND b.rn <= a.rn + {TB_HORIZON}
+  GROUP BY a.user_id, a.rn
+)"""
+
+_SQL_UP_WINS = "h.first_up IS NOT NULL AND (h.first_dn IS NULL OR h.first_up <= h.first_dn)"
+
+
+def label_uniqueness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-uniqueness weights for overlapping triple-barrier
+    labels (López de Prado 2018 ch. 4): each label spans the bars
+    from entry+1 to its barrier touch (or the vertical barrier);
+    overlapping spans share information, so a sample's weight is the
+    mean of 1/concurrency over its span — IID-ish samples get ~1,
+    heavily overlapped ones get down-weighted.
+
+    Concurrency is an exact interval-stabbing count: spans explode
+    to at most TB_HORIZON (user, bar) rows (bounded fan-out), one
+    groupBy counts concurrency per bar, one join brings it back, and
+    the per-label mean folds 1/c in ascending-double order (the
+    engine-independent deterministic-fold pattern used by the LM
+    scorers) — bit-exact, no tolerance.
+
+    Scale shape: explode factor is the constant TB_HORIZON, both
+    shuffles are keyed on the series key + bar index, and the fold
+    is an in-row array op; no Python, no self-join."""
+    from .fin_domain import ohlcv_resample
+
+    bars = ohlcv_resample(spark, sf_dir).select("user_id", "date", "close")
+    w = Window.partitionBy("user_id").orderBy("date")
+    wc = Window.partitionBy("user_id")
+    leads = F.array(
+        *[F.lead("close", i).over(w) for i in range(1, TB_HORIZON + 1)]
+    ).alias("leads")
+    first_up = F.expr(
+        f"array_min(filter(sequence(1, {TB_HORIZON}),"
+        f" i -> get(leads, i - 1) >= close * {TB_PT}))"
+    )
+    first_dn = F.expr(
+        f"array_min(filter(sequence(1, {TB_HORIZON}),"
+        f" i -> get(leads, i - 1) <= close * {TB_SL}))"
+    )
+    hit = bars.select(
+        "user_id",
+        "date",
+        "close",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+        leads,
+    ).select(
+        "user_id",
+        "date",
+        "rn",
+        "n",
+        first_up.alias("first_up"),
+        first_dn.alias("first_dn"),
+    )
+    up_wins = F.col("first_up").isNotNull() & (
+        F.col("first_dn").isNull() | (F.col("first_up") <= F.col("first_dn"))
+    )
+    label = (
+        F.when(up_wins, 1).when(F.col("first_dn").isNotNull(), -1).otherwise(0)
+    ).cast("int")
+    span_len = (
+        F.when(up_wins, F.col("first_up"))
+        .when(F.col("first_dn").isNotNull(), F.col("first_dn"))
+        .otherwise(F.least(F.lit(TB_HORIZON), F.col("n") - F.col("rn")))
+    ).cast("int")
+    lbl = hit.select(
+        "user_id", "date", "rn", label.alias("label"), span_len.alias("span_len")
+    ).filter(F.col("span_len") >= 1)
+    spans = lbl.select(
+        "user_id",
+        "rn",
+        F.explode(F.expr("sequence(rn + 1, rn + span_len)")).alias("t"),
+    )
+    conc = spans.groupBy("user_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    folded = (
+        spans.join(conc, ["user_id", "t"])
+        .groupBy("user_id", "rn")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.lit(1.0) / F.col("c").cast("double"))
+            ).alias("ts")
+        )
+        .select(
+            "user_id",
+            "rn",
+            F.aggregate(F.col("ts"), F.lit(0.0), lambda acc, x: acc + x).alias("inv_sum"),
+        )
+    )
+    return (
+        lbl.join(folded, ["user_id", "rn"])
+        .select(
+            "user_id",
+            "date",
+            "label",
+            "span_len",
+            (F.col("inv_sum") / F.col("span_len").cast("double")).alias("avg_uniqueness"),
+        )
+        .orderBy("user_id", "date")
+    )
+
+
+ORACLE_LABEL_UNIQUENESS_WEIGHTS = f"""{_BARS_CTE},
+{_HITS_CTE.lstrip()},
+lbl AS (
+  SELECT rb.user_id, rb.date, rb.rn,
+    CAST(CASE WHEN {_SQL_UP_WINS} THEN 1
+              WHEN h.first_dn IS NOT NULL THEN -1 ELSE 0 END AS INT) AS label,
+    CAST(CASE WHEN {_SQL_UP_WINS} THEN h.first_up
+              WHEN h.first_dn IS NOT NULL THEN h.first_dn
+              ELSE LEAST({TB_HORIZON}, rb.n - rb.rn) END AS INT) AS span_len
+  FROM rb LEFT JOIN h ON rb.user_id = h.user_id AND rb.rn = h.rn
+),
+sp AS (
+  SELECT user_id, rn, UNNEST(generate_series(rn + 1, rn + span_len)) AS t
+  FROM lbl WHERE span_len >= 1
+),
+conc AS (
+  SELECT user_id, t, COUNT(*) AS c FROM sp GROUP BY user_id, t
+),
+folded AS (
+  SELECT sp.user_id, sp.rn,
+         list_sort(list(CAST(1 AS DOUBLE) / CAST(conc.c AS DOUBLE))) AS ts
+  FROM sp JOIN conc ON sp.user_id = conc.user_id AND sp.t = conc.t
+  GROUP BY sp.user_id, sp.rn
+)
+SELECT lbl.user_id, lbl.date, lbl.label, lbl.span_len,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), folded.ts),
+                   (acc, x) -> acc + x)
+         / CAST(lbl.span_len AS DOUBLE) AS avg_uniqueness
+FROM lbl JOIN folded ON lbl.user_id = folded.user_id AND lbl.rn = folded.rn
+WHERE lbl.span_len >= 1
+ORDER BY lbl.user_id, lbl.date
+"""
+
+
 QUERIES = {
     "robust_outlier_mad": robust_outlier_mad,
     "purged_walkforward_splits": purged_walkforward_splits,
     "triple_barrier_labels": triple_barrier_labels,
+    "frac_diff_features": frac_diff_features,
+    "label_uniqueness_weights": label_uniqueness_weights,
 }
 
 ORACLES = {
     "robust_outlier_mad": ORACLE_ROBUST_OUTLIER_MAD,
     "purged_walkforward_splits": ORACLE_PURGED_WALKFORWARD_SPLITS,
     "triple_barrier_labels": ORACLE_TRIPLE_BARRIER_LABELS,
+    "frac_diff_features": _ffd_oracle(),
+    "label_uniqueness_weights": ORACLE_LABEL_UNIQUENESS_WEIGHTS,
 }

@@ -19,10 +19,14 @@ import pandas as pd
 from conftest import SF_SMOKE
 
 from fin_trade_craft_spark.queries.fin_ml import (
+    FFD_WINDOW,
     MAD_Z_CUTOFF,
     MAD_Z_SCALE,
     TB_HORIZON,
     WF_FOLDS,
+    _ffd_weights,
+    frac_diff_features,
+    label_uniqueness_weights,
     purged_walkforward_splits,
     robust_outlier_mad,
     triple_barrier_labels,
@@ -127,3 +131,69 @@ def test_triple_barrier_labels_match_python_walk(spark):
     for r in got:
         lbl, dist = expect[(r["user_id"], pd.Timestamp(r["date"]))]
         assert (r["label"], r["bars_to_hit"]) == (lbl, dist), r
+
+
+def _close_series():
+    ev = _events_pdf()
+    ev["date"] = ev["ts"].dt.floor("D")
+    series = defaultdict(list)
+    for (uid, date), g in ev.groupby(["user_id", "date"]):
+        last = g.sort_values(["ts", "event_id"]).iloc[-1]
+        series[uid].append((date, last["value"]))
+    for uid in series:
+        series[uid].sort()
+    return series
+
+
+def test_frac_diff_matches_left_assoc_python(spark):
+    got = {(r["user_id"], pd.Timestamp(r["date"])): r["ffd"]
+           for r in frac_diff_features(spark, SF_SMOKE).collect()}
+    w = _ffd_weights()
+    # weight recurrence sanity: w0=1, w1=-d, alternating decay
+    assert w[0] == 1.0 and w[1] == -0.4 and abs(w[-1]) < abs(w[1])
+    n_expected = 0
+    for uid, bars in _close_series().items():
+        vals = [c for _, c in bars]
+        for i in range(FFD_WINDOW - 1, len(bars)):
+            acc = w[0] * vals[i]
+            for k in range(1, FFD_WINDOW):
+                acc = acc + w[k] * vals[i - k]
+            assert got[(uid, pd.Timestamp(bars[i][0]))] == acc
+            n_expected += 1
+    assert len(got) == n_expected
+
+
+def test_label_uniqueness_weights_concurrency_algebra(spark):
+    rows = label_uniqueness_weights(spark, SF_SMOKE).collect()
+    assert rows
+    labels = {(r["user_id"], pd.Timestamp(r["date"])): r
+              for r in triple_barrier_labels(spark, SF_SMOKE).collect()}
+    series = _close_series()
+    # replay spans + concurrency exactly
+    for uid, bars in series.items():
+        n = len(bars)
+        span_of = {}
+        for i, (date, _) in enumerate(bars, start=1):
+            lbl = labels[(uid, pd.Timestamp(date))]
+            h = lbl["bars_to_hit"] if lbl["bars_to_hit"] is not None else min(
+                TB_HORIZON, n - i
+            )
+            if h >= 1:
+                span_of[i] = (date, lbl["label"], h)
+        conc = defaultdict(int)
+        for i, (_, _, h) in span_of.items():
+            for t in range(i + 1, i + h + 1):
+                conc[t] += 1
+        got_user = [r for r in rows if r["user_id"] == uid]
+        assert len(got_user) == len(span_of)
+        for r in got_user:
+            i = next(i for i, (d, _, _) in span_of.items()
+                     if pd.Timestamp(d) == pd.Timestamp(r["date"]))
+            date, lbl, h = span_of[i]
+            assert r["label"] == lbl and r["span_len"] == h
+            inv = sorted(1.0 / conc[t] for t in range(i + 1, i + h + 1))
+            acc = 0.0
+            for x in inv:
+                acc += x
+            assert r["avg_uniqueness"] == acc / h
+            assert 0.0 < r["avg_uniqueness"] <= 1.0
