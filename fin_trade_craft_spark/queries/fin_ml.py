@@ -507,9 +507,13 @@ def label_uniqueness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("first_dn").isNotNull(), F.col("first_dn"))
         .otherwise(F.least(F.lit(TB_HORIZON), F.col("n") - F.col("rn")))
     ).cast("int")
+    # lbl feeds three plan branches (spans→concurrency, spans→probe,
+    # the final label join) — pin it so the bar/window pipeline runs
+    # once, not 3× (pin-on-first-action, the repo's shared-branch
+    # discipline; the frame is bar-sized, symbols × days)
     lbl = hit.select(
         "user_id", "date", "rn", label.alias("label"), span_len.alias("span_len")
-    ).filter(F.col("span_len") >= 1)
+    ).filter(F.col("span_len") >= 1).persist()
     spans = lbl.select(
         "user_id",
         "rn",
@@ -530,7 +534,9 @@ def label_uniqueness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.col("ts"), F.lit(0.0), lambda acc, x: acc + x).alias("inv_sum"),
         )
     )
-    return (
+    from ..operators.pinning import pin_on_first_action
+
+    result = (
         lbl.join(folded, ["user_id", "rn"])
         .select(
             "user_id",
@@ -541,6 +547,7 @@ def label_uniqueness_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "date")
     )
+    return pin_on_first_action(result, [lbl])
 
 
 ORACLE_LABEL_UNIQUENESS_WEIGHTS = f"""{_BARS_CTE},
