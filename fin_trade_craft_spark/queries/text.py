@@ -1138,8 +1138,15 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on term (vocab is Zipf-skewed, but the corpus-count
     side is one row per term, so AQE's skew split handles the heavy
     grams); the scalar corpus total rides a 1-row broadcast cross
-    join, never a driver collect."""
-    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    join, never a driver collect. The corpus repartitions to full
+    parallelism before the token explode (the bigram explode-width
+    fix, same rationale: map-side task width sized to the EXPLODED
+    volume, not the compressed scan width)."""
+    d = (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    )
     term_doc = (
         d.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
