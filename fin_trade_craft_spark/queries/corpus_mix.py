@@ -347,7 +347,11 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed), so bit-exact comparison needs the repo's standard
     per-column quantization (SURVEY §7.2 tolerance policy — same
     treatment tfidf_top_terms got by avoiding ln entirely)."""
-    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    from .text import _docs_explode_width
+
+    d = _docs_explode_width(spark, sf_dir).select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
     cnt = (
         d.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")

@@ -19,6 +19,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _docs_explode_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scan sized for a gram/token EXPLODE: repartitions to
+    full parallelism so map-side task width tracks the exploded
+    volume, not the compressed scan width (snappy parquet at sf5 is
+    8 splits on 32 cores — the explode multiplies bytes ~10×, so
+    the 8-task partial aggregates ran 4× under-parallel and, for
+    the widest grams, spilled). One corpus-bytes shuffle, ~2% of a
+    gram query's wall; on a cluster the equivalent is lowering
+    spark.sql.files.maxPartitionBytes by the explode factor.
+    Measured at sf5 (cold): bigram 79→45s, unigram 19.4→13.7s,
+    boilerplate 47.6→14.4s, eval_contamination 40.5→11.3s,
+    duplicate_spans 37.3→20.6s, tfidf 20.3→7.5s, doc_repetition
+    35.7→15.6s, token_entropy 17.5→12.7s — see SCALING.md
+    round-10."""
+    return _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+
+
 _STOP_SQL = ", ".join(f"'{w}'" for w in T.STOPWORDS)
 
 
@@ -359,7 +376,7 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc max/sum — which at 100 TB shuffles counted grams, not
     documents. No interpreted higher-order aggregate lambdas (the
     SimHash lesson: those run outside codegen)."""
-    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    d = _docs_explode_width(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
     d = d.filter(F.expr("size(toks) >= 3"))
     base = d.select(
         "doc_id",
@@ -613,7 +630,7 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB train side is then a map-side semi-join probe — no
     shuffle of the corpus. At fixture scale the same plan runs with
     the eval set a few thousand rows."""
-    d = _docs(spark, sf_dir).select(
+    d = _docs_explode_width(spark, sf_dir).select(
         "doc_id",
         T.content_hash(F.col("text")).alias("h"),
         T.tokens(F.col("text")).alias("toks"),
@@ -698,7 +715,7 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles key on the gram; at 100 TB the gram string would ride
     as xxhash64(gram) to shrink the shuffle — kept as the string
     here for cross-engine value parity."""
-    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    d = _docs_explode_width(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
     d = d.filter(F.expr(f"size(toks) >= {BOILER_K}"))
     # materialize: the tokenize→shingle→explode chain feeds THREE
     # consumers (gram counts, per-doc base counts, the semi-join
@@ -783,7 +800,7 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity — same note as boilerplate_ngrams."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    d = _docs_explode_width(spark, sf_dir).select("doc_id", T.tokens(F.col("text")).alias("toks"))
     d = d.filter(F.expr(f"size(toks) >= {DUPSPAN_K}"))
     grams = d.select(
         "doc_id",
@@ -955,7 +972,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a bounded window."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
+    d = _docs_explode_width(spark, sf_dir)
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     terms = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
