@@ -33,6 +33,7 @@ _MODULES: list[str] = [
     "pandas_islands",
     "fin_domain",
     "fin_ml",
+    "microstructure",
     "multimodal",
     "sketches",
     "reporting",

@@ -584,12 +584,254 @@ ORDER BY lbl.user_id, lbl.date
 """
 
 
+# Meta-labeling primary model: 5-bar momentum (close vs SMA-5),
+# decided by the exact-decimal compare 5·close vs Σ(last 5 closes)
+META_SMA_N = 5
+
+# Symmetric CUSUM filter threshold, in exact cents ($120.00): fires
+# when per-side cumulative close drift exceeds it (median |Δclose|
+# on the fixture is ~$33, so events are selective but not rare)
+CUSUM_H_CENTS = 12_000
+
+
+def meta_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-labeling (López de Prado 2018 ch. 3.6): a primary model
+    picks the SIDE of each bet (here 5-bar momentum: long when
+    close > SMA-5, short when below), and the meta-label records
+    whether TAKING that bet would have paid under the triple-barrier
+    outcome — the binary target a secondary 'bet sizing' model
+    trains on (precision over the primary's recall).
+
+    Exactness: the momentum side is the pure decimal compare
+    ``5·close vs Σ(last 5 closes)`` — no division, no float mean
+    (a double SMA would let engine fold order flip the sign at
+    ties); barrier outcomes reuse the triple-barrier lead-array
+    scan verbatim.
+
+    Scale shape: one window pass per series key computes the SMA
+    sum, the lead array, and the row index together (shared sort);
+    no join, no Python."""
+    from .fin_domain import ohlcv_resample
+
+    bars = ohlcv_resample(spark, sf_dir).select("user_id", "date", "close")
+    w = Window.partitionBy("user_id").orderBy("date")
+    w5 = w.rowsBetween(-(META_SMA_N - 1), Window.currentRow)
+    close_d = F.col("close").cast("decimal(18,2)")
+    leads = F.array(
+        *[F.lead("close", i).over(w) for i in range(1, TB_HORIZON + 1)]
+    ).alias("leads")
+    base = bars.select(
+        "user_id",
+        "date",
+        "close",
+        F.row_number().over(w).alias("rn"),
+        F.sum(close_d).over(w5).alias("sum5"),
+        leads,
+    )
+    first_up = F.expr(
+        f"array_min(filter(sequence(1, {TB_HORIZON}),"
+        f" i -> get(leads, i - 1) >= close * {TB_PT}))"
+    )
+    first_dn = F.expr(
+        f"array_min(filter(sequence(1, {TB_HORIZON}),"
+        f" i -> get(leads, i - 1) <= close * {TB_SL}))"
+    )
+    lhs = F.lit(META_SMA_N) * close_d
+    side = (
+        F.when(lhs > F.col("sum5"), 1).when(lhs < F.col("sum5"), -1).otherwise(0)
+    ).cast("int")
+    scored = base.select(
+        "user_id",
+        "date",
+        "close",
+        "rn",
+        side.alias("side"),
+        first_up.alias("first_up"),
+        first_dn.alias("first_dn"),
+    ).filter((F.col("rn") >= META_SMA_N) & (F.col("side") != 0))
+    up_wins = F.col("first_up").isNotNull() & (
+        F.col("first_dn").isNull() | (F.col("first_up") <= F.col("first_dn"))
+    )
+    tb_label = (
+        F.when(up_wins, 1).when(F.col("first_dn").isNotNull(), -1).otherwise(0)
+    ).cast("int")
+    return (
+        scored.select("user_id", "date", "close", "side", tb_label.alias("tb_label"))
+        .select(
+            "*",
+            F.when(F.col("side") * F.col("tb_label") == 1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("meta_label"),
+        )
+        .orderBy("user_id", "date")
+    )
+
+
+ORACLE_META_LABELS = f"""{_BARS_CTE},
+{_HITS_CTE.lstrip()},
+s AS (
+  SELECT rb.user_id, rb.date, rb.close, rb.rn,
+         SUM(CAST(rb.close AS DECIMAL(18,2)))
+           OVER (PARTITION BY rb.user_id ORDER BY rb.date
+                 ROWS BETWEEN {META_SMA_N - 1} PRECEDING AND CURRENT ROW) AS sum5,
+         h.first_up, h.first_dn
+  FROM rb LEFT JOIN h ON rb.user_id = h.user_id AND rb.rn = h.rn
+),
+sc AS (
+  SELECT user_id, date, close, rn, first_up, first_dn,
+    CAST(CASE WHEN {META_SMA_N} * CAST(close AS DECIMAL(18,2)) > sum5 THEN 1
+              WHEN {META_SMA_N} * CAST(close AS DECIMAL(18,2)) < sum5 THEN -1
+              ELSE 0 END AS INT) AS side
+  FROM s
+)
+SELECT user_id, date, close, side,
+  CAST(CASE WHEN first_up IS NOT NULL
+                 AND (first_dn IS NULL OR first_up <= first_dn) THEN 1
+            WHEN first_dn IS NOT NULL THEN -1 ELSE 0 END AS INT) AS tb_label,
+  CAST(CASE WHEN side * (CASE WHEN first_up IS NOT NULL
+                                   AND (first_dn IS NULL OR first_up <= first_dn) THEN 1
+                              WHEN first_dn IS NOT NULL THEN -1 ELSE 0 END) = 1
+            THEN 1 ELSE 0 END AS INT) AS meta_label
+FROM sc
+WHERE rn >= {META_SMA_N} AND side <> 0
+ORDER BY user_id, date
+"""
+
+
+def cusum_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric CUSUM event filter (López de Prado 2018 ch. 2.5,
+    after Page 1954): per series, accumulate S⁺ = max(0, S⁺+Δ) and
+    S⁻ = min(0, S⁻+Δ) over daily close changes and emit an event
+    whenever either side's drift exceeds the threshold h, resetting
+    THAT side — the standard event-driven sampling step that feeds
+    triple-barrier labeling (sample where the market moved, not on
+    every calendar bar).
+
+    The reset makes this a genuine sequential recurrence (no closed
+    form: the running-minimum trick for max(0, ·) folds dies once a
+    threshold reset depends on earlier fires). It runs as a
+    per-series pandas fold over INTEGER CENTS inside one
+    ``grouped_map`` island — exact arithmetic, so the DuckDB
+    recursive-CTE replay (one state row per bar, entity-parallel)
+    matches bit-for-bit; the ``+`` side is checked before the ``-``
+    side in both (simultaneous crossings are impossible from a valid
+    state, the order is pinned anyway).
+
+    Scale shape: the fold is per-key sequential by nature, but the
+    island ships whole hash partitions (grouped_map), state is two
+    ints per series, and output ∝ fires. At 100 TB the cost is one
+    shuffle of bar-sized rows on the series key."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from ..operators.ewm import grouped_map
+    from .fin_domain import ohlcv_resample
+
+    bars = ohlcv_resample(spark, sf_dir).select(
+        "user_id",
+        "date",
+        (F.col("close").cast("decimal(18,2)") * 100).cast("bigint").alias("cc"),
+    )
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("date", TimestampType()),
+            StructField("direction", IntegerType()),
+            StructField("stat", DoubleType()),
+        ]
+    )
+    h = CUSUM_H_CENTS
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("date")
+        cc = g["cc"].to_numpy()
+        dates = g["date"].to_numpy()
+        uid = g["user_id"].iloc[0]
+        sp = 0
+        sm = 0
+        out_d, out_dir, out_stat = [], [], []
+        for i in range(1, len(cc)):
+            delta = int(cc[i]) - int(cc[i - 1])
+            sp = max(0, sp + delta)
+            sm = min(0, sm + delta)
+            if sp > h:
+                out_d.append(dates[i])
+                out_dir.append(1)
+                out_stat.append(sp / 100.0)
+                sp = 0
+            elif sm < -h:
+                out_d.append(dates[i])
+                out_dir.append(-1)
+                out_stat.append(-sm / 100.0)
+                sm = 0
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "date": pd.Series(out_d, dtype="datetime64[us]"),
+                "direction": pd.Series(out_dir, dtype="int32"),
+                "stat": pd.Series(out_stat, dtype="float64"),
+            }
+        )
+
+    return grouped_map(bars, "user_id", fn, schema).orderBy("user_id", "date")
+
+
+# WITH RECURSIVE must head the whole CTE list (DuckDB binds the
+# recursive name before the non-recursive members either way)
+ORACLE_CUSUM_EVENT_FILTER = f"""WITH RECURSIVE {_BARS_CTE[len("WITH "):]},
+rbc AS (
+  SELECT user_id, date, rn,
+         CAST(CAST(close AS DECIMAL(18,2)) * 100 AS BIGINT) AS cc
+  FROM rb
+),
+walk AS (
+  SELECT user_id, rn, date, cc,
+         CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sm,
+         0 AS direction, CAST(0 AS BIGINT) AS stat
+  FROM rbc WHERE rn = 1
+  UNION ALL
+  SELECT user_id, rn, date, cc,
+         CASE WHEN nsp > {CUSUM_H_CENTS} THEN 0 ELSE nsp END AS sp,
+         CASE WHEN nsp > {CUSUM_H_CENTS} THEN nsm
+              WHEN nsm < -{CUSUM_H_CENTS} THEN 0 ELSE nsm END AS sm,
+         CASE WHEN nsp > {CUSUM_H_CENTS} THEN 1
+              WHEN nsm < -{CUSUM_H_CENTS} THEN -1 ELSE 0 END AS direction,
+         CASE WHEN nsp > {CUSUM_H_CENTS} THEN nsp
+              WHEN nsm < -{CUSUM_H_CENTS} THEN -nsm
+              ELSE CAST(0 AS BIGINT) END AS stat
+  FROM (
+    SELECT b.user_id, b.rn, b.date, b.cc,
+           GREATEST(CAST(0 AS BIGINT), w.sp + (b.cc - w.cc)) AS nsp,
+           LEAST(CAST(0 AS BIGINT), w.sm + (b.cc - w.cc)) AS nsm
+    FROM walk w
+    JOIN rbc b ON b.user_id = w.user_id AND b.rn = w.rn + 1
+  )
+)
+SELECT user_id, date, CAST(direction AS INT) AS direction,
+       CAST(stat AS DOUBLE) / 100e0 AS stat
+FROM walk
+WHERE direction <> 0
+ORDER BY user_id, date
+"""
+
+
 QUERIES = {
     "robust_outlier_mad": robust_outlier_mad,
     "purged_walkforward_splits": purged_walkforward_splits,
     "triple_barrier_labels": triple_barrier_labels,
     "frac_diff_features": frac_diff_features,
     "label_uniqueness_weights": label_uniqueness_weights,
+    "meta_labels": meta_labels,
+    "cusum_event_filter": cusum_event_filter,
 }
 
 ORACLES = {
@@ -598,4 +840,6 @@ ORACLES = {
     "triple_barrier_labels": ORACLE_TRIPLE_BARRIER_LABELS,
     "frac_diff_features": _ffd_oracle(),
     "label_uniqueness_weights": ORACLE_LABEL_UNIQUENESS_WEIGHTS,
+    "meta_labels": ORACLE_META_LABELS,
+    "cusum_event_filter": ORACLE_CUSUM_EVENT_FILTER,
 }

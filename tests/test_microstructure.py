@@ -1,0 +1,234 @@
+"""Differential tests for the microstructure + meta-label/CUSUM
+queries beyond their DuckDB value oracles: each result is re-derived
+independently in plain Python (integer-cents arithmetic, the same
+agreed double expression trees) from the raw events and compared
+exactly, plus the structural invariants a consumer relies on
+(bar dollar floors, correlation bounds, side/label agreement,
+threshold-crossing magnitudes).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pandas as pd
+
+from conftest import SF_SMOKE
+
+from fin_trade_craft_spark.queries.fin_ml import (
+    CUSUM_H_CENTS,
+    META_SMA_N,
+    cusum_event_filter,
+    meta_labels,
+)
+from fin_trade_craft_spark.queries.microstructure import (
+    DOLLAR_BAR_CENTS,
+    XSECT_TOP_K,
+    cross_sectional_correlation,
+    dollar_bars,
+    microstructure_liquidity,
+)
+
+
+def _events_pdf() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+
+
+def _cents(v: float) -> int:
+    # CAST(value AS DECIMAL(18,2)) * 100 — round-half-up on the
+    # already-2-decimal doubles is plain nearest-int rounding
+    return int(round(v * 100))
+
+
+def _daily_bars(ev: pd.DataFrame) -> pd.DataFrame:
+    """Per (user, day): close = last tick by (ts, event_id), plus
+    exact-cents dollar volume — the ohlcv_resample contract."""
+    ev = ev.sort_values(["ts", "event_id"]).copy()
+    ev["date"] = ev["ts"].dt.floor("D")
+    rows = []
+    for (uid, date), g in ev.groupby(["user_id", "date"], sort=True):
+        cents = sum(_cents(v) for v in g["value"])
+        # traded_value takes the dsum double hop, then the queries
+        # re-cast it to DECIMAL(12,2) — recover via the same round
+        dvol_c = _cents(float(cents / 100.0))
+        rows.append(
+            {
+                "user_id": uid,
+                "date": date,
+                "close_c": _cents(g["value"].iloc[-1]),
+                "dvol_c": dvol_c,
+            }
+        )
+    return pd.DataFrame(rows).sort_values(["user_id", "date"]).reset_index(drop=True)
+
+
+def test_dollar_bars_match_python_recompute(spark):
+    got = dollar_bars(spark, SF_SMOKE).collect()
+    ev = _events_pdf().sort_values(["ts", "event_id"])
+    exp: dict[tuple[int, int], dict] = {}
+    for uid, g in ev.groupby("user_id", sort=False):
+        pre = 0
+        for _, r in g.iterrows():
+            c = _cents(r["value"])
+            bar = pre // DOLLAR_BAR_CENTS
+            pre += c
+            k = (uid, bar)
+            if k not in exp:
+                exp[k] = {
+                    "open": r["value"],
+                    "high": r["value"],
+                    "low": r["value"],
+                    "close": r["value"],
+                    "n": 0,
+                    "cents": 0,
+                }
+            e = exp[k]
+            e["high"] = max(e["high"], r["value"])
+            e["low"] = min(e["low"], r["value"])
+            e["close"] = r["value"]  # rows arrive in (ts, event_id) order
+            e["n"] += 1
+            e["cents"] += c
+    assert len(got) == len(exp)
+    for row in got:
+        e = exp[(row["user_id"], row["bar_id"])]
+        assert row["open"] == e["open"] and row["close"] == e["close"]
+        assert row["high"] == e["high"] and row["low"] == e["low"]
+        assert row["n_ticks"] == e["n"]
+        assert row["dollar_volume"] == e["cents"] / 100.0
+    # boundary invariant: the cumulative flow through the END of
+    # every non-final bar k has crossed the (k+1)·T boundary (an
+    # overshooting tick can leave an individual bar under T, but
+    # never the cumulative total)
+    by_user: dict[int, list] = {}
+    for row in got:
+        by_user.setdefault(row["user_id"], []).append(row)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["bar_id"])
+        cum = 0
+        for r in rows[:-1]:
+            cum += round(r["dollar_volume"] * 100)
+            assert cum >= (r["bar_id"] + 1) * DOLLAR_BAR_CENTS
+
+
+def test_microstructure_liquidity_matches_python_recompute(spark):
+    got = {r["user_id"]: r for r in microstructure_liquidity(spark, SF_SMOKE).collect()}
+    bars = _daily_bars(_events_pdf())
+    assert len(got) == bars["user_id"].nunique()
+    for uid, g in bars.groupby("user_id"):
+        cc = list(g["close_c"])
+        dv = list(g["dvol_c"])
+        dps = [cc[i] - cc[i - 1] for i in range(1, len(cc))]
+        dvs = dv[1:]
+        r = got[uid]
+        assert r["n_moves"] == len(dps)
+        # Roll over adjacent pairs (all-integer sums, double tree)
+        pairs = [(dps[i], dps[i - 1]) for i in range(1, len(dps))]
+        if len(pairs) >= 2:
+            n = float(len(pairs))
+            sx = float(sum(x for x, _ in pairs)) / 100.0
+            sy = float(sum(y for _, y in pairs)) / 100.0
+            sxy = float(sum(x * y for x, y in pairs)) / 10000.0
+            cov = (sxy - sx * sy / n) / n
+            assert r["roll_spread"] == 2.0 * math.sqrt(max(0.0, -cov))
+        # Amihud ratio of sums
+        if dps:
+            s_abs = sum(abs(d) for d in dps) / 100.0
+            s_dv = sum(dvs) / 100.0
+            assert r["amihud_illiq"] == 1e6 * s_abs / s_dv
+        # Kyle lambda on signed dollar volume
+        if len(dps) >= 2:
+            xs = [dv_i if d > 0 else (-dv_i if d < 0 else 0) for d, dv_i in zip(dps, dvs)]
+            n = float(len(dps))
+            k_sx = sum(xs) / 100.0
+            k_sy = sum(dps) / 100.0
+            k_sxy = sum(x * d for x, d in zip(xs, dps)) / 10000.0
+            k_sxx = sum(x * x for x in xs) / 10000.0
+            den = n * k_sxx - k_sx * k_sx
+            if den != 0:
+                assert r["kyle_lambda"] == (n * k_sxy - k_sx * k_sy) / den
+
+
+def test_cross_sectional_correlation_bounds_and_recompute(spark):
+    rows = cross_sectional_correlation(spark, SF_SMOKE).collect()
+    assert rows, "expected at least one correlated pair"
+    assert len(rows) <= XSECT_TOP_K * (XSECT_TOP_K - 1) // 2
+    users = set()
+    for r in rows:
+        assert r["user_a"] < r["user_b"]
+        assert r["n_days"] >= 3
+        if r["corr_dp"] is not None:
+            assert -1.0 - 1e-12 <= r["corr_dp"] <= 1.0 + 1e-12
+        users.update([r["user_a"], r["user_b"]])
+    assert len(users) <= XSECT_TOP_K
+    # spot-recompute one pair with integer-cents sums
+    bars = _daily_bars(_events_pdf())
+    r0 = rows[0]
+    sub = {}
+    for uid in (r0["user_a"], r0["user_b"]):
+        g = bars[bars["user_id"] == uid]
+        cc = list(g["close_c"])
+        sub[uid] = dict(zip(list(g["date"])[1:], [cc[i] - cc[i - 1] for i in range(1, len(cc))]))
+    common = sorted(set(sub[r0["user_a"]]) & set(sub[r0["user_b"]]))
+    assert len(common) == r0["n_days"]
+    xs = [sub[r0["user_a"]][d] for d in common]
+    ys = [sub[r0["user_b"]][d] for d in common]
+    n = float(len(common))
+    sx, sy = sum(xs) / 100.0, sum(ys) / 100.0
+    sxy = sum(x * y for x, y in zip(xs, ys)) / 10000.0
+    sxx = sum(x * x for x in xs) / 10000.0
+    syy = sum(y * y for y in ys) / 10000.0
+    den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    assert r0["corr_dp"] == (n * sxy - sx * sy) / den
+
+
+def test_meta_labels_side_and_agreement(spark):
+    got = meta_labels(spark, SF_SMOKE).collect()
+    assert got
+    bars = _daily_bars(_events_pdf())
+    sides = {}
+    for uid, g in bars.groupby("user_id"):
+        cc = list(g["close_c"])
+        dates = list(g["date"])
+        for i in range(META_SMA_N - 1, len(cc)):
+            lhs = META_SMA_N * cc[i]
+            s5 = sum(cc[i - META_SMA_N + 1 : i + 1])
+            sides[(uid, dates[i])] = 1 if lhs > s5 else (-1 if lhs < s5 else 0)
+    for r in got:
+        assert r["side"] == sides[(r["user_id"], r["date"])]
+        assert r["side"] != 0
+        assert r["meta_label"] == (1 if r["side"] == r["tb_label"] else 0)
+        assert r["tb_label"] in (-1, 0, 1)
+
+
+def test_cusum_event_filter_matches_python_replay(spark):
+    got = cusum_event_filter(spark, SF_SMOKE).collect()
+    bars = _daily_bars(_events_pdf())
+    exp = []
+    for uid, g in bars.groupby("user_id"):
+        cc = list(g["close_c"])
+        dates = list(g["date"])
+        sp = sm = 0
+        for i in range(1, len(cc)):
+            delta = cc[i] - cc[i - 1]
+            sp = max(0, sp + delta)
+            sm = min(0, sm + delta)
+            if sp > CUSUM_H_CENTS:
+                exp.append((uid, dates[i], 1, sp / 100.0))
+                sp = 0
+            elif sm < -CUSUM_H_CENTS:
+                exp.append((uid, dates[i], -1, -sm / 100.0))
+                sm = 0
+    exp.sort()
+    assert len(got) == len(exp)
+    for row, (uid, date, direction, stat) in zip(got, exp):
+        assert (row["user_id"], row["date"], row["direction"], row["stat"]) == (
+            uid,
+            date.to_pydatetime(),
+            direction,
+            stat,
+        )
+        assert row["stat"] > CUSUM_H_CENTS / 100.0
