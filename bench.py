@@ -146,6 +146,16 @@ def bench_query_names() -> list[str]:
         "triple_barrier_labels",
         "frac_diff_features",
         "label_uniqueness_weights",
+        # r10 late: microstructure family (exact-cents dollar bars,
+        # Roll/Amihud/Kyle liquidity panel) and the event-sampling /
+        # meta-labeling pair feeding the label queries
+        "dollar_bars",
+        "microstructure_liquidity",
+        "meta_labels",
+        "cusum_event_filter",
+        "volatility_estimators",
+        "vpin_dollar_buckets",
+        "bet_sizing_expanding",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -668,7 +668,9 @@ def meta_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_META_LABELS = f"""{_BARS_CTE},
+# The full meta-label table as a reusable CTE chain (consumed by
+# both the meta_labels oracle and the bet-sizing oracle)
+_META_CTE = f"""{_BARS_CTE},
 {_HITS_CTE.lstrip()},
 s AS (
   SELECT rb.user_id, rb.date, rb.close, rb.rn,
@@ -684,17 +686,23 @@ sc AS (
               WHEN {META_SMA_N} * CAST(close AS DECIMAL(18,2)) < sum5 THEN -1
               ELSE 0 END AS INT) AS side
   FROM s
-)
-SELECT user_id, date, close, side,
-  CAST(CASE WHEN first_up IS NOT NULL
-                 AND (first_dn IS NULL OR first_up <= first_dn) THEN 1
-            WHEN first_dn IS NOT NULL THEN -1 ELSE 0 END AS INT) AS tb_label,
-  CAST(CASE WHEN side * (CASE WHEN first_up IS NOT NULL
-                                   AND (first_dn IS NULL OR first_up <= first_dn) THEN 1
-                              WHEN first_dn IS NOT NULL THEN -1 ELSE 0 END) = 1
-            THEN 1 ELSE 0 END AS INT) AS meta_label
-FROM sc
-WHERE rn >= {META_SMA_N} AND side <> 0
+),
+meta AS (
+  SELECT user_id, date, close, side,
+    CAST(CASE WHEN first_up IS NOT NULL
+                   AND (first_dn IS NULL OR first_up <= first_dn) THEN 1
+              WHEN first_dn IS NOT NULL THEN -1 ELSE 0 END AS INT) AS tb_label,
+    CAST(CASE WHEN side * (CASE WHEN first_up IS NOT NULL
+                                     AND (first_dn IS NULL OR first_up <= first_dn) THEN 1
+                                WHEN first_dn IS NOT NULL THEN -1 ELSE 0 END) = 1
+              THEN 1 ELSE 0 END AS INT) AS meta_label
+  FROM sc
+  WHERE rn >= {META_SMA_N} AND side <> 0
+)"""
+
+ORACLE_META_LABELS = f"""{_META_CTE}
+SELECT user_id, date, close, side, tb_label, meta_label
+FROM meta
 ORDER BY user_id, date
 """
 
@@ -824,6 +832,70 @@ ORDER BY user_id, date
 """
 
 
+# Bet sizing consumes a bet only after this many prior outcomes
+BET_MIN_PRIOR = 5
+
+
+def bet_sizing_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based bet sizing from the meta-label history
+    (López de Prado 2018 ch. 10, the discrete-sizing variant
+    without a fitted classifier): at each primary-model bet, the
+    empirical hit rate p̂ of the user's PRIOR meta-labels (an
+    expanding window excluding the current bet — no lookahead)
+    sizes the position as ``side · (2·p̂ − 1)``: size 0 at a coin
+    flip, full size at certainty, negative when the primary model
+    has been historically wrong.
+
+    Exactness: prior_hits/prior_bets are integer window counts; p̂
+    and the size are one agreed double tree. Bets with fewer than
+    ``BET_MIN_PRIOR`` prior outcomes are withheld (documented
+    burn-in).
+
+    Scale shape: rides the meta_labels plan (one window pass per
+    series key) plus one more frame on the same key — no extra
+    shuffle, no join."""
+    m = meta_labels(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("date")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    scored = m.select(
+        "user_id",
+        "date",
+        "side",
+        F.count(F.lit(1)).over(wprev).alias("prior_bets"),
+        F.sum("meta_label").over(wprev).alias("prior_hits"),
+    ).filter(F.col("prior_bets") >= BET_MIN_PRIOR)
+    p_hat = F.col("prior_hits").cast("double") / F.col("prior_bets").cast("double")
+    return scored.select(
+        "user_id",
+        "date",
+        "side",
+        "prior_bets",
+        "prior_hits",
+        (
+            F.col("side").cast("double") * (F.lit(2.0) * p_hat - F.lit(1.0))
+        ).alias("bet_size"),
+    ).orderBy("user_id", "date")
+
+
+ORACLE_BET_SIZING_EXPANDING = f"""{_META_CTE},
+x AS (
+  SELECT user_id, date, side,
+         COUNT(*) OVER wp AS prior_bets,
+         CAST(SUM(meta_label) OVER wp AS BIGINT) AS prior_hits
+  FROM meta
+  WINDOW wp AS (PARTITION BY user_id ORDER BY date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, date, side, prior_bets, prior_hits,
+       CAST(side AS DOUBLE)
+         * (2e0 * (CAST(prior_hits AS DOUBLE) / CAST(prior_bets AS DOUBLE)) - 1e0)
+         AS bet_size
+FROM x
+WHERE prior_bets >= {BET_MIN_PRIOR}
+ORDER BY user_id, date
+"""
+
+
 QUERIES = {
     "robust_outlier_mad": robust_outlier_mad,
     "purged_walkforward_splits": purged_walkforward_splits,
@@ -832,6 +904,7 @@ QUERIES = {
     "label_uniqueness_weights": label_uniqueness_weights,
     "meta_labels": meta_labels,
     "cusum_event_filter": cusum_event_filter,
+    "bet_sizing_expanding": bet_sizing_expanding,
 }
 
 ORACLES = {
@@ -842,4 +915,5 @@ ORACLES = {
     "label_uniqueness_weights": ORACLE_LABEL_UNIQUENESS_WEIGHTS,
     "meta_labels": ORACLE_META_LABELS,
     "cusum_event_filter": ORACLE_CUSUM_EVENT_FILTER,
+    "bet_sizing_expanding": ORACLE_BET_SIZING_EXPANDING,
 }

@@ -387,14 +387,384 @@ ORDER BY user_a, user_b
 """
 
 
+import math as _math
+
+# ln(10) and its square, embedded as 17-significant-digit literals so
+# Spark and DuckDB evaluate the identical double constants (the FFD
+# e-notation rule: DuckDB parses plain decimals as DECIMAL and
+# double-rounds; e-notation goes straight to the rounded double)
+_LN10 = _math.log(10.0)
+# Garman-Klass down-weight constant 2·ln2 − 1
+_GK_C2 = 2.0 * _math.log(2.0) - 1.0
+# Parkinson normalizer 1/(4·ln2)
+_PARK_C = 1.0 / (4.0 * _math.log(2.0))
+
+# VPIN: rolling window of dollar buckets. 5, not the literature's
+# 50: the fixture's per-user bucket depth is ~8 at EVERY sf (scale
+# adds series, not depth), so a deeper window would never fill
+VPIN_WINDOW = 5
+
+
+def _lit17(x: float) -> str:
+    return f"CAST({x:.17e} AS DOUBLE)"
+
+
+def volatility_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-based volatility panel over the daily bars: Parkinson
+    (1980) high-low, Garman-Klass (1980) OHLC, and Rogers-Satchell
+    (1991) drift-robust estimators — the standard low-frequency
+    volatility inputs a fin-ML feature store carries alongside
+    close-to-close variance.
+
+    Exactness: each bar's term is a per-row double expression built
+    from ``log10`` ratios rescaled by an embedded 17-digit ln(10)
+    literal (per-row float ops are bit-identical across engines;
+    the repo's LM scorers established log10 parity), and the
+    cross-bar sums fold in ascending-double order via
+    ``array_sort(collect_list(...))`` — the engine-independent
+    deterministic-fold pattern — so the panel value-hashes exactly.
+    Zero-price bars (the fixture contains value = 0 ticks) are
+    excluded by the positivity guard, documented here.
+
+    Scale shape: one shuffle on user_id, one hash aggregate; the
+    per-user term list is bounded by the calendar (bars per series),
+    the same bound the LM scorers carry."""
+    from .fin_domain import ohlcv_resample
+
+    bars = ohlcv_resample(spark, sf_dir).filter(
+        (F.col("low") > 0) & (F.col("open") > 0) & (F.col("close") > 0)
+    )
+    ln10 = F.expr(_lit17(_LN10))
+    lhl = F.log10(F.col("high") / F.col("low")) * ln10
+    lco = F.log10(F.col("close") / F.col("open")) * ln10
+    lhc = F.log10(F.col("high") / F.col("close")) * ln10
+    lho = F.log10(F.col("high") / F.col("open")) * ln10
+    llc = F.log10(F.col("low") / F.col("close")) * ln10
+    llo = F.log10(F.col("low") / F.col("open")) * ln10
+    terms = bars.select(
+        "user_id",
+        (lhl * lhl).alias("park_t"),
+        (F.lit(0.5) * lhl * lhl - F.expr(_lit17(_GK_C2)) * lco * lco).alias("gk_t"),
+        (lhc * lho + llc * llo).alias("rs_t"),
+    )
+    agg = terms.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.array_sort(F.collect_list("park_t")).alias("park_l"),
+        F.array_sort(F.collect_list("gk_t")).alias("gk_l"),
+        F.array_sort(F.collect_list("rs_t")).alias("rs_l"),
+    )
+
+    def fold(c):
+        return F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x)
+
+    n = F.col("n_bars").cast("double")
+    park = F.sqrt(F.expr(_lit17(_PARK_C)) * fold("park_l") / n)
+    gk = F.sqrt(F.greatest(F.lit(0.0), fold("gk_l") / n))
+    rs = F.sqrt(F.greatest(F.lit(0.0), fold("rs_l") / n))
+    # round(12): JVM Math.log10 and libm log10 disagree by 1 ulp on
+    # rare inputs (observed once at sf0.001); 12 decimals is ~1e4 x
+    # coarser than the divergence and far finer than any consumer
+    return agg.select(
+        "user_id",
+        "n_bars",
+        F.round(park, 12).alias("parkinson_vol"),
+        F.round(gk, 12).alias("garman_klass_vol"),
+        F.round(rs, 12).alias("rogers_satchell_vol"),
+    ).orderBy("user_id")
+
+
+def _vol_oracle() -> str:
+    ln10 = _lit17(_LN10)
+    return f"""
+WITH t AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS date, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_d
+  FROM events
+),
+bars AS (
+  SELECT user_id, date,
+    MIN(CASE WHEN rn_a = 1 THEN value END) AS "open",
+    MAX(value) AS high,
+    MIN(value) AS low,
+    MIN(CASE WHEN rn_d = 1 THEN value END) AS "close"
+  FROM t GROUP BY user_id, date
+),
+g AS (
+  SELECT * FROM bars WHERE low > 0 AND "open" > 0 AND "close" > 0
+),
+terms AS (
+  SELECT user_id,
+    (log10(high / low) * {ln10}) * (log10(high / low) * {ln10}) AS park_t,
+    0.5e0 * (log10(high / low) * {ln10}) * (log10(high / low) * {ln10})
+      - {_lit17(_GK_C2)} * (log10("close" / "open") * {ln10})
+                         * (log10("close" / "open") * {ln10}) AS gk_t,
+    (log10(high / "close") * {ln10}) * (log10(high / "open") * {ln10})
+      + (log10(low / "close") * {ln10}) * (log10(low / "open") * {ln10}) AS rs_t
+  FROM g
+),
+a AS (
+  SELECT user_id, COUNT(*) AS n_bars,
+         list_sort(list(park_t)) AS park_l,
+         list_sort(list(gk_t)) AS gk_l,
+         list_sort(list(rs_t)) AS rs_l
+  FROM terms GROUP BY user_id
+)
+SELECT user_id, n_bars,
+  ROUND(SQRT({_lit17(_PARK_C)}
+       * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), park_l), (acc, x) -> acc + x)
+       / CAST(n_bars AS DOUBLE)), 12) AS parkinson_vol,
+  ROUND(SQRT(GREATEST(0e0,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), gk_l), (acc, x) -> acc + x)
+       / CAST(n_bars AS DOUBLE))), 12) AS garman_klass_vol,
+  ROUND(SQRT(GREATEST(0e0,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), rs_l), (acc, x) -> acc + x)
+       / CAST(n_bars AS DOUBLE))), 12) AS rogers_satchell_vol
+FROM a
+ORDER BY user_id
+"""
+
+
+def order_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order-flow imbalance from tick-rule trade signs (Lee &
+    Ready 1991 tick test): each tick is a buy if its price change is
+    positive, a sell if negative, and inherits the LAST non-zero
+    sign on a zero change — the sequential carry is
+    ``last(sign, ignorenulls=True)`` over the per-user tick order,
+    a single window pass, not a fold.
+
+    All flow sums are exact integer cents; the imbalance ratio
+    (buy − sell)/(buy + sell) is one double divide of deterministic
+    ints. Ticks before the first price change carry no sign and are
+    excluded from flow (documented).
+
+    Scale shape: one shuffle on user_id for the sign carry, then a
+    (user, day) hash aggregate — tick-linear, no join, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("date"),
+        "ts",
+        "event_id",
+        cents.alias("cc"),
+    ).select(
+        "*",
+        (F.col("cc") - F.lag("cc").over(w)).alias("dc"),
+    )
+    raw_sign = F.when(F.col("dc") > 0, 1).when(F.col("dc") < 0, -1)
+    t = t.select(
+        "*",
+        F.last(raw_sign, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sign"),
+    )
+    return (
+        t.filter(F.col("sign").isNotNull())
+        .groupBy("user_id", "date")
+        .agg(
+            F.sum(F.when(F.col("sign") == 1, F.col("cc")).otherwise(F.lit(0))).alias("buy_c"),
+            F.sum(F.when(F.col("sign") == -1, F.col("cc")).otherwise(F.lit(0))).alias("sell_c"),
+            F.count(F.when(F.col("sign") == 1, 1)).alias("n_buys"),
+            F.count(F.when(F.col("sign") == -1, 1)).alias("n_sells"),
+        )
+        .select(
+            "user_id",
+            "date",
+            (F.col("buy_c").cast("double") / 100).alias("buy_flow"),
+            (F.col("sell_c").cast("double") / 100).alias("sell_flow"),
+            "n_buys",
+            "n_sells",
+            (
+                (F.col("buy_c") - F.col("sell_c")).cast("double")
+                / F.expr("nullif(cast(buy_c + sell_c as double), 0d)")
+            ).alias("flow_imbalance"),
+        )
+        .orderBy("user_id", "date")
+    )
+
+
+ORACLE_ORDER_FLOW_IMBALANCE = """
+WITH c AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS date, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cc
+  FROM events
+),
+d AS (
+  SELECT *, cc - LAG(cc) OVER w AS dc
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, LAST_VALUE(CASE WHEN dc > 0 THEN 1 WHEN dc < 0 THEN -1 END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+  FROM d
+),
+a AS (
+  SELECT user_id, date,
+         SUM(CASE WHEN sign = 1 THEN cc ELSE 0 END) AS buy_c,
+         SUM(CASE WHEN sign = -1 THEN cc ELSE 0 END) AS sell_c,
+         COUNT(CASE WHEN sign = 1 THEN 1 END) AS n_buys,
+         COUNT(CASE WHEN sign = -1 THEN 1 END) AS n_sells
+  FROM s WHERE sign IS NOT NULL
+  GROUP BY user_id, date
+)
+SELECT user_id, date,
+       CAST(buy_c AS DOUBLE) / 100 AS buy_flow,
+       CAST(sell_c AS DOUBLE) / 100 AS sell_flow,
+       n_buys, n_sells,
+       CAST(buy_c - sell_c AS DOUBLE)
+         / NULLIF(CAST(buy_c + sell_c AS DOUBLE), 0e0) AS flow_imbalance
+FROM a
+ORDER BY user_id, date
+"""
+
+
+def vpin_dollar_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN — volume-synchronized probability of informed trading
+    (Easley, López de Prado, O'Hara 2012): classify each tick's
+    flow with the tick rule, bucket by DOLLAR volume (the
+    ``dollar_bars`` pre-cum bucketing, so buckets hold comparable
+    information), and emit the trailing-window mean of
+    |buy − sell| / (buy + sell) per bucket — the toxicity series
+    market makers monitor.
+
+    Exactness: per-bucket flows are exact integer cents; the
+    per-bucket ratio is one double divide; the trailing mean folds
+    the last ``VPIN_WINDOW`` ratios in ascending-double order
+    (windowed ``collect_list`` → ``array_sort`` → fold), the same
+    engine-independent pattern as the volatility panel.
+
+    Scale shape: the sign carry and the bucket assignment share one
+    user-keyed window sort; the bucket agg and the trailing window
+    are bucket-sized (ticks ÷ bucket dollar). No join, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = ev.select(
+        "user_id", "ts", "event_id", cents.alias("cc")
+    ).select(
+        "*",
+        (F.sum("cc").over(wcum) - F.col("cc")).alias("pre_cum"),
+        (F.col("cc") - F.lag("cc").over(w)).alias("dc"),
+    )
+    raw_sign = F.when(F.col("dc") > 0, 1).when(F.col("dc") < 0, -1)
+    t = t.select(
+        "*",
+        F.last(raw_sign, ignorenulls=True).over(wcum).alias("sign"),
+        F.floor(F.col("pre_cum") / F.lit(DOLLAR_BAR_CENTS)).cast("bigint").alias("bucket"),
+    )
+    per_bucket = (
+        t.filter(F.col("sign").isNotNull())
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.sum(F.when(F.col("sign") == 1, F.col("cc")).otherwise(F.lit(0))).alias("buy_c"),
+            F.sum(F.when(F.col("sign") == -1, F.col("cc")).otherwise(F.lit(0))).alias("sell_c"),
+        )
+        .select(
+            "user_id",
+            "bucket",
+            (
+                F.abs(F.col("buy_c") - F.col("sell_c")).cast("double")
+                / F.expr("nullif(cast(buy_c + sell_c as double), 0d)")
+            ).alias("toxicity"),
+        )
+    )
+    wv = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(-(VPIN_WINDOW - 1), Window.currentRow)
+    )
+    ratios = per_bucket.select(
+        "user_id",
+        "bucket",
+        "toxicity",
+        F.array_sort(F.collect_list("toxicity").over(wv)).alias("trail"),
+    )
+    fold = F.aggregate(F.col("trail"), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        ratios.filter(F.size("trail") == VPIN_WINDOW)
+        .select(
+            "user_id",
+            "bucket",
+            "toxicity",
+            (fold / F.lit(float(VPIN_WINDOW))).alias("vpin"),
+        )
+        .orderBy("user_id", "bucket")
+    )
+
+
+ORACLE_VPIN_DOLLAR_BUCKETS = f"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cc
+  FROM events
+),
+p AS (
+  SELECT *,
+         SUM(cc) OVER w2 - cc AS pre_cum,
+         cc - LAG(cc) OVER w1 AS dc
+  FROM c
+  WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id),
+         w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN dc > 0 THEN 1 WHEN dc < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign,
+         CAST(FLOOR(pre_cum / {DOLLAR_BAR_CENTS}) AS BIGINT) AS bucket
+  FROM p
+),
+pb AS (
+  SELECT user_id, bucket,
+         ABS(SUM(CASE WHEN sign = 1 THEN cc ELSE 0 END)
+           - SUM(CASE WHEN sign = -1 THEN cc ELSE 0 END)) AS num,
+         SUM(CASE WHEN sign = 1 THEN cc ELSE 0 END)
+           + SUM(CASE WHEN sign = -1 THEN cc ELSE 0 END) AS den
+  FROM s WHERE sign IS NOT NULL
+  GROUP BY user_id, bucket
+),
+r AS (
+  SELECT user_id, bucket,
+         CAST(num AS DOUBLE) / NULLIF(CAST(den AS DOUBLE), 0e0) AS toxicity
+  FROM pb
+),
+tr AS (
+  SELECT user_id, bucket, toxicity,
+         list_sort(list(toxicity) OVER (PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN {VPIN_WINDOW - 1} PRECEDING AND CURRENT ROW)) AS trail
+  FROM r
+)
+SELECT user_id, bucket, toxicity,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), trail), (acc, x) -> acc + x)
+         / {float(VPIN_WINDOW)!r} AS vpin
+FROM tr
+WHERE len(trail) = {VPIN_WINDOW}
+ORDER BY user_id, bucket
+"""
+
+
 QUERIES = {
     "dollar_bars": dollar_bars,
     "microstructure_liquidity": microstructure_liquidity,
     "cross_sectional_correlation": cross_sectional_correlation,
+    "volatility_estimators": volatility_estimators,
+    "order_flow_imbalance": order_flow_imbalance,
+    "vpin_dollar_buckets": vpin_dollar_buckets,
 }
 
 ORACLES = {
     "dollar_bars": ORACLE_DOLLAR_BARS,
     "microstructure_liquidity": ORACLE_MICROSTRUCTURE_LIQUIDITY,
     "cross_sectional_correlation": ORACLE_CROSS_SECTIONAL_CORRELATION,
+    "volatility_estimators": _vol_oracle(),
+    "order_flow_imbalance": ORACLE_ORDER_FLOW_IMBALANCE,
+    "vpin_dollar_buckets": ORACLE_VPIN_DOLLAR_BUCKETS,
 }

@@ -31,6 +31,9 @@ from fin_trade_craft_spark.queries.microstructure import (
     cross_sectional_correlation,
     dollar_bars,
     microstructure_liquidity,
+    order_flow_imbalance,
+    volatility_estimators,
+    vpin_dollar_buckets,
 )
 
 
@@ -232,3 +235,147 @@ def test_cusum_event_filter_matches_python_replay(spark):
             stat,
         )
         assert row["stat"] > CUSUM_H_CENTS / 100.0
+
+
+def _tick_signs(ev: pd.DataFrame) -> pd.DataFrame:
+    """Per-user tick-rule signs with the last-nonzero carry."""
+    ev = ev.sort_values(["ts", "event_id"]).copy()
+    out = []
+    for uid, g in ev.groupby("user_id", sort=False):
+        prev_c = None
+        sign = None
+        pre = 0
+        for _, r in g.iterrows():
+            c = _cents(r["value"])
+            if prev_c is not None:
+                d = c - prev_c
+                if d > 0:
+                    sign = 1
+                elif d < 0:
+                    sign = -1
+            out.append(
+                {
+                    "user_id": uid,
+                    "ts": r["ts"],
+                    "event_id": r["event_id"],
+                    "cc": c,
+                    "sign": sign,
+                    "pre_cum": pre,
+                }
+            )
+            pre += c
+            prev_c = c
+    return pd.DataFrame(out)
+
+
+def test_volatility_estimators_match_python_recompute(spark):
+    import numpy as np
+
+    got = {r["user_id"]: r for r in volatility_estimators(spark, SF_SMOKE).collect()}
+    ev = _events_pdf().sort_values(["ts", "event_id"]).copy()
+    ev["date"] = ev["ts"].dt.floor("D")
+    ln10 = math.log(10.0)
+    c2 = 2.0 * math.log(2.0) - 1.0
+    cpark = 1.0 / (4.0 * math.log(2.0))
+    agg: dict[int, list] = {}
+    for (uid, _), g in ev.groupby(["user_id", "date"], sort=True):
+        o, c = g["value"].iloc[0], g["value"].iloc[-1]
+        h, lo = g["value"].max(), g["value"].min()
+        if lo <= 0 or o <= 0 or c <= 0:
+            continue
+        lhl = math.log10(h / lo) * ln10
+        lco = math.log10(c / o) * ln10
+        lhc = math.log10(h / c) * ln10
+        lho = math.log10(h / o) * ln10
+        llc = math.log10(lo / c) * ln10
+        llo = math.log10(lo / o) * ln10
+        agg.setdefault(uid, []).append(
+            (lhl * lhl, 0.5 * lhl * lhl - c2 * lco * lco, lhc * lho + llc * llo)
+        )
+    assert set(got) == set(agg)
+    for uid, ts in agg.items():
+        n = float(len(ts))
+        park = math.sqrt(cpark * math.fsum(sorted(t[0] for t in ts)) / n)
+        gk = math.sqrt(max(0.0, math.fsum(sorted(t[1] for t in ts)) / n))
+        rs = math.sqrt(max(0.0, math.fsum(sorted(t[2] for t in ts)) / n))
+        r = got[uid]
+        assert r["n_bars"] == len(ts)
+        # engine folds left-associated (not fsum); allow only the
+        # last-ulp gap fsum can introduce, far inside the round(12)
+        assert abs(r["parkinson_vol"] - park) < 1e-9
+        assert abs(r["garman_klass_vol"] - gk) < 1e-9
+        assert abs(r["rogers_satchell_vol"] - rs) < 1e-9
+
+
+def test_order_flow_imbalance_matches_python_recompute(spark):
+    got = {(r["user_id"], r["date"]): r for r in order_flow_imbalance(spark, SF_SMOKE).collect()}
+    t = _tick_signs(_events_pdf())
+    t = t[t["sign"].notna()]
+    t["date"] = t["ts"].dt.floor("D")
+    exp = {}
+    for (uid, date), g in t.groupby(["user_id", "date"]):
+        buy = int(g.loc[g["sign"] == 1, "cc"].sum())
+        sell = int(g.loc[g["sign"] == -1, "cc"].sum())
+        exp[(uid, date.to_pydatetime())] = (buy, sell)
+    assert set(got) == set(exp)
+    for k, (buy, sell) in exp.items():
+        r = got[k]
+        assert r["buy_flow"] == buy / 100.0
+        assert r["sell_flow"] == sell / 100.0
+        if buy + sell:
+            assert r["flow_imbalance"] == (buy - sell) / float(buy + sell)
+
+
+def test_vpin_dollar_buckets_matches_python_recompute(spark):
+    from fin_trade_craft_spark.queries.microstructure import VPIN_WINDOW
+
+    got = vpin_dollar_buckets(spark, SF_SMOKE).collect()
+    assert got, "expected VPIN rows at smoke scale"
+    t = _tick_signs(_events_pdf())
+    t = t[t["sign"].notna()].copy()
+    t["bucket"] = t["pre_cum"] // DOLLAR_BAR_CENTS
+    exp = {}
+    for uid, g in t.groupby("user_id"):
+        ratios = []
+        for b, gb in g.groupby("bucket"):
+            buy = int(gb.loc[gb["sign"] == 1, "cc"].sum())
+            sell = int(gb.loc[gb["sign"] == -1, "cc"].sum())
+            tox = abs(buy - sell) / float(buy + sell) if buy + sell else None
+            ratios.append((b, tox))
+        for i in range(VPIN_WINDOW - 1, len(ratios)):
+            trail = [x for _, x in ratios[i - VPIN_WINDOW + 1 : i + 1]]
+            b, tox = ratios[i]
+            exp[(uid, b)] = (tox, math.fsum(sorted(trail)) / VPIN_WINDOW)
+    assert len(got) == len(exp)
+    for r in got:
+        tox, vpin = exp[(r["user_id"], r["bucket"])]
+        assert r["toxicity"] == tox
+        assert abs(r["vpin"] - vpin) < 1e-12
+        assert -1e-12 <= r["vpin"] <= 1.0 + 1e-12
+
+
+def test_bet_sizing_expanding_matches_walk(spark):
+    from fin_trade_craft_spark.queries.fin_ml import BET_MIN_PRIOR, bet_sizing_expanding
+
+    meta = meta_labels(spark, SF_SMOKE).collect()
+    got = bet_sizing_expanding(spark, SF_SMOKE).collect()
+    assert got
+    hist: dict[int, list] = {}
+    exp = {}
+    for r in meta:  # already ordered (user, date)
+        h = hist.setdefault(r["user_id"], [])
+        if len(h) >= BET_MIN_PRIOR:
+            p = sum(h) / float(len(h))
+            exp[(r["user_id"], r["date"])] = (
+                r["side"],
+                len(h),
+                sum(h),
+                float(r["side"]) * (2.0 * p - 1.0),
+            )
+        h.append(r["meta_label"])
+    assert len(got) == len(exp)
+    for r in got:
+        side, bets, hits, size = exp[(r["user_id"], r["date"])]
+        assert (r["side"], r["prior_bets"], r["prior_hits"]) == (side, bets, hits)
+        assert r["bet_size"] == size
+        assert -1.0 <= r["bet_size"] <= 1.0
