@@ -923,7 +923,99 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept_m.unionByName(drop_m).orderBy("doc_id")
 
 
+def streaming_vpin_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time VPIN (the ``vpin_dollar_buckets`` batch query as a
+    live toxicity monitor): per-series tick-rule sign carry, open
+    dollar-bucket flow accumulators, and the trailing toxicity
+    window all live in the state store
+    (streaming/stateful_vpin.py) and survive across micro-batches —
+    a bucket OPENED in batch 0 completes and emits in batch 1.
+
+    Events arrive via ``_events_stream_time_ordered`` as two
+    time-sliced micro-batches, so cross-batch state carriage is
+    INSIDE the value-oracled path. The stream emits completed
+    buckets only (each series' final open bucket cannot know it is
+    final), so the oracle below is the batch VPIN SQL restricted to
+    ``bucket < max(bucket) per user`` — completed buckets' trailing
+    windows never contain the open bucket, making the restriction
+    exact, not approximate. Flow arithmetic is integer cents and the
+    trailing mean folds ascending-sorted doubles — bit-exact."""
+    from ..streaming.stateful_vpin import vpin_stateful
+    from .microstructure import DOLLAR_BAR_CENTS, VPIN_WINDOW
+
+    ev = _events_stream_time_ordered(spark, sf_dir, n_batches=2)
+    ticks = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("seq"),
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cc"),
+    )
+    return _drain(
+        vpin_stateful(ticks, DOLLAR_BAR_CENTS, VPIN_WINDOW), "append"
+    ).orderBy("user_id", "bucket")
+
+
+def _streaming_vpin_oracle() -> str:
+    from .microstructure import DOLLAR_BAR_CENTS, VPIN_WINDOW
+
+    return f"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cc
+  FROM events
+),
+p AS (
+  SELECT *,
+         SUM(cc) OVER w2 - cc AS pre_cum,
+         cc - LAG(cc) OVER w1 AS dc
+  FROM c
+  WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id),
+         w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT *,
+         LAST_VALUE(CASE WHEN dc > 0 THEN 1 WHEN dc < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign,
+         CAST(FLOOR(pre_cum / {DOLLAR_BAR_CENTS}) AS BIGINT) AS bucket
+  FROM p
+),
+pb AS (
+  SELECT user_id, bucket,
+         ABS(SUM(CASE WHEN sign = 1 THEN cc ELSE 0 END)
+           - SUM(CASE WHEN sign = -1 THEN cc ELSE 0 END)) AS num,
+         SUM(CASE WHEN sign = 1 THEN cc ELSE 0 END)
+           + SUM(CASE WHEN sign = -1 THEN cc ELSE 0 END) AS den
+  FROM s WHERE sign IS NOT NULL
+  GROUP BY user_id, bucket
+),
+-- completed buckets only: the stream can never emit each series'
+-- final open bucket; null-toxicity buckets (den = 0) are skipped by
+-- the fold and excluded here BEFORE the trailing window
+comp AS (
+  SELECT user_id, bucket,
+         CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS toxicity
+  FROM (SELECT *, MAX(bucket) OVER (PARTITION BY user_id) AS max_b FROM pb)
+  WHERE bucket < max_b AND den > 0
+),
+tr AS (
+  SELECT user_id, bucket, toxicity,
+         list_sort(list(toxicity) OVER (PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN {VPIN_WINDOW - 1} PRECEDING AND CURRENT ROW)) AS trail
+  FROM comp
+)
+SELECT user_id, bucket, toxicity,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), trail), (acc, x) -> acc + x)
+         / {float(VPIN_WINDOW)!r} AS vpin
+FROM tr
+WHERE len(trail) = {VPIN_WINDOW}
+ORDER BY user_id, bucket
+"""
+
+
 QUERIES = {
+    "streaming_vpin_stateful": streaming_vpin_stateful,
     "streaming_corpus_ingest": streaming_corpus_ingest,
     "streaming_semdedup_ingest": streaming_semdedup_ingest,
     "streaming_segment_activity": streaming_segment_activity,
@@ -957,4 +1049,7 @@ ORACLES = {
     # r9: flipped from rows-only — the de-stating proof makes the
     # stateful fold's OUTPUT SQL-expressible (see its docstring)
     "streaming_zone_signals_stateful": ORACLE_STREAMING_ZONE_SIGNALS_STATEFUL,
+    # r10: completed-bucket VPIN — the batch SQL restricted to
+    # bucket < max(bucket) per series (see the query docstring)
+    "streaming_vpin_stateful": _streaming_vpin_oracle(),
 }

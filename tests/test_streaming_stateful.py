@@ -131,3 +131,45 @@ def test_transformwithstate_processor_matches_golden():
     ]
     assert abs(out2["signal_strength"].iloc[0] - 35.0) < 1e-9
     proc.close()
+
+
+def test_vpin_fold_cross_batch_carriage_matches_one_shot():
+    """Splitting the tick series at ANY point and folding with
+    carried state must equal the one-shot fold — and at least one
+    split must emit, in its second half, a bucket whose flow began
+    in the first half (state actually rides the store)."""
+    import pandas as pd
+
+    from fin_trade_craft_spark.streaming.stateful_vpin import _fold
+
+    T, W = 500, 3
+    # deterministic synthetic ticks: alternating drift, enough
+    # dollars for ~12 buckets of size T
+    vals = [(97 + (i * 37) % 130) for i in range(60)]
+    ticks = pd.DataFrame(
+        {"seq": range(60), "event_id": range(60), "cc": vals}
+    )
+
+    def run(chunks):
+        state = (None, 0, 0, None, 0, 0, [])
+        rows = []
+        for ch in chunks:
+            out, state = _fold(7, ch, T, W, *state)
+            rows.extend(out)
+        return rows, state
+
+    one_shot, st_one = run([ticks])
+    assert one_shot, "fixture must emit at least one VPIN row"
+    carriage_proven = False
+    for cut in range(1, 60):
+        a, b = ticks.iloc[:cut], ticks.iloc[cut:]
+        split_rows, st_split = run([a, b])
+        assert split_rows == one_shot
+        assert st_split == st_one
+        # does the second half emit a bucket the first half opened?
+        first_half, _ = run([a])
+        second = [r for r in split_rows if r not in first_half]
+        open_bucket_at_cut = run([a])[1][3]
+        if any(r[1] == open_bucket_at_cut for r in second):
+            carriage_proven = True
+    assert carriage_proven
