@@ -832,6 +832,97 @@ ORDER BY user_id, date
 """
 
 
+def cusum_sampled_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical event-driven labeling pipeline (López de Prado
+    2018 ch. 2-3 composed): sample entries with the symmetric CUSUM
+    filter — label ONLY where the market actually moved — then
+    attach the triple-barrier outcome at each sampled bar. Training
+    on these rows instead of every calendar bar is the book's
+    recommended defense against oversampled flat regimes.
+
+    Pure composition: the CUSUM island provides (user, date,
+    direction); the lead-array barrier scan provides (user, date,
+    label); one equi-join on the series key + date aligns them —
+    both sides already shuffle on user_id, and the events side is
+    fires-only (≪ bars), so the join is cheap at any scale. The
+    oracle composes the recursive-CTE walk with the barrier CTEs
+    the same way."""
+    fires = cusum_event_filter(spark, sf_dir).select("user_id", "date", "direction", "stat")
+    labels = triple_barrier_labels(spark, sf_dir).select(
+        "user_id", "date", "close", "label", "bars_to_hit"
+    )
+    return (
+        fires.join(labels, ["user_id", "date"])
+        .select(
+            "user_id",
+            "date",
+            "close",
+            "direction",
+            "stat",
+            "label",
+            "bars_to_hit",
+            # did the barrier outcome agree with the drift direction
+            # that triggered the sample?
+            F.when(F.col("direction") * F.col("label") == 1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("drift_confirmed"),
+        )
+        .orderBy("user_id", "date")
+    )
+
+
+ORACLE_CUSUM_SAMPLED_LABELS = f"""WITH RECURSIVE {_BARS_CTE[len("WITH "):]},
+{_HITS_CTE.lstrip()},
+rbc AS (
+  SELECT user_id, date, rn,
+         CAST(CAST(close AS DECIMAL(18,2)) * 100 AS BIGINT) AS cc
+  FROM rb
+),
+walk AS (
+  SELECT user_id, rn, date, cc,
+         CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sm,
+         0 AS direction, CAST(0 AS BIGINT) AS stat
+  FROM rbc WHERE rn = 1
+  UNION ALL
+  SELECT user_id, rn, date, cc,
+         CASE WHEN nsp > {{H}} THEN 0 ELSE nsp END AS sp,
+         CASE WHEN nsp > {{H}} THEN nsm
+              WHEN nsm < -{{H}} THEN 0 ELSE nsm END AS sm,
+         CASE WHEN nsp > {{H}} THEN 1
+              WHEN nsm < -{{H}} THEN -1 ELSE 0 END AS direction,
+         CASE WHEN nsp > {{H}} THEN nsp
+              WHEN nsm < -{{H}} THEN -nsm
+              ELSE CAST(0 AS BIGINT) END AS stat
+  FROM (
+    SELECT b.user_id, b.rn, b.date, b.cc,
+           GREATEST(CAST(0 AS BIGINT), w.sp + (b.cc - w.cc)) AS nsp,
+           LEAST(CAST(0 AS BIGINT), w.sm + (b.cc - w.cc)) AS nsm
+    FROM walk w
+    JOIN rbc b ON b.user_id = w.user_id AND b.rn = w.rn + 1
+  )
+),
+lab AS (
+  SELECT rb.user_id, rb.date, rb.close,
+    CAST(CASE WHEN {_SQL_UP_WINS} THEN 1
+              WHEN h.first_dn IS NOT NULL THEN -1 ELSE 0 END AS INT) AS label,
+    CAST(CASE WHEN {_SQL_UP_WINS} THEN h.first_up
+              WHEN h.first_dn IS NOT NULL THEN h.first_dn END AS INT) AS bars_to_hit
+  FROM rb LEFT JOIN h ON rb.user_id = h.user_id AND rb.rn = h.rn
+)
+SELECT w.user_id, w.date, lab.close,
+       CAST(w.direction AS INT) AS direction,
+       CAST(w.stat AS DOUBLE) / 100e0 AS stat,
+       lab.label, lab.bars_to_hit,
+       CAST(CASE WHEN w.direction * lab.label = 1 THEN 1 ELSE 0 END AS INT)
+         AS drift_confirmed
+FROM walk w
+JOIN lab ON w.user_id = lab.user_id AND w.date = lab.date
+WHERE w.direction <> 0
+ORDER BY w.user_id, w.date
+""".replace("{H}", str(CUSUM_H_CENTS))
+
+
 # Bet sizing consumes a bet only after this many prior outcomes
 BET_MIN_PRIOR = 5
 
@@ -905,6 +996,7 @@ QUERIES = {
     "meta_labels": meta_labels,
     "cusum_event_filter": cusum_event_filter,
     "bet_sizing_expanding": bet_sizing_expanding,
+    "cusum_sampled_labels": cusum_sampled_labels,
 }
 
 ORACLES = {
@@ -916,4 +1008,5 @@ ORACLES = {
     "meta_labels": ORACLE_META_LABELS,
     "cusum_event_filter": ORACLE_CUSUM_EVENT_FILTER,
     "bet_sizing_expanding": ORACLE_BET_SIZING_EXPANDING,
+    "cusum_sampled_labels": ORACLE_CUSUM_SAMPLED_LABELS,
 }

@@ -379,3 +379,28 @@ def test_bet_sizing_expanding_matches_walk(spark):
         assert (r["side"], r["prior_bets"], r["prior_hits"]) == (side, bets, hits)
         assert r["bet_size"] == size
         assert -1.0 <= r["bet_size"] <= 1.0
+
+
+def test_cusum_sampled_labels_compose(spark):
+    from fin_trade_craft_spark.queries.fin_ml import (
+        cusum_sampled_labels,
+        triple_barrier_labels,
+    )
+
+    fires = {(r["user_id"], r["date"]): r for r in cusum_event_filter(spark, SF_SMOKE).collect()}
+    labels = {
+        (r["user_id"], r["date"]): r for r in triple_barrier_labels(spark, SF_SMOKE).collect()
+    }
+    got = cusum_sampled_labels(spark, SF_SMOKE).collect()
+    # every fire date has a bar, so the inner join keeps all fires
+    assert len(got) == len(fires)
+    for r in got:
+        k = (r["user_id"], r["date"])
+        f, l = fires[k], labels[k]
+        assert (r["direction"], r["stat"]) == (f["direction"], f["stat"])
+        assert (r["label"], r["bars_to_hit"], r["close"]) == (
+            l["label"],
+            l["bars_to_hit"],
+            l["close"],
+        )
+        assert r["drift_confirmed"] == (1 if r["direction"] == r["label"] else 0)
