@@ -156,6 +156,7 @@ def bench_query_names() -> list[str]:
         "volatility_estimators",
         "vpin_dollar_buckets",
         "bet_sizing_expanding",
+        "cusum_sampled_labels",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -299,15 +299,21 @@ def cross_sectional_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (inner join ⇒ only co-traded days count)."""
     from .fin_domain import ohlcv_resample
 
+    from ..operators.pinning import pin_on_first_action
+
     bars = ohlcv_resample(spark, sf_dir).select(
         "user_id", "date", F.col("close").cast("decimal(18,2)").alias("close_d")
     )
     w = Window.partitionBy("user_id").orderBy("date")
+    # rets feeds four branches (top-K count, the semi-join filter,
+    # and both sides of the pair join) — pin it so the bar/window
+    # pipeline runs once, not 4× (pin-on-first-action, the repo's
+    # shared-branch discipline; the frame is bar-sized)
     rets = bars.select(
         "user_id",
         "date",
         (F.col("close_d") - F.lag("close_d").over(w)).alias("dp"),
-    ).filter(F.col("dp").isNotNull())
+    ).filter(F.col("dp").isNotNull()).persist()
     topk = (
         rets.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_bars"))
@@ -335,11 +341,12 @@ def cross_sectional_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.expr(
         "nullif(sqrt(n_days * sxx - sx * sx) * sqrt(n_days * syy - sy * sy), 0d)"
     )
-    return (
+    result = (
         m.filter(F.col("n_days") >= 3)
         .select("user_a", "user_b", "n_days", corr.alias("corr_dp"))
         .orderBy("user_a", "user_b")
     )
+    return pin_on_first_action(result, [rets])
 
 
 ORACLE_CROSS_SECTIONAL_CORRELATION = f"""
