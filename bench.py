@@ -157,6 +157,7 @@ def bench_query_names() -> list[str]:
         "vpin_dollar_buckets",
         "bet_sizing_expanding",
         "cusum_sampled_labels",
+        "realized_variance_jumps",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -758,6 +758,109 @@ ORDER BY user_id, bucket
 """
 
 
+# Jump test: flag days where RV exceeds bipower variation by this
+# relative margin (BNS 2004 use asymptotic critical values; the
+# fixture's ~3 ticks/day is far from asymptotia, so a fixed margin
+# is the honest pinned rule)
+RV_JUMP_MARGIN = 0.5
+
+
+def realized_variance_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily realized variance vs bipower variation with a jump
+    flag (Barndorff-Nielsen & Shephard 2004): RV = Σ Δp², BPV =
+    (π/2)·Σ|Δp_i||Δp_{i−1}| over INTRADAY tick changes; BPV is
+    jump-robust, so RV ≫ BPV marks days whose variance came from a
+    price jump rather than diffusion — the event screen a
+    volatility desk runs before trusting a vol estimate.
+
+    Exactness: intraday Δp are integer cents (lag within the
+    (user, day) partition), so Σd² and Σ|d_i||d_{i−1}| are EXACT
+    integer sums — no sorted-fold needed at all; the only floats
+    are the final /10000 rescale and the embedded 17-digit π/2
+    literal, one agreed tree.
+
+    Scale shape: one (user, day)-keyed window + hash aggregate —
+    tick-linear; output is series×days rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    w = Window.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("date"),
+        "ts",
+        "event_id",
+        cents.alias("cc"),
+    ).select(
+        "user_id",
+        "date",
+        "ts",
+        "event_id",
+        (F.col("cc") - F.lag("cc").over(w)).alias("d"),
+    ).select(
+        "user_id",
+        "date",
+        "d",
+        F.lag("d").over(w).alias("d_prev"),
+    )
+    half_pi = F.expr(_lit17(_math.pi / 2.0))
+    agg = t.groupBy("user_id", "date").agg(
+        F.count(F.when(F.col("d").isNotNull(), 1)).alias("n_moves"),
+        F.sum(F.col("d") * F.col("d")).alias("rv_c"),
+        F.sum(F.abs(F.col("d")) * F.abs(F.col("d_prev"))).alias("bp_c"),
+    )
+    rv = F.col("rv_c").cast("double") / F.lit(10000.0)
+    bpv = half_pi * (F.col("bp_c").cast("double") / F.lit(10000.0))
+    return (
+        agg.filter(F.col("n_moves") >= 2)
+        .select(
+            "user_id",
+            "date",
+            "n_moves",
+            rv.alias("rv"),
+            bpv.alias("bpv"),
+            (rv > (F.lit(1.0) + F.lit(RV_JUMP_MARGIN)) * bpv).alias("jump_flag"),
+        )
+        .orderBy("user_id", "date")
+    )
+
+
+def _rv_oracle() -> str:
+    half_pi = _lit17(_math.pi / 2.0)
+    return f"""
+WITH c AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS date, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cc
+  FROM events
+),
+d1 AS (
+  SELECT user_id, date, ts, event_id,
+         cc - LAG(cc) OVER (PARTITION BY user_id, date ORDER BY ts, event_id) AS d
+  FROM c
+),
+d AS (
+  SELECT user_id, date, d,
+         LAG(d) OVER (PARTITION BY user_id, date ORDER BY ts, event_id) AS d_prev
+  FROM d1
+),
+a AS (
+  SELECT user_id, date,
+         COUNT(CASE WHEN d IS NOT NULL THEN 1 END) AS n_moves,
+         CAST(SUM(d * d) AS BIGINT) AS rv_c,
+         CAST(SUM(ABS(d) * ABS(d_prev)) AS BIGINT) AS bp_c
+  FROM d GROUP BY user_id, date
+)
+SELECT user_id, date, n_moves,
+       CAST(rv_c AS DOUBLE) / 10000.0 AS rv,
+       {half_pi} * (CAST(bp_c AS DOUBLE) / 10000.0) AS bpv,
+       (CAST(rv_c AS DOUBLE) / 10000.0)
+         > (1e0 + {RV_JUMP_MARGIN}) * ({half_pi} * (CAST(bp_c AS DOUBLE) / 10000.0))
+         AS jump_flag
+FROM a
+WHERE n_moves >= 2
+ORDER BY user_id, date
+"""
+
+
 QUERIES = {
     "dollar_bars": dollar_bars,
     "microstructure_liquidity": microstructure_liquidity,
@@ -765,6 +868,7 @@ QUERIES = {
     "volatility_estimators": volatility_estimators,
     "order_flow_imbalance": order_flow_imbalance,
     "vpin_dollar_buckets": vpin_dollar_buckets,
+    "realized_variance_jumps": realized_variance_jumps,
 }
 
 ORACLES = {
@@ -774,4 +878,5 @@ ORACLES = {
     "volatility_estimators": _vol_oracle(),
     "order_flow_imbalance": ORACLE_ORDER_FLOW_IMBALANCE,
     "vpin_dollar_buckets": ORACLE_VPIN_DOLLAR_BUCKETS,
+    "realized_variance_jumps": _rv_oracle(),
 }

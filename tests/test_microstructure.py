@@ -404,3 +404,31 @@ def test_cusum_sampled_labels_compose(spark):
             l["close"],
         )
         assert r["drift_confirmed"] == (1 if r["direction"] == r["label"] else 0)
+
+
+def test_realized_variance_jumps_matches_python_recompute(spark):
+    from fin_trade_craft_spark.queries.microstructure import (
+        RV_JUMP_MARGIN,
+        realized_variance_jumps,
+    )
+
+    got = {(r["user_id"], r["date"]): r for r in realized_variance_jumps(spark, SF_SMOKE).collect()}
+    ev = _events_pdf().sort_values(["ts", "event_id"]).copy()
+    ev["date"] = ev["ts"].dt.floor("D")
+    half_pi = math.pi / 2.0
+    n_checked = 0
+    for (uid, date), g in ev.groupby(["user_id", "date"]):
+        cc = [_cents(v) for v in g["value"]]
+        ds = [cc[i] - cc[i - 1] for i in range(1, len(cc))]
+        if len(ds) < 2:
+            assert (uid, date.to_pydatetime()) not in got
+            continue
+        rv_c = sum(d * d for d in ds)
+        bp_c = sum(abs(ds[i]) * abs(ds[i - 1]) for i in range(1, len(ds)))
+        r = got[(uid, date.to_pydatetime())]
+        assert r["n_moves"] == len(ds)
+        assert r["rv"] == rv_c / 10000.0
+        assert r["bpv"] == half_pi * (bp_c / 10000.0)
+        assert r["jump_flag"] == (r["rv"] > (1.0 + RV_JUMP_MARGIN) * r["bpv"])
+        n_checked += 1
+    assert n_checked == len(got)
