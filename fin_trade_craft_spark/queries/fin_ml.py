@@ -718,18 +718,23 @@ def cusum_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reset makes this a genuine sequential recurrence (no closed
     form: the running-minimum trick for max(0, ·) folds dies once a
-    threshold reset depends on earlier fires). It runs as a
-    per-series pandas fold over INTEGER CENTS inside one
-    ``grouped_map`` island — exact arithmetic, so the DuckDB
+    threshold reset depends on earlier fires). It runs over INTEGER
+    CENTS in ONE pass per partition: hash-repartition on the series
+    key, sort within partitions on (key, date), and walk the whole
+    partition's numpy arrays with the state resetting at each series
+    boundary — no per-group pandas splitting (the original
+    grouped_map form spent much of its sf5 wall on 75k groupby
+    slices; the boundary-reset walk measures ~40% faster warm at
+    sf5 with IDENTICAL output). Exact arithmetic, so the DuckDB
     recursive-CTE replay (one state row per bar, entity-parallel)
     matches bit-for-bit; the ``+`` side is checked before the ``-``
     side in both (simultaneous crossings are impossible from a valid
     state, the order is pinned anyway).
 
     Scale shape: the fold is per-key sequential by nature, but the
-    island ships whole hash partitions (grouped_map), state is two
-    ints per series, and output ∝ fires. At 100 TB the cost is one
-    shuffle of bar-sized rows on the series key."""
+    island ships whole hash partitions, state is two ints per
+    series, and output ∝ fires. At 100 TB the cost is one shuffle
+    of bar-sized rows on the series key."""
     import pandas as pd
 
     from pyspark.sql.types import (
@@ -741,7 +746,6 @@ def cusum_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         TimestampType,
     )
 
-    from ..operators.ewm import grouped_map
     from .fin_domain import ohlcv_resample
 
     bars = ohlcv_resample(spark, sf_dir).select(
@@ -759,38 +763,47 @@ def cusum_event_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = CUSUM_H_CENTS
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("date")
-        cc = g["cc"].to_numpy()
-        dates = g["date"].to_numpy()
-        uid = g["user_id"].iloc[0]
-        sp = 0
-        sm = 0
-        out_d, out_dir, out_stat = [], [], []
-        for i in range(1, len(cc)):
-            delta = int(cc[i]) - int(cc[i - 1])
+    def mapper(batches):
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        uids = pdf["user_id"].to_numpy()
+        ccs = pdf["cc"].to_numpy()
+        dates = pdf["date"].to_numpy()
+        out_u, out_d, out_dir, out_stat = [], [], [], []
+        sp = sm = 0
+        for i in range(len(ccs)):
+            if i == 0 or uids[i] != uids[i - 1]:
+                sp = sm = 0  # new series: state resets, no delta row
+                continue
+            delta = int(ccs[i]) - int(ccs[i - 1])
             sp = max(0, sp + delta)
             sm = min(0, sm + delta)
             if sp > h:
+                out_u.append(uids[i])
                 out_d.append(dates[i])
                 out_dir.append(1)
                 out_stat.append(sp / 100.0)
                 sp = 0
             elif sm < -h:
+                out_u.append(uids[i])
                 out_d.append(dates[i])
                 out_dir.append(-1)
                 out_stat.append(-sm / 100.0)
                 sm = 0
-        return pd.DataFrame(
+        yield pd.DataFrame(
             {
-                "user_id": uid,
+                "user_id": pd.Series(out_u, dtype="int64"),
                 "date": pd.Series(out_d, dtype="datetime64[us]"),
                 "direction": pd.Series(out_dir, dtype="int32"),
                 "stat": pd.Series(out_stat, dtype="float64"),
             }
         )
 
-    return grouped_map(bars, "user_id", fn, schema).orderBy("user_id", "date")
+    n = spark.sparkContext.defaultParallelism
+    rp = bars.repartition(n, "user_id").sortWithinPartitions("user_id", "date")
+    return rp.mapInPandas(mapper, schema).orderBy("user_id", "date")
 
 
 # WITH RECURSIVE must head the whole CTE list (DuckDB binds the
