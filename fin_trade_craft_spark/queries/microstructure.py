@@ -156,18 +156,19 @@ def microstructure_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "date",
         F.col("close").cast("decimal(18,2)").alias("close_d"),
-        F.col("traded_value").cast("decimal(12,2)").alias("dvol"),
+        F.col("traded_value").cast("decimal(18,2)").alias("dvol"),
     )
     w = Window.partitionBy("user_id").orderBy("date")
-    # dp capped at DECIMAL(12,2): |Δclose| is price-scale, so the
-    # narrower type keeps products within precision 38 in BOTH
-    # engines (a (19,2)×(19,2) product would overflow Spark's cap
-    # and round — silently, differently from DuckDB)
+    # dp re-capped at DECIMAL(18,2): the raw subtraction widens to
+    # (19,2), and a (19,2)x(19,2) product would overflow Spark's
+    # precision-38 cap and round — silently, differently from
+    # DuckDB. (18,2)x(18,2) stays inside the cap in BOTH engines
+    # (Spark 37, DuckDB 36) while covering 10^16-dollar magnitudes
     d = bars.select(
         "user_id",
         "date",
         "dvol",
-        (F.col("close_d") - F.lag("close_d").over(w)).cast("decimal(12,2)").alias("dp"),
+        (F.col("close_d") - F.lag("close_d").over(w)).cast("decimal(18,2)").alias("dp"),
     ).select(
         "user_id",
         "dvol",
@@ -178,7 +179,7 @@ def microstructure_liquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("dp") > 0, F.col("dvol"))
         .when(F.col("dp") < 0, -F.col("dvol"))
         .otherwise(F.lit(0))
-        .cast("decimal(12,2)")
+        .cast("decimal(18,2)")
     )
     agg = d.groupBy("user_id").agg(
         F.count(F.when(F.col("dp").isNotNull(), 1)).alias("n_moves"),
@@ -230,13 +231,13 @@ WITH t AS (
 bars AS (
   SELECT user_id, date,
          CAST(MIN(CASE WHEN rn_d = 1 THEN value END) AS DECIMAL(18,2)) AS close_d,
-         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(12,2)) AS dvol
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(18,2)) AS dvol
   FROM t GROUP BY user_id, date
 ),
 d0 AS (
   SELECT user_id, date, dvol,
          CAST(close_d - LAG(close_d) OVER (PARTITION BY user_id ORDER BY date)
-              AS DECIMAL(12,2)) AS dp
+              AS DECIMAL(18,2)) AS dp
   FROM bars
 ),
 d AS (
@@ -255,14 +256,14 @@ a AS (
     CAST(SUM(CASE WHEN dp IS NOT NULL THEN dvol END) AS DOUBLE) AS s_dvol,
     CAST(SUM(CASE WHEN dp IS NOT NULL THEN
       CASE WHEN dp > 0 THEN dvol WHEN dp < 0 THEN -dvol
-           ELSE CAST(0 AS DECIMAL(12,2)) END END) AS DOUBLE) AS k_sx,
+           ELSE CAST(0 AS DECIMAL(18,2)) END END) AS DOUBLE) AS k_sx,
     CAST(SUM(CASE WHEN dp IS NOT NULL THEN dp END) AS DOUBLE) AS k_sy,
     CAST(SUM((CASE WHEN dp > 0 THEN dvol WHEN dp < 0 THEN -dvol
-              ELSE CAST(0 AS DECIMAL(12,2)) END) * dp) AS DOUBLE) AS k_sxy,
+              ELSE CAST(0 AS DECIMAL(18,2)) END) * dp) AS DOUBLE) AS k_sxy,
     CAST(SUM((CASE WHEN dp > 0 THEN dvol WHEN dp < 0 THEN -dvol
-              ELSE CAST(0 AS DECIMAL(12,2)) END)
+              ELSE CAST(0 AS DECIMAL(18,2)) END)
            * (CASE WHEN dp > 0 THEN dvol WHEN dp < 0 THEN -dvol
-              ELSE CAST(0 AS DECIMAL(12,2)) END)) AS DOUBLE) AS k_sxx
+              ELSE CAST(0 AS DECIMAL(18,2)) END)) AS DOUBLE) AS k_sxx
   FROM d GROUP BY user_id
 )
 SELECT user_id, n_moves,
@@ -312,7 +313,7 @@ def cross_sectional_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = bars.select(
         "user_id",
         "date",
-        (F.col("close_d") - F.lag("close_d").over(w)).alias("dp"),
+        (F.col("close_d") - F.lag("close_d").over(w)).cast("decimal(18,2)").alias("dp"),
     ).filter(F.col("dp").isNotNull()).persist()
     topk = (
         rets.groupBy("user_id")
@@ -363,7 +364,8 @@ bars AS (
 ),
 rets AS (
   SELECT user_id, date,
-         close_d - LAG(close_d) OVER (PARTITION BY user_id ORDER BY date) AS dp
+         CAST(close_d - LAG(close_d) OVER (PARTITION BY user_id ORDER BY date)
+              AS DECIMAL(18,2)) AS dp
   FROM bars
   QUALIFY dp IS NOT NULL
 ),
