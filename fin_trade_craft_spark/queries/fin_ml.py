@@ -1000,6 +1000,187 @@ ORDER BY user_id, date
 """
 
 
+# Fixed global bucket edges (cents) for the discretized features —
+# data-independent bins keep the discretization engine-exact
+MI_ABS_DP_EDGES = (1_000, 3_000)  # |Δclose|: <$10, $10-30, ≥$30
+MI_VOL_EDGES = (2, 4)  # ticks/day: <2, 2-3, ≥4
+
+
+def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic feature ranking — the feature-selection
+    step of the fin-ML pipeline: mutual information (in nats)
+    between each candidate bar feature and the triple-barrier
+    label, estimated from joint counts over the whole panel.
+    Features are discretized with FIXED global bucket edges
+    (data-independent, hence engine-exact): momentum sign
+    (sign Δclose), |Δclose| magnitude tercile, and tick-count
+    tercile.
+
+    Exactness: every probability is a ratio of exact integer
+    counts; each cell's term ``(c_xy/N)·log10(c_xy·N/(c_x·c_y))``
+    is one per-cell double expression (log10 + the embedded ln(10)
+    rescale, the volatility-panel discipline), and the per-feature
+    sum folds the ≤9 cell terms in ascending-double order;
+    round(12) absorbs the known 1-ulp log10 divergence.
+
+    Scale shape: one (user-keyed) bar pass builds features, one
+    unpivot (constant ×3 fan-out), one (feature, bucket, label)
+    hash aggregate — marginals and cells are ≤ dozens of rows, the
+    joins are broadcasts. Panel-linear at any corpus size."""
+    from .fin_domain import ohlcv_resample
+
+    bars = ohlcv_resample(spark, sf_dir).select(
+        "user_id",
+        "date",
+        F.col("close").cast("decimal(18,2)").alias("close_d"),
+        "volume",
+    )
+    w = Window.partitionBy("user_id").orderBy("date")
+    dp_c = (
+        (F.col("close_d") - F.lag("close_d").over(w)) * 100
+    ).cast("bigint")
+    feat = bars.select("user_id", "date", "volume", dp_c.alias("dp_c")).filter(
+        F.col("dp_c").isNotNull()
+    )
+    lo_dp, hi_dp = MI_ABS_DP_EDGES
+    lo_v, hi_v = MI_VOL_EDGES
+    mom = F.when(F.col("dp_c") > 0, 1).when(F.col("dp_c") < 0, -1).otherwise(0)
+    mag = (
+        F.when(F.abs(F.col("dp_c")) < lo_dp, 0)
+        .when(F.abs(F.col("dp_c")) < hi_dp, 1)
+        .otherwise(2)
+    )
+    vol = (
+        F.when(F.col("volume") < lo_v, 0)
+        .when(F.col("volume") < hi_v, 1)
+        .otherwise(2)
+    )
+    labels = triple_barrier_labels(spark, sf_dir).select("user_id", "date", "label")
+    joined = (
+        feat.join(labels, ["user_id", "date"])
+        .select(
+            mom.cast("int").alias("m"),
+            mag.cast("int").alias("g"),
+            vol.cast("int").alias("v"),
+            "label",
+        )
+        .select(
+            F.expr(
+                "stack(3, 'momentum_sign', m, 'abs_dp_bucket', g, 'volume_bucket', v)"
+            ).alias("feature", "bucket"),
+            "label",
+        )
+    )
+    cells = joined.groupBy("feature", "bucket", "label").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    mx = cells.groupBy("feature", "bucket").agg(F.sum("c_xy").alias("c_x"))
+    my = cells.groupBy("feature", "label").agg(F.sum("c_xy").alias("c_y"))
+    mn = cells.groupBy("feature").agg(F.sum("c_xy").alias("n"))
+    ln10 = F.expr(_MI_LN10)
+    term = (
+        F.col("c_xy").cast("double")
+        / F.col("n").cast("double")
+        * (
+            F.log10(
+                F.col("c_xy").cast("double")
+                * F.col("n").cast("double")
+                / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+            )
+            * ln10
+        )
+    )
+    per_feat = (
+        cells.join(F.broadcast(mx), ["feature", "bucket"])
+        .join(F.broadcast(my), ["feature", "label"])
+        .join(F.broadcast(mn), "feature")
+        .select("feature", "n", term.alias("t"))
+        .groupBy("feature")
+        .agg(
+            F.min("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.array_sort(F.collect_list("t")).alias("ts"),
+        )
+    )
+    fold = F.aggregate(F.col("ts"), F.lit(0.0), lambda acc, x: acc + x)
+    return per_feat.select(
+        "feature",
+        "n_rows",
+        "n_cells",
+        F.round(fold, 12).alias("mi_nats"),
+    ).orderBy("feature")
+
+
+_MI_LN10 = f"CAST({__import__('math').log(10.0):.17e} AS DOUBLE)"
+
+
+ORACLE_FEATURE_MI_RANKING = f"""{_BARS_CTE},
+{_HITS_CTE.lstrip()},
+lab AS (
+  SELECT rb.user_id, rb.date,
+    CAST(CASE WHEN {_SQL_UP_WINS} THEN 1
+              WHEN h.first_dn IS NOT NULL THEN -1 ELSE 0 END AS INT) AS label
+  FROM rb LEFT JOIN h ON rb.user_id = h.user_id AND rb.rn = h.rn
+),
+volbars AS (
+  SELECT user_id, date, COUNT(*) AS volume
+  FROM t GROUP BY user_id, date
+),
+feat AS (
+  SELECT b.user_id, b.date, v.volume,
+         CAST((b.close_d2 - LAG(b.close_d2) OVER (PARTITION BY b.user_id ORDER BY b.date)) * 100 AS BIGINT) AS dp_c
+  FROM (SELECT user_id, date, CAST(close AS DECIMAL(18,2)) AS close_d2 FROM rb) b
+  JOIN volbars v ON b.user_id = v.user_id AND b.date = v.date
+),
+st AS (
+  SELECT u.feature, u.bucket, lab.label
+  FROM (
+    SELECT user_id, date, 'momentum_sign' AS feature,
+           CASE WHEN dp_c > 0 THEN 1 WHEN dp_c < 0 THEN -1 ELSE 0 END AS bucket
+    FROM feat WHERE dp_c IS NOT NULL
+    UNION ALL
+    SELECT user_id, date, 'abs_dp_bucket',
+           CASE WHEN ABS(dp_c) < {MI_ABS_DP_EDGES[0]} THEN 0
+                WHEN ABS(dp_c) < {MI_ABS_DP_EDGES[1]} THEN 1 ELSE 2 END
+    FROM feat WHERE dp_c IS NOT NULL
+    UNION ALL
+    SELECT user_id, date, 'volume_bucket',
+           CASE WHEN volume < {MI_VOL_EDGES[0]} THEN 0
+                WHEN volume < {MI_VOL_EDGES[1]} THEN 1 ELSE 2 END
+    FROM feat WHERE dp_c IS NOT NULL
+  ) u
+  JOIN lab ON u.user_id = lab.user_id AND u.date = lab.date
+),
+cells AS (
+  SELECT feature, bucket, label, COUNT(*) AS c_xy
+  FROM st GROUP BY feature, bucket, label
+),
+mx AS (SELECT feature, bucket, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY 1, 2),
+my AS (SELECT feature, label, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY 1, 2),
+mn AS (SELECT feature, CAST(SUM(c_xy) AS BIGINT) AS n FROM cells GROUP BY 1),
+terms AS (
+  SELECT cells.feature, mn.n,
+         CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE)
+           * (log10(CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))) * {_MI_LN10}) AS t
+  FROM cells
+  JOIN mx ON cells.feature = mx.feature AND cells.bucket = mx.bucket
+  JOIN my ON cells.feature = my.feature AND cells.label = my.label
+  JOIN mn ON cells.feature = mn.feature
+),
+a AS (
+  SELECT feature, MIN(n) AS n_rows, COUNT(*) AS n_cells,
+         list_sort(list(t)) AS ts
+  FROM terms GROUP BY feature
+)
+SELECT feature, n_rows, n_cells,
+       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
+                         (acc, x) -> acc + x), 12) AS mi_nats
+FROM a
+ORDER BY feature
+"""
+
+
 QUERIES = {
     "robust_outlier_mad": robust_outlier_mad,
     "purged_walkforward_splits": purged_walkforward_splits,
@@ -1010,6 +1191,7 @@ QUERIES = {
     "cusum_event_filter": cusum_event_filter,
     "bet_sizing_expanding": bet_sizing_expanding,
     "cusum_sampled_labels": cusum_sampled_labels,
+    "feature_mi_ranking": feature_mi_ranking,
 }
 
 ORACLES = {
@@ -1022,4 +1204,5 @@ ORACLES = {
     "cusum_event_filter": ORACLE_CUSUM_EVENT_FILTER,
     "bet_sizing_expanding": ORACLE_BET_SIZING_EXPANDING,
     "cusum_sampled_labels": ORACLE_CUSUM_SAMPLED_LABELS,
+    "feature_mi_ranking": ORACLE_FEATURE_MI_RANKING,
 }

@@ -432,3 +432,64 @@ def test_realized_variance_jumps_matches_python_recompute(spark):
         assert r["jump_flag"] == (r["rv"] > (1.0 + RV_JUMP_MARGIN) * r["bpv"])
         n_checked += 1
     assert n_checked == len(got)
+
+
+def test_feature_mi_ranking_matches_python_recompute(spark):
+    from collections import Counter
+
+    from fin_trade_craft_spark.queries.fin_ml import (
+        MI_ABS_DP_EDGES,
+        MI_VOL_EDGES,
+        feature_mi_ranking,
+        triple_barrier_labels,
+    )
+
+    got = {r["feature"]: r for r in feature_mi_ranking(spark, SF_SMOKE).collect()}
+    assert set(got) == {"momentum_sign", "abs_dp_bucket", "volume_bucket"}
+    labels = {
+        (r["user_id"], r["date"]): r["label"]
+        for r in triple_barrier_labels(spark, SF_SMOKE).collect()
+    }
+    ev = _events_pdf().sort_values(["ts", "event_id"]).copy()
+    ev["date"] = ev["ts"].dt.floor("D")
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        days = g.groupby("date")
+        prev = None
+        for date, gd in days:
+            cc = _cents(gd["value"].iloc[-1])
+            vol = len(gd)
+            if prev is not None:
+                rows.append((uid, date.to_pydatetime(), cc - prev, vol))
+            prev = cc
+    feats = {
+        "momentum_sign": lambda d, v: 1 if d > 0 else (-1 if d < 0 else 0),
+        "abs_dp_bucket": lambda d, v: 0
+        if abs(d) < MI_ABS_DP_EDGES[0]
+        else (1 if abs(d) < MI_ABS_DP_EDGES[1] else 2),
+        "volume_bucket": lambda d, v: 0
+        if v < MI_VOL_EDGES[0]
+        else (1 if v < MI_VOL_EDGES[1] else 2),
+    }
+    for fname, fn in feats.items():
+        cells = Counter()
+        for uid, date, d, v in rows:
+            cells[(fn(d, v), labels[(uid, date)])] += 1
+        n = sum(cells.values())
+        mx = Counter()
+        my = Counter()
+        for (b, l), c in cells.items():
+            mx[b] += c
+            my[l] += c
+        terms = sorted(
+            (c / n) * math.log(c * n / (mx[b] * my[l])) for (b, l), c in cells.items()
+        )
+        acc = 0.0
+        for t in terms:
+            acc += t
+        r = got[fname]
+        assert r["n_rows"] == n
+        assert r["n_cells"] == len(cells)
+        # engine path goes log10*ln10 with round(12); compare at 1e-9
+        assert abs(r["mi_nats"] - acc) < 1e-9
+        assert r["mi_nats"] >= -1e-9  # MI is non-negative
