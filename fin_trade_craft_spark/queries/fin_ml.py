@@ -584,6 +584,152 @@ ORDER BY lbl.user_id, lbl.date
 """
 
 
+# Dynamic triple-barrier: rolling-σ window and barrier width
+TBD_VOL_N = 10  # Δclose std window (full windows only)
+TBD_K = "2.0e0"  # barrier half-width in σ units
+
+
+def triple_barrier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-barrier labeling with VOLATILITY-SCALED barriers —
+    the book's actual formulation (López de Prado 2018 ch. 3.2 sets
+    horizontal barriers at a multiple of the estimated daily vol,
+    not at fixed percentages): barrier half-width = 2σ where σ is
+    the trailing 10-bar std of Δclose, so quiet series label on
+    small moves and volatile ones need proportionally larger moves.
+
+    Exactness: Δclose and its square accumulate in exact DECIMAL
+    window sums (segment-tree-order-free), σ and the barrier levels
+    are one agreed double tree per row, and the lead-array scan
+    compares raw close doubles against those deterministic levels —
+    the fixed-barrier query's machinery with per-row thresholds.
+    Bars without a full σ window are excluded (documented burn-in).
+
+    Scale shape: identical to ``triple_barrier_labels`` — one
+    window pass per series key (σ sums + lead array + row index
+    share the sort), no join, no Python."""
+    from .fin_domain import ohlcv_resample
+
+    bars = ohlcv_resample(spark, sf_dir).select("user_id", "date", "close")
+    w = Window.partitionBy("user_id").orderBy("date")
+    wv = w.rowsBetween(-(TBD_VOL_N - 1), Window.currentRow)
+    close_d = F.col("close").cast("decimal(18,2)")
+    dp = (close_d - F.lag(close_d).over(w)).cast("decimal(18,2)")
+    base = bars.select(
+        "user_id",
+        "date",
+        "close",
+        F.row_number().over(w).alias("rn"),
+        dp.alias("dp"),
+    )
+    base = base.select(
+        "user_id",
+        "date",
+        "close",
+        "rn",
+        F.count(F.when(F.col("dp").isNotNull(), 1)).over(wv).alias("nv"),
+        F.sum("dp").over(wv).cast("double").alias("s1"),
+        F.sum(F.col("dp") * F.col("dp")).over(wv).cast("double").alias("s2"),
+        F.array(*[F.lead("close", i).over(w) for i in range(1, TB_HORIZON + 1)]).alias(
+            "leads"
+        ),
+    )
+    nv = F.col("nv").cast("double")
+    sigma = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            (nv * F.col("s2") - F.col("s1") * F.col("s1")) / (nv * (nv - F.lit(1.0))),
+        )
+    )
+    scored = base.filter(F.col("nv") == TBD_VOL_N).select(
+        "user_id",
+        "date",
+        "close",
+        "leads",
+        sigma.alias("sigma"),
+    )
+    up = F.col("close") + F.expr(TBD_K) * F.col("sigma")
+    dn = F.col("close") - F.expr(TBD_K) * F.col("sigma")
+    first_up = F.expr(
+        f"array_min(filter(sequence(1, {TB_HORIZON}),"
+        f" i -> get(leads, i - 1) >= close + {TBD_K} * sigma))"
+    )
+    first_dn = F.expr(
+        f"array_min(filter(sequence(1, {TB_HORIZON}),"
+        f" i -> get(leads, i - 1) <= close - {TBD_K} * sigma))"
+    )
+    hit = scored.select(
+        "user_id",
+        "date",
+        "close",
+        "sigma",
+        first_up.alias("first_up"),
+        first_dn.alias("first_dn"),
+    )
+    up_wins = F.col("first_up").isNotNull() & (
+        F.col("first_dn").isNull() | (F.col("first_up") <= F.col("first_dn"))
+    )
+    label = (
+        F.when(up_wins, 1).when(F.col("first_dn").isNotNull(), -1).otherwise(0)
+    ).cast("int")
+    bars_to_hit = (
+        F.when(up_wins, F.col("first_up")).when(
+            F.col("first_dn").isNotNull(), F.col("first_dn")
+        )
+    ).cast("int")
+    return hit.select(
+        "user_id",
+        "date",
+        "close",
+        "sigma",
+        label.alias("label"),
+        bars_to_hit.alias("bars_to_hit"),
+    ).orderBy("user_id", "date")
+
+
+ORACLE_TRIPLE_BARRIER_DYNAMIC = f"""{_BARS_CTE},
+dpb AS (
+  SELECT user_id, date, close, rn,
+         CAST(CAST(close AS DECIMAL(18,2))
+              - LAG(CAST(close AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY date)
+              AS DECIMAL(18,2)) AS dp
+  FROM rb
+),
+sg AS (
+  SELECT user_id, date, close, rn,
+         COUNT(CASE WHEN dp IS NOT NULL THEN 1 END) OVER wv AS nv,
+         CAST(SUM(dp) OVER wv AS DOUBLE) AS s1,
+         CAST(SUM(dp * dp) OVER wv AS DOUBLE) AS s2
+  FROM dpb
+  WINDOW wv AS (PARTITION BY user_id ORDER BY date
+                ROWS BETWEEN {TBD_VOL_N - 1} PRECEDING AND CURRENT ROW)
+),
+sc AS (
+  SELECT user_id, date, close, rn,
+         SQRT(GREATEST(0e0,
+              (CAST(nv AS DOUBLE) * s2 - s1 * s1)
+                / (CAST(nv AS DOUBLE) * (CAST(nv AS DOUBLE) - 1e0)))) AS sigma
+  FROM sg WHERE nv = {TBD_VOL_N}
+),
+hd AS (
+  SELECT a.user_id, a.rn,
+         MIN(CASE WHEN b.close >= a.close + {TBD_K} * a.sigma THEN b.rn - a.rn END) AS first_up,
+         MIN(CASE WHEN b.close <= a.close - {TBD_K} * a.sigma THEN b.rn - a.rn END) AS first_dn
+  FROM sc a JOIN rb b
+    ON a.user_id = b.user_id AND b.rn > a.rn AND b.rn <= a.rn + {TB_HORIZON}
+  GROUP BY a.user_id, a.rn
+)
+SELECT sc.user_id, sc.date, sc.close, sc.sigma,
+  CAST(CASE WHEN hd.first_up IS NOT NULL
+                 AND (hd.first_dn IS NULL OR hd.first_up <= hd.first_dn) THEN 1
+            WHEN hd.first_dn IS NOT NULL THEN -1 ELSE 0 END AS INT) AS label,
+  CAST(CASE WHEN hd.first_up IS NOT NULL
+                 AND (hd.first_dn IS NULL OR hd.first_up <= hd.first_dn) THEN hd.first_up
+            WHEN hd.first_dn IS NOT NULL THEN hd.first_dn END AS INT) AS bars_to_hit
+FROM sc LEFT JOIN hd ON sc.user_id = hd.user_id AND sc.rn = hd.rn
+ORDER BY sc.user_id, sc.date
+"""
+
+
 # Meta-labeling primary model: 5-bar momentum (close vs SMA-5),
 # decided by the exact-decimal compare 5·close vs Σ(last 5 closes)
 META_SMA_N = 5
@@ -1192,6 +1338,7 @@ QUERIES = {
     "bet_sizing_expanding": bet_sizing_expanding,
     "cusum_sampled_labels": cusum_sampled_labels,
     "feature_mi_ranking": feature_mi_ranking,
+    "triple_barrier_dynamic": triple_barrier_dynamic,
 }
 
 ORACLES = {
@@ -1205,4 +1352,5 @@ ORACLES = {
     "bet_sizing_expanding": ORACLE_BET_SIZING_EXPANDING,
     "cusum_sampled_labels": ORACLE_CUSUM_SAMPLED_LABELS,
     "feature_mi_ranking": ORACLE_FEATURE_MI_RANKING,
+    "triple_barrier_dynamic": ORACLE_TRIPLE_BARRIER_DYNAMIC,
 }

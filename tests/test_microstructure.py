@@ -493,3 +493,53 @@ def test_feature_mi_ranking_matches_python_recompute(spark):
         # engine path goes log10*ln10 with round(12); compare at 1e-9
         assert abs(r["mi_nats"] - acc) < 1e-9
         assert r["mi_nats"] >= -1e-9  # MI is non-negative
+
+
+def test_triple_barrier_dynamic_matches_python_recompute(spark):
+    from fin_trade_craft_spark.queries.fin_ml import (
+        TB_HORIZON,
+        TBD_VOL_N,
+        triple_barrier_dynamic,
+    )
+
+    got = {(r["user_id"], r["date"]): r for r in triple_barrier_dynamic(spark, SF_SMOKE).collect()}
+    assert got
+    bars = _daily_bars(_events_pdf())
+    closes = {}
+    for uid, g in bars.groupby("user_id"):
+        closes[uid] = (list(g["date"]), list(g["close_c"]))
+    n_checked = 0
+    for uid, (dates, cc) in closes.items():
+        dps = [None] + [cc[i] - cc[i - 1] for i in range(1, len(cc))]
+        for i in range(len(cc)):
+            window = [d for d in dps[max(0, i - TBD_VOL_N + 1) : i + 1] if d is not None]
+            key = (uid, dates[i].to_pydatetime())
+            if len(window) != TBD_VOL_N:
+                assert key not in got
+                continue
+            nv = float(TBD_VOL_N)
+            s1 = float(sum(window)) / 100.0
+            s2 = float(sum(d * d for d in window)) / 10000.0
+            sigma = math.sqrt(max(0.0, (nv * s2 - s1 * s1) / (nv * (nv - 1.0))))
+            r = got[key]
+            assert r["sigma"] == sigma
+            close = cc[i] / 100.0
+            # replay the barrier scan against raw lead closes
+            first_up = first_dn = None
+            for k in range(1, TB_HORIZON + 1):
+                if i + k >= len(cc):
+                    break
+                lead = cc[i + k] / 100.0
+                if first_up is None and lead >= close + 2.0 * sigma:
+                    first_up = k
+                if first_dn is None and lead <= close - 2.0 * sigma:
+                    first_dn = k
+            if first_up is not None and (first_dn is None or first_up <= first_dn):
+                exp_label, exp_hit = 1, first_up
+            elif first_dn is not None:
+                exp_label, exp_hit = -1, first_dn
+            else:
+                exp_label, exp_hit = 0, None
+            assert (r["label"], r["bars_to_hit"]) == (exp_label, exp_hit)
+            n_checked += 1
+    assert n_checked == len(got)
