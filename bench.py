@@ -158,6 +158,9 @@ def bench_query_names() -> list[str]:
         "bet_sizing_expanding",
         "cusum_sampled_labels",
         "realized_variance_jumps",
+        "feature_mi_ranking",
+        "triple_barrier_dynamic",
+        "return_moments",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

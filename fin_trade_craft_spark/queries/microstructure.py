@@ -863,6 +863,135 @@ ORDER BY user_id, date
 """
 
 
+def return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series higher-moment panel over daily close changes:
+    mean, population std, skewness (m3/m2^{3/2}) and EXCESS
+    kurtosis (m4/m2² − 3) — the tail-risk numbers every risk report
+    carries next to vol.
+
+    Exactness: the four raw power sums accumulate EXACTLY — Δp in
+    integer cents, Σd and Σd² as BIGINT, Σd³ and Σd⁴ through a
+    DECIMAL(19,0) hop so the 4th powers (up to ~2·10^18 per term)
+    survive both engines' precision caps without silent rounding —
+    then central moments and the ratios are one agreed double tree
+    (m2·sqrt(m2) instead of pow(·,1.5): pow is the classic
+    cross-libm 1-ulp trap). n ≥ 4 rows required for kurtosis to
+    mean anything.
+
+    Scale shape: one user-keyed window + hash aggregate, the
+    liquidity panel's plan with two more sums."""
+    from .fin_domain import ohlcv_resample
+
+    bars = ohlcv_resample(spark, sf_dir).select(
+        "user_id", "date", F.col("close").cast("decimal(18,2)").alias("close_d")
+    )
+    w = Window.partitionBy("user_id").orderBy("date")
+    dc = (
+        ((F.col("close_d") - F.lag("close_d").over(w)) * 100).cast("bigint")
+    ).alias("d")
+    d = bars.select("user_id", dc).filter(F.col("d").isNotNull())
+    d2 = F.col("d") * F.col("d")
+    d2_dec = d2.cast("decimal(19,0)")
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("s1c"),
+        F.sum(d2).alias("s2c"),
+        F.sum(d2_dec * F.col("d").cast("decimal(19,0)")).cast("double").alias("s3d_c"),
+        F.sum(d2_dec * d2_dec).cast("double").alias("s4d_c"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1c").cast("double") / F.lit(1e2)
+    s2 = F.col("s2c").cast("double") / F.lit(1e4)
+    s3 = F.col("s3d_c") / F.lit(1e6)
+    s4 = F.col("s4d_c") / F.lit(1e8)
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    skew = m3 / F.expr("nullif(__m2 * sqrt(__m2), 0d)")
+    kurt = m4 / F.expr("nullif(__m2 * __m2, 0d)") - F.lit(3.0)
+    return (
+        agg.filter(F.col("n") >= 4)
+        .withColumn("__m2", m2)
+        .select(
+            "user_id",
+            "n",
+            mean.alias("mean_dp"),
+            F.sqrt(F.greatest(F.lit(0.0), F.col("__m2"))).alias("std_dp"),
+            skew.alias("skew_dp"),
+            kurt.alias("ex_kurt_dp"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_RETURN_MOMENTS = """
+WITH t AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS date, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_d
+  FROM events
+),
+bars AS (
+  SELECT user_id, date,
+         CAST(MIN(CASE WHEN rn_d = 1 THEN value END) AS DECIMAL(18,2)) AS close_d
+  FROM t GROUP BY user_id, date
+),
+d AS (
+  SELECT user_id,
+         CAST((close_d - LAG(close_d) OVER (PARTITION BY user_id ORDER BY date)) * 100
+              AS BIGINT) AS d
+  FROM bars
+  QUALIFY d IS NOT NULL
+),
+a AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         CAST(SUM(d) AS BIGINT) AS s1c,
+         CAST(SUM(d * d) AS BIGINT) AS s2c,
+         CAST(SUM(CAST(d * d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS DOUBLE) AS s3d_c,
+         CAST(SUM(CAST(d * d AS DECIMAL(19,0)) * CAST(d * d AS DECIMAL(19,0))) AS DOUBLE) AS s4d_c
+  FROM d GROUP BY user_id
+),
+m AS (
+  SELECT user_id, n,
+         CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE) AS mean,
+         (CAST(s2c AS DOUBLE) / 1e4) / CAST(n AS DOUBLE)
+           - (CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE))
+             * (CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE)) AS m2,
+         (s3d_c / 1e6) / CAST(n AS DOUBLE)
+           - 3e0 * (CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE))
+                 * ((CAST(s2c AS DOUBLE) / 1e4) / CAST(n AS DOUBLE))
+           + 2e0 * (CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE))
+                 * (CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE))
+                 * (CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE)) AS m3,
+         (s4d_c / 1e8) / CAST(n AS DOUBLE)
+           - 4e0 * (CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE))
+                 * ((s3d_c / 1e6) / CAST(n AS DOUBLE))
+           + 6e0 * (CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE))
+                 * (CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE))
+                 * ((CAST(s2c AS DOUBLE) / 1e4) / CAST(n AS DOUBLE))
+           - 3e0 * (CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE))
+                 * (CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE))
+                 * (CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE))
+                 * (CAST(s1c AS DOUBLE) / 1e2 / CAST(n AS DOUBLE)) AS m4
+  FROM a
+)
+SELECT user_id, n, mean AS mean_dp,
+       SQRT(GREATEST(0e0, m2)) AS std_dp,
+       m3 / NULLIF(m2 * SQRT(m2), 0e0) AS skew_dp,
+       m4 / NULLIF(m2 * m2, 0e0) - 3e0 AS ex_kurt_dp
+FROM m
+WHERE n >= 4
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "dollar_bars": dollar_bars,
     "microstructure_liquidity": microstructure_liquidity,
@@ -871,6 +1000,7 @@ QUERIES = {
     "order_flow_imbalance": order_flow_imbalance,
     "vpin_dollar_buckets": vpin_dollar_buckets,
     "realized_variance_jumps": realized_variance_jumps,
+    "return_moments": return_moments,
 }
 
 ORACLES = {
@@ -881,4 +1011,5 @@ ORACLES = {
     "order_flow_imbalance": ORACLE_ORDER_FLOW_IMBALANCE,
     "vpin_dollar_buckets": ORACLE_VPIN_DOLLAR_BUCKETS,
     "realized_variance_jumps": _rv_oracle(),
+    "return_moments": ORACLE_RETURN_MOMENTS,
 }

@@ -543,3 +543,40 @@ def test_triple_barrier_dynamic_matches_python_recompute(spark):
             assert (r["label"], r["bars_to_hit"]) == (exp_label, exp_hit)
             n_checked += 1
     assert n_checked == len(got)
+
+
+def test_return_moments_matches_python_recompute(spark):
+    from fin_trade_craft_spark.queries.microstructure import return_moments
+
+    got = {r["user_id"]: r for r in return_moments(spark, SF_SMOKE).collect()}
+    assert got
+    bars = _daily_bars(_events_pdf())
+    for uid, g in bars.groupby("user_id"):
+        cc = list(g["close_c"])
+        ds = [cc[i] - cc[i - 1] for i in range(1, len(cc))]
+        if len(ds) < 4:
+            assert uid not in got
+            continue
+        n = float(len(ds))
+        s1 = float(sum(ds)) / 1e2
+        s2 = float(sum(d * d for d in ds)) / 1e4
+        s3 = float(sum(d**3 for d in ds)) / 1e6
+        s4 = float(sum(d**4 for d in ds)) / 1e8
+        mean = s1 / n
+        m2 = s2 / n - mean * mean
+        m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+        m4 = (
+            s4 / n
+            - 4.0 * mean * (s3 / n)
+            + 6.0 * mean * mean * (s2 / n)
+            - 3.0 * mean * mean * mean * mean
+        )
+        r = got[uid]
+        assert r["n"] == len(ds)
+        assert r["mean_dp"] == mean
+        assert r["std_dp"] == math.sqrt(max(0.0, m2))
+        if m2 > 0:
+            assert r["skew_dp"] == m3 / (m2 * math.sqrt(m2))
+            assert r["ex_kurt_dp"] == m4 / (m2 * m2) - 3.0
+            # sanity: excess kurtosis bounded below by skew²-2
+            assert r["ex_kurt_dp"] >= r["skew_dp"] ** 2 - 2.0 - 1e-9
