@@ -161,6 +161,7 @@ def bench_query_names() -> list[str]:
         "feature_mi_ranking",
         "triple_barrier_dynamic",
         "return_moments",
+        "tick_imbalance_bars",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -992,6 +992,203 @@ ORDER BY user_id
 """
 
 
+# Tick imbalance bars: initial expected bar size (signed ticks) and
+# its floor; the expectation adapts by integer EWMA (E+n) div 2
+TIB_E_INIT = 5
+TIB_E_MIN = 2
+
+
+def tick_imbalance_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick imbalance bars (López de Prado 2018 ch. 2.3.2.1,
+    deterministic integer variant): accumulate the tick-rule sign
+    imbalance θ = Σ b_i since bar start and close a bar the moment
+    |θ| reaches the adaptive expectation E; after each close,
+    E ← max(E_MIN, (E + n) div 2) where n is the closed bar's
+    signed-tick count — an INTEGER EWMA of realized bar sizes, so
+    trending flow (bars close in ~E ticks) keeps bars short and
+    choppy flow (n ≫ E) stretches them. The book's E[T]·|2P−1|
+    expectation needs float EWMAs of two series; this pinned
+    all-integer adaptation keeps the recurrence bit-exact in any
+    engine while preserving the self-calibrating behavior.
+
+    Because each signed tick moves θ by ±1, the threshold is hit
+    with EQUALITY — |θ| at close is exactly E, and the bar's
+    direction is sign(θ).
+
+    Sequential by construction (bar boundaries and the threshold
+    both depend on every earlier fire), so it runs in the CUSUM
+    island's whole-partition walk — one shuffle on the series key,
+    integer state (θ, E, n, seq) — and the DuckDB oracle replays it
+    with a per-signed-tick recursive CTE (depth = max signed ticks
+    per series, entity-parallel breadth)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = ev.select("user_id", "ts", "event_id", cents.alias("cc")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("cc") - F.lag("cc").over(w)).alias("dc"),
+    )
+    raw_sign = F.when(F.col("dc") > 0, 1).when(F.col("dc") < 0, -1)
+    signed = (
+        t.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.last(raw_sign, ignorenulls=True).over(wcum).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "b",
+            F.row_number().over(w).alias("srn"),
+        )
+    )
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("bar_seq", IntegerType()),
+            StructField("closed_at_event", LongType()),
+            StructField("n_signed", IntegerType()),
+            StructField("threshold", IntegerType()),
+            StructField("direction", IntegerType()),
+        ]
+    )
+    e_init, e_min = TIB_E_INIT, TIB_E_MIN
+
+    def mapper(batches):
+        parts = [x for x in batches if len(x)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        uids = pdf["user_id"].to_numpy()
+        evs = pdf["event_id"].to_numpy()
+        bs = pdf["b"].to_numpy()
+        out = []
+        theta = n_in = 0
+        e_cur = e_init
+        seq = 0
+        for i in range(len(uids)):
+            if i == 0 or uids[i] != uids[i - 1]:
+                theta, n_in, e_cur, seq = 0, 0, e_init, 0
+            theta += int(bs[i])
+            n_in += 1
+            if abs(theta) >= e_cur:
+                out.append(
+                    (
+                        int(uids[i]),
+                        seq,
+                        int(evs[i]),
+                        n_in,
+                        e_cur,
+                        1 if theta > 0 else -1,
+                    )
+                )
+                e_cur = max(e_min, (e_cur + n_in) // 2)
+                theta, n_in = 0, 0
+                seq += 1
+        yield pd.DataFrame(
+            out,
+            columns=[f.name for f in schema.fields],
+        ).astype(
+            {
+                "user_id": "int64",
+                "bar_seq": "int32",
+                "closed_at_event": "int64",
+                "n_signed": "int32",
+                "threshold": "int32",
+                "direction": "int32",
+            }
+        )
+
+    n_part = spark.sparkContext.defaultParallelism
+    rp = signed.repartition(n_part, "user_id").sortWithinPartitions("user_id", "srn")
+    return rp.mapInPandas(mapper, schema).orderBy("user_id", "bar_seq")
+
+
+ORACLE_TICK_IMBALANCE_BARS = f"""
+WITH RECURSIVE c AS (
+  SELECT user_id, ts, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cc
+  FROM events
+),
+d AS (
+  SELECT *, cc - LAG(cc) OVER w AS dc
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         LAST_VALUE(CASE WHEN dc > 0 THEN 1 WHEN dc < 0 THEN -1 END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b
+  FROM d
+),
+sg AS (
+  SELECT user_id, event_id, b,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS srn
+  FROM s WHERE b IS NOT NULL
+),
+walk AS (
+  -- post-state per signed tick (theta/n_in already reset, e_cur and
+  -- seq already advanced when the tick closed a bar); emit_* carry
+  -- the closed bar's facts for the final projection
+  SELECT user_id, srn, event_id,
+         CASE WHEN ABS(CAST(b AS INT)) >= {TIB_E_INIT} THEN 0 ELSE CAST(b AS INT) END AS theta,
+         CASE WHEN ABS(CAST(b AS INT)) >= {TIB_E_INIT} THEN 0 ELSE 1 END AS n_in,
+         CASE WHEN ABS(CAST(b AS INT)) >= {TIB_E_INIT}
+              THEN GREATEST({TIB_E_MIN}, ({TIB_E_INIT} + 1) // 2)
+              ELSE {TIB_E_INIT} END AS e_cur,
+         CASE WHEN ABS(CAST(b AS INT)) >= {TIB_E_INIT} THEN 1 ELSE 0 END AS seq,
+         (ABS(CAST(b AS INT)) >= {TIB_E_INIT}) AS closed,
+         0 AS emit_seq, 1 AS emit_n, {TIB_E_INIT} AS emit_thr,
+         CASE WHEN CAST(b AS INT) > 0 THEN 1 ELSE -1 END AS emit_dir
+  FROM sg WHERE srn = 1
+  UNION ALL
+  SELECT user_id, srn, event_id,
+         CASE WHEN fired THEN 0 ELSE ntheta END AS theta,
+         CASE WHEN fired THEN 0 ELSE nn END AS n_in,
+         CASE WHEN fired THEN GREATEST({TIB_E_MIN}, (ecur + nn) // 2)
+              ELSE ecur END AS e_cur,
+         CASE WHEN fired THEN pseq + 1 ELSE pseq END AS seq,
+         fired AS closed,
+         pseq AS emit_seq, nn AS emit_n, ecur AS emit_thr,
+         CASE WHEN ntheta > 0 THEN 1 ELSE -1 END AS emit_dir
+  FROM (
+    SELECT g.user_id, g.srn, g.event_id,
+           w.theta + CAST(g.b AS INT) AS ntheta,
+           w.n_in + 1 AS nn,
+           w.e_cur AS ecur,
+           w.seq AS pseq,
+           (ABS(w.theta + CAST(g.b AS INT)) >= w.e_cur) AS fired
+    FROM walk w
+    JOIN sg g ON g.user_id = w.user_id AND g.srn = w.srn + 1
+  )
+)
+SELECT user_id,
+       CAST(emit_seq AS INT) AS bar_seq,
+       event_id AS closed_at_event,
+       CAST(emit_n AS INT) AS n_signed,
+       CAST(emit_thr AS INT) AS threshold,
+       CAST(emit_dir AS INT) AS direction
+FROM walk
+WHERE closed
+ORDER BY user_id, bar_seq
+"""
+
+
 QUERIES = {
     "dollar_bars": dollar_bars,
     "microstructure_liquidity": microstructure_liquidity,
@@ -1001,6 +1198,7 @@ QUERIES = {
     "vpin_dollar_buckets": vpin_dollar_buckets,
     "realized_variance_jumps": realized_variance_jumps,
     "return_moments": return_moments,
+    "tick_imbalance_bars": tick_imbalance_bars,
 }
 
 ORACLES = {
@@ -1012,4 +1210,5 @@ ORACLES = {
     "vpin_dollar_buckets": ORACLE_VPIN_DOLLAR_BUCKETS,
     "realized_variance_jumps": _rv_oracle(),
     "return_moments": ORACLE_RETURN_MOMENTS,
+    "tick_imbalance_bars": ORACLE_TICK_IMBALANCE_BARS,
 }

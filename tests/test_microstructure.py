@@ -580,3 +580,43 @@ def test_return_moments_matches_python_recompute(spark):
             assert r["ex_kurt_dp"] == m4 / (m2 * m2) - 3.0
             # sanity: excess kurtosis bounded below by skew²-2
             assert r["ex_kurt_dp"] >= r["skew_dp"] ** 2 - 2.0 - 1e-9
+
+
+def test_tick_imbalance_bars_matches_python_replay(spark):
+    from fin_trade_craft_spark.queries.microstructure import (
+        TIB_E_INIT,
+        TIB_E_MIN,
+        tick_imbalance_bars,
+    )
+
+    got = tick_imbalance_bars(spark, SF_SMOKE).collect()
+    assert got
+    t = _tick_signs(_events_pdf())
+    t = t[t["sign"].notna()]
+    exp = []
+    for uid, g in t.groupby("user_id"):
+        theta = n_in = 0
+        e_cur, seq = TIB_E_INIT, 0
+        for _, r in g.iterrows():
+            theta += int(r["sign"])
+            n_in += 1
+            if abs(theta) >= e_cur:
+                exp.append(
+                    (uid, seq, int(r["event_id"]), n_in, e_cur, 1 if theta > 0 else -1)
+                )
+                e_cur = max(TIB_E_MIN, (e_cur + n_in) // 2)
+                theta, n_in = 0, 0
+                seq += 1
+    exp.sort()
+    assert len(got) == len(exp)
+    for row, e in zip(got, exp):
+        assert (
+            row["user_id"],
+            row["bar_seq"],
+            row["closed_at_event"],
+            row["n_signed"],
+            row["threshold"],
+            row["direction"],
+        ) == e
+        # threshold equality at close: |theta| hits E exactly
+        assert row["n_signed"] >= row["threshold"]
