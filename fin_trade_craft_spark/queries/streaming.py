@@ -1014,7 +1014,44 @@ ORDER BY user_id, bucket
 """
 
 
+def streaming_tick_bars_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-imbalance bars as a LIVE stream: the sign carry, the
+    open bar's (θ, n), the adaptive expectation E, and the bar
+    counter live in the state store
+    (streaming/stateful_tick_bars.py) and survive across
+    micro-batches — a bar accumulating in batch 0 closes and emits
+    in batch 1 with the threshold E carried through the store.
+
+    Because an imbalance bar closes ON the tick that reaches the
+    threshold (|θ| moves ±1 per signed tick), the streamed output
+    is IDENTICAL to the batch walk — the recursive-CTE oracle of
+    ``tick_imbalance_bars`` applies VERBATIM, with no
+    completed-only restriction (only each series' final partial
+    bar is absent from both). Events arrive as two time-sliced
+    micro-batches (the zone-machine staging)."""
+    from ..streaming.stateful_tick_bars import tick_bars_stateful
+    from .microstructure import TIB_E_INIT, TIB_E_MIN
+
+    ev = _events_stream_time_ordered(spark, sf_dir, n_batches=2)
+    ticks = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("seq"),
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("bigint").alias("cc"),
+    )
+    return _drain(
+        tick_bars_stateful(ticks, TIB_E_INIT, TIB_E_MIN), "append"
+    ).orderBy("user_id", "bar_seq")
+
+
+def _tick_bars_oracle() -> str:
+    from .microstructure import ORACLE_TICK_IMBALANCE_BARS
+
+    return ORACLE_TICK_IMBALANCE_BARS
+
+
 QUERIES = {
+    "streaming_tick_bars_stateful": streaming_tick_bars_stateful,
     "streaming_vpin_stateful": streaming_vpin_stateful,
     "streaming_corpus_ingest": streaming_corpus_ingest,
     "streaming_semdedup_ingest": streaming_semdedup_ingest,
@@ -1052,4 +1089,7 @@ ORACLES = {
     # r10: completed-bucket VPIN — the batch SQL restricted to
     # bucket < max(bucket) per series (see the query docstring)
     "streaming_vpin_stateful": _streaming_vpin_oracle(),
+    # r10: imbalance bars close ON their threshold tick, so the
+    # batch walk's recursive oracle applies verbatim
+    "streaming_tick_bars_stateful": _tick_bars_oracle(),
 }

@@ -173,3 +173,44 @@ def test_vpin_fold_cross_batch_carriage_matches_one_shot():
         if any(r[1] == open_bucket_at_cut for r in second):
             carriage_proven = True
     assert carriage_proven
+
+
+def test_tick_bars_fold_cross_batch_carriage_matches_one_shot():
+    """Split-anywhere ≡ one-shot for the imbalance-bar fold, and at
+    least one split emits, in its second half, a bar whose ticks
+    began accumulating in the first half."""
+    import pandas as pd
+
+    from fin_trade_craft_spark.streaming.stateful_tick_bars import _fold
+
+    E0, EMIN = 5, 2
+    vals = [(97 + (i * 37) % 130) for i in range(80)]
+    ticks = pd.DataFrame(
+        {"seq": range(80), "event_id": range(80), "cc": vals}
+    )
+
+    def run(chunks):
+        state = (None, 0, 0, 0, E0, 0)
+        rows = []
+        for ch in chunks:
+            out, state = _fold(3, ch, E0, EMIN, *state)
+            rows.extend(out)
+        return rows, state
+
+    one_shot, st_one = run([ticks])
+    assert one_shot, "fixture must close at least one bar"
+    carriage = False
+    for cut in range(1, 80):
+        a, b = ticks.iloc[:cut], ticks.iloc[cut:]
+        rows, st = run([a, b])
+        assert rows == one_shot
+        assert st == st_one
+        first_half, st_half = run([a])
+        if st_half[3] > 0 and len(rows) > len(first_half):
+            # open bar at the cut (n_in > 0) that closes later
+            nxt = rows[len(first_half)]
+            # the first post-cut close counts more signed ticks than
+            # arrived after the cut alone — its bar began before it
+            if nxt[3] > st_half[3]:
+                carriage = True
+    assert carriage
