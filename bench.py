@@ -162,6 +162,7 @@ def bench_query_names() -> list[str]:
         "triple_barrier_dynamic",
         "return_moments",
         "tick_imbalance_bars",
+        "drawdown_panel",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -1189,6 +1189,101 @@ ORDER BY user_id, bar_seq
 """
 
 
+def drawdown_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series drawdown ledger over the daily close path: peak
+    close, maximum drawdown (dollars and fraction-of-peak), and the
+    longest underwater spell (bars between consecutive new peaks) —
+    the numbers a risk memo quotes next to the return moments.
+
+    Exactness: the running peak is a DECIMAL window max (exact
+    compare), drawdowns are exact DECIMAL differences, and the only
+    doubles are per-row ratios whose per-user MAX is order-free
+    (max is associative — no fold discipline needed). The
+    underwater spell is pure integer rank arithmetic: a row is a
+    NEW PEAK iff close equals the running peak, and the spell is
+    ``rn − last_peak_rn``.
+
+    Scale shape: one window pass per series key (running max, rank,
+    last-peak carry share the sort) + one hash aggregate."""
+    from .fin_domain import ohlcv_resample
+
+    bars = ohlcv_resample(spark, sf_dir).select(
+        "user_id", "date", F.col("close").cast("decimal(18,2)").alias("close_d")
+    )
+    w = Window.partitionBy("user_id").orderBy("date")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = bars.select(
+        "user_id",
+        "close_d",
+        F.row_number().over(w).alias("rn"),
+        F.max("close_d").over(wcum).alias("peak"),
+    ).select(
+        "*",
+        (F.col("close_d") == F.col("peak")).alias("is_peak"),
+    )
+    wrn = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = t.select(
+        "*",
+        F.max(F.when(F.col("is_peak"), F.col("rn"))).over(wrn).alias("last_peak_rn"),
+    )
+    dd = F.col("peak") - F.col("close_d")
+    dd_frac = dd.cast("double") / F.col("peak").cast("double")
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("peak").cast("double").alias("peak_close"),
+            F.max(dd).cast("double").alias("max_dd"),
+            F.max(dd_frac).alias("max_dd_frac"),
+            F.max(F.col("rn") - F.col("last_peak_rn")).alias("longest_underwater"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_DRAWDOWN_PANEL = """
+WITH t0 AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS date, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_d
+  FROM events
+),
+bars AS (
+  SELECT user_id, date,
+         CAST(MIN(CASE WHEN rn_d = 1 THEN value END) AS DECIMAL(18,2)) AS close_d
+  FROM t0 GROUP BY user_id, date
+),
+p AS (
+  SELECT user_id, close_d,
+         ROW_NUMBER() OVER w AS rn,
+         MAX(close_d) OVER (PARTITION BY user_id ORDER BY date
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM bars
+  WINDOW w AS (PARTITION BY user_id ORDER BY date)
+),
+q AS (
+  SELECT *,
+         MAX(CASE WHEN close_d = peak THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_peak_rn
+  FROM p
+)
+SELECT user_id,
+       COUNT(*) AS n_days,
+       CAST(MAX(peak) AS DOUBLE) AS peak_close,
+       CAST(MAX(peak - close_d) AS DOUBLE) AS max_dd,
+       MAX(CAST(peak - close_d AS DOUBLE) / CAST(peak AS DOUBLE)) AS max_dd_frac,
+       CAST(MAX(rn - last_peak_rn) AS BIGINT) AS longest_underwater
+FROM q
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "dollar_bars": dollar_bars,
     "microstructure_liquidity": microstructure_liquidity,
@@ -1199,6 +1294,7 @@ QUERIES = {
     "realized_variance_jumps": realized_variance_jumps,
     "return_moments": return_moments,
     "tick_imbalance_bars": tick_imbalance_bars,
+    "drawdown_panel": drawdown_panel,
 }
 
 ORACLES = {
@@ -1211,4 +1307,5 @@ ORACLES = {
     "realized_variance_jumps": _rv_oracle(),
     "return_moments": ORACLE_RETURN_MOMENTS,
     "tick_imbalance_bars": ORACLE_TICK_IMBALANCE_BARS,
+    "drawdown_panel": ORACLE_DRAWDOWN_PANEL,
 }

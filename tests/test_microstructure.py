@@ -620,3 +620,32 @@ def test_tick_imbalance_bars_matches_python_replay(spark):
         ) == e
         # threshold equality at close: |theta| hits E exactly
         assert row["n_signed"] >= row["threshold"]
+
+
+def test_drawdown_panel_matches_python_recompute(spark):
+    from fin_trade_craft_spark.queries.microstructure import drawdown_panel
+
+    got = {r["user_id"]: r for r in drawdown_panel(spark, SF_SMOKE).collect()}
+    bars = _daily_bars(_events_pdf())
+    assert len(got) == bars["user_id"].nunique()
+    for uid, g in bars.groupby("user_id"):
+        cc = list(g["close_c"])
+        peak = dd_max = spell_max = 0
+        last_peak_i = 0
+        max_dd_frac = 0.0
+        for i, c in enumerate(cc):
+            if c >= peak:
+                peak = c
+            if c == peak:
+                last_peak_i = i
+            dd = peak - c
+            dd_max = max(dd_max, dd)
+            max_dd_frac = max(max_dd_frac, (dd / 100.0) / (peak / 100.0))
+            spell_max = max(spell_max, i - last_peak_i)
+        r = got[uid]
+        assert r["n_days"] == len(cc)
+        assert r["peak_close"] == peak / 100.0
+        assert r["max_dd"] == dd_max / 100.0
+        assert r["max_dd_frac"] == max_dd_frac
+        assert r["longest_underwater"] == spell_max
+        assert 0.0 <= r["max_dd_frac"] < 1.0
