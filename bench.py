@@ -163,6 +163,7 @@ def bench_query_names() -> list[str]:
         "return_moments",
         "tick_imbalance_bars",
         "drawdown_panel",
+        "pairs_spread_zscore",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -281,6 +281,54 @@ ORDER BY user_id
 """
 
 
+def _rets_from_bars(bars: DataFrame) -> DataFrame:
+    """Exact-decimal daily close changes from a (user_id, date,
+    close_d) bar frame — shared by the correlation panel and the
+    pairs-spread monitor (each caller decides what to persist/pin,
+    so no helper-owned frame can leak executor storage)."""
+    w = Window.partitionBy("user_id").orderBy("date")
+    return (
+        bars.select(
+            "user_id",
+            "date",
+            (F.col("close_d") - F.lag("close_d").over(w)).cast("decimal(18,2)").alias("dp"),
+        )
+        .filter(F.col("dp").isNotNull())
+    )
+
+
+def _corr_panel_from_rets(rets: DataFrame) -> DataFrame:
+    """The bounded top-K pairwise correlation panel over a rets
+    frame (user_id, date, dp): the cross_sectional_correlation body
+    without the output projection, reused by the pairs monitor."""
+    topk = (
+        rets.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_bars"))
+        .orderBy(F.desc("n_bars"), F.asc("user_id"))
+        .limit(XSECT_TOP_K)
+        .select("user_id")
+    )
+    sel = rets.join(F.broadcast(topk), "user_id")
+    a = sel.select(F.col("user_id").alias("user_a"), "date", F.col("dp").alias("x"))
+    b = sel.select(F.col("user_id").alias("user_b"), "date", F.col("dp").alias("y"))
+    pairs = a.join(F.broadcast(b), "date").filter(F.col("user_a") < F.col("user_b"))
+    m = pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.expr(
+        "nullif(sqrt(n_days * sxx - sx * sx) * sqrt(n_days * syy - sy * sy), 0d)"
+    )
+    return m.filter(F.col("n_days") >= 3).select(
+        "user_a", "user_b", "n_days", corr.alias("corr_dp")
+    )
+
+
 def cross_sectional_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation of daily close CHANGES across
     the K most active series — the input panel for portfolio
@@ -305,48 +353,12 @@ def cross_sectional_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = ohlcv_resample(spark, sf_dir).select(
         "user_id", "date", F.col("close").cast("decimal(18,2)").alias("close_d")
     )
-    w = Window.partitionBy("user_id").orderBy("date")
     # rets feeds four branches (top-K count, the semi-join filter,
     # and both sides of the pair join) — pin it so the bar/window
     # pipeline runs once, not 4× (pin-on-first-action, the repo's
     # shared-branch discipline; the frame is bar-sized)
-    rets = bars.select(
-        "user_id",
-        "date",
-        (F.col("close_d") - F.lag("close_d").over(w)).cast("decimal(18,2)").alias("dp"),
-    ).filter(F.col("dp").isNotNull()).persist()
-    topk = (
-        rets.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_bars"))
-        .orderBy(F.desc("n_bars"), F.asc("user_id"))
-        .limit(XSECT_TOP_K)
-        .select("user_id")
-    )
-    sel = rets.join(F.broadcast(topk), "user_id")
-    a = sel.select(
-        F.col("user_id").alias("user_a"), "date", F.col("dp").alias("x")
-    )
-    b = sel.select(
-        F.col("user_id").alias("user_b"), "date", F.col("dp").alias("y")
-    )
-    pairs = a.join(F.broadcast(b), "date").filter(F.col("user_a") < F.col("user_b"))
-    m = pairs.groupBy("user_a", "user_b").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-    )
-    n = F.col("n_days").cast("double")
-    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.expr(
-        "nullif(sqrt(n_days * sxx - sx * sx) * sqrt(n_days * syy - sy * sy), 0d)"
-    )
-    result = (
-        m.filter(F.col("n_days") >= 3)
-        .select("user_a", "user_b", "n_days", corr.alias("corr_dp"))
-        .orderBy("user_a", "user_b")
-    )
+    rets = _rets_from_bars(bars).persist()
+    result = _corr_panel_from_rets(rets).orderBy("user_a", "user_b")
     return pin_on_first_action(result, [rets])
 
 
@@ -1284,6 +1296,212 @@ ORDER BY user_id
 """
 
 
+# Pairs spread: trailing z-score window (full windows only)
+PAIRS_Z_WINDOW = 10
+
+
+def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs-trading spread monitor: pick the MOST correlated pair
+    from the top-K cross-sectional panel (in-plan argmax —
+    |corr| desc with deterministic tie-breaks, no driver collect),
+    fit the OLS hedge ratio β of close_a on close_b over their
+    common dates, and emit the spread ``close_a − β·close_b`` with
+    its trailing z-score — the entry/exit signal series of a
+    classic statistical-arbitrage book.
+
+    Exactness: β comes from exact DECIMAL close-level moment sums
+    in one agreed double tree; the spread is a per-row double; the
+    trailing mean/var fold the window's spread and spread² lists in
+    ascending-double order (the volatility-panel pattern; window =
+    {PAIRS_Z_WINDOW} rows).
+
+    Scale shape: rides the correlation panel's bounded K² frame;
+    the spread series itself is one pair's calendar — everything
+    after the panel is broadcast-sized."""
+    from ..operators.pinning import pin_on_first_action
+    from .fin_domain import ohlcv_resample
+
+    bars = ohlcv_resample(spark, sf_dir).select(
+        "user_id", "date", F.col("close").cast("decimal(18,2)").alias("close_d")
+    ).persist()
+    # panel built from THIS query's pinned bars (not the public
+    # correlation query, whose own persisted rets frame would be
+    # orphaned here — the pin-lifecycle leak ADVICE r09 flagged)
+    corr = _corr_panel_from_rets(_rets_from_bars(bars))
+    pair = (
+        corr.orderBy(
+            F.abs(F.col("corr_dp")).desc_nulls_last(), "user_a", "user_b"
+        )
+        .limit(1)
+        .select("user_a", "user_b")
+    )
+    a = bars.join(
+        F.broadcast(pair), F.col("user_id") == F.col("user_a")
+    ).select("user_a", "user_b", "date", F.col("close_d").alias("ca"))
+    b = bars.select(
+        F.col("user_id").alias("ub"), "date", F.col("close_d").alias("cb")
+    )
+    p = a.join(b, (F.col("user_b") == F.col("ub")) & (a["date"] == b["date"])).select(
+        "user_a", "user_b", a["date"].alias("date"), "ca", "cb"
+    )
+    mom = p.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cb").cast("double").alias("sx"),
+        F.sum("ca").cast("double").alias("sy"),
+        F.sum(F.col("cb") * F.col("ca")).cast("double").alias("sxy"),
+        F.sum(F.col("cb") * F.col("cb")).cast("double").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    beta = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.expr(
+        "nullif(cast(n as double) * sxx - sx * sx, 0d)"
+    )
+    betaf = mom.select("user_a", "user_b", beta.alias("beta"))
+    sp = p.join(F.broadcast(betaf), ["user_a", "user_b"]).select(
+        "user_a",
+        "user_b",
+        "date",
+        "beta",
+        (F.col("ca").cast("double") - F.col("beta") * F.col("cb").cast("double")).alias(
+            "spread"
+        ),
+    )
+    wz = (
+        Window.partitionBy("user_a", "user_b")
+        .orderBy("date")
+        .rowsBetween(-(PAIRS_Z_WINDOW - 1), Window.currentRow)
+    )
+    sp = sp.select(
+        "*",
+        F.array_sort(F.collect_list("spread").over(wz)).alias("tw"),
+        F.array_sort(
+            F.collect_list(F.col("spread") * F.col("spread")).over(wz)
+        ).alias("tw2"),
+    )
+
+    def fold(c):
+        return F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x)
+
+    wN = float(PAIRS_Z_WINDOW)
+    mean = fold("tw") / F.lit(wN)
+    var = fold("tw2") / F.lit(wN) - mean * mean
+    z = (F.col("spread") - mean) / F.expr(
+        "nullif(sqrt(greatest(0d, __var)), 0d)"
+    )
+    result = (
+        sp.filter(F.size("tw") == PAIRS_Z_WINDOW)
+        .withColumn("__var", var)
+        .select(
+            "user_a",
+            "user_b",
+            "date",
+            "beta",
+            "spread",
+            z.alias("z_spread"),
+        )
+        .orderBy("date")
+    )
+    return pin_on_first_action(result, [bars])
+
+
+def _pairs_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS date, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_d
+  FROM events
+),
+bars AS (
+  SELECT user_id, date,
+         CAST(MIN(CASE WHEN rn_d = 1 THEN value END) AS DECIMAL(18,2)) AS close_d
+  FROM t GROUP BY user_id, date
+),
+rets AS (
+  SELECT user_id, date,
+         CAST(close_d - LAG(close_d) OVER (PARTITION BY user_id ORDER BY date)
+              AS DECIMAL(18,2)) AS dp
+  FROM bars
+  QUALIFY dp IS NOT NULL
+),
+topk AS (
+  SELECT user_id FROM (
+    SELECT user_id, COUNT(*) AS n_bars FROM rets GROUP BY user_id
+  ) ORDER BY n_bars DESC, user_id ASC LIMIT {XSECT_TOP_K}
+),
+sel AS (SELECT r.* FROM rets r JOIN topk USING (user_id)),
+m AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         COUNT(*) AS n_days,
+         CAST(SUM(a.dp) AS DOUBLE) AS sx,
+         CAST(SUM(b.dp) AS DOUBLE) AS sy,
+         CAST(SUM(a.dp * b.dp) AS DOUBLE) AS sxy,
+         CAST(SUM(a.dp * a.dp) AS DOUBLE) AS sxx,
+         CAST(SUM(b.dp * b.dp) AS DOUBLE) AS syy
+  FROM sel a JOIN sel b ON a.date = b.date AND a.user_id < b.user_id
+  GROUP BY a.user_id, b.user_id
+),
+corr AS (
+  SELECT user_a, user_b,
+    (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+      / NULLIF(SQRT(CAST(n_days AS DOUBLE) * sxx - sx * sx)
+             * SQRT(CAST(n_days AS DOUBLE) * syy - sy * sy), 0e0) AS corr_dp
+  FROM m WHERE n_days >= 3
+),
+pair AS (
+  SELECT user_a, user_b FROM corr
+  ORDER BY (ABS(corr_dp) IS NULL), ABS(corr_dp) DESC, user_a, user_b
+  LIMIT 1
+),
+p AS (
+  SELECT pair.user_a, pair.user_b, a.date, a.close_d AS ca, b.close_d AS cb
+  FROM pair
+  JOIN bars a ON a.user_id = pair.user_a
+  JOIN bars b ON b.user_id = pair.user_b AND b.date = a.date
+),
+mo AS (
+  SELECT user_a, user_b,
+         COUNT(*) AS n,
+         CAST(SUM(cb) AS DOUBLE) AS sx,
+         CAST(SUM(ca) AS DOUBLE) AS sy,
+         CAST(SUM(cb * ca) AS DOUBLE) AS sxy,
+         CAST(SUM(cb * cb) AS DOUBLE) AS sxx
+  FROM p GROUP BY user_a, user_b
+),
+bf AS (
+  SELECT user_a, user_b,
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0e0) AS beta
+  FROM mo
+),
+sp AS (
+  SELECT p.user_a, p.user_b, p.date, bf.beta,
+         CAST(p.ca AS DOUBLE) - bf.beta * CAST(p.cb AS DOUBLE) AS spread
+  FROM p JOIN bf ON p.user_a = bf.user_a AND p.user_b = bf.user_b
+),
+tw AS (
+  SELECT *,
+         list_sort(list(spread) OVER wz) AS t1,
+         list_sort(list(spread * spread) OVER wz) AS t2
+  FROM sp
+  WINDOW wz AS (PARTITION BY user_a, user_b ORDER BY date
+                ROWS BETWEEN {PAIRS_Z_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_a, user_b, date, beta, spread,
+  (spread - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), t1), (acc, x) -> acc + x)
+            / {float(PAIRS_Z_WINDOW)!r})
+    / NULLIF(SQRT(GREATEST(0e0,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), t2), (acc, x) -> acc + x)
+          / {float(PAIRS_Z_WINDOW)!r}
+        - (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), t1), (acc, x) -> acc + x)
+           / {float(PAIRS_Z_WINDOW)!r})
+          * (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), t1), (acc, x) -> acc + x)
+             / {float(PAIRS_Z_WINDOW)!r}))), 0e0) AS z_spread
+FROM tw
+WHERE len(t1) = {PAIRS_Z_WINDOW}
+ORDER BY date
+"""
+
+
 QUERIES = {
     "dollar_bars": dollar_bars,
     "microstructure_liquidity": microstructure_liquidity,
@@ -1295,6 +1513,7 @@ QUERIES = {
     "return_moments": return_moments,
     "tick_imbalance_bars": tick_imbalance_bars,
     "drawdown_panel": drawdown_panel,
+    "pairs_spread_zscore": pairs_spread_zscore,
 }
 
 ORACLES = {
@@ -1308,4 +1527,5 @@ ORACLES = {
     "return_moments": ORACLE_RETURN_MOMENTS,
     "tick_imbalance_bars": ORACLE_TICK_IMBALANCE_BARS,
     "drawdown_panel": ORACLE_DRAWDOWN_PANEL,
+    "pairs_spread_zscore": _pairs_oracle(),
 }

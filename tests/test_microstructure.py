@@ -649,3 +649,60 @@ def test_drawdown_panel_matches_python_recompute(spark):
         assert r["max_dd_frac"] == max_dd_frac
         assert r["longest_underwater"] == spell_max
         assert 0.0 <= r["max_dd_frac"] < 1.0
+
+
+def test_pairs_spread_zscore_invariants(spark):
+    from fin_trade_craft_spark.queries.microstructure import (
+        PAIRS_Z_WINDOW,
+        pairs_spread_zscore,
+    )
+
+    rows = pairs_spread_zscore(spark, SF_SMOKE).collect()
+    assert rows
+    # exactly one pair, the argmax-|corr| one from the panel
+    pair = {(r["user_a"], r["user_b"]) for r in rows}
+    assert len(pair) == 1
+    corr = {
+        (r["user_a"], r["user_b"]): r["corr_dp"]
+        for r in cross_sectional_correlation(spark, SF_SMOKE).collect()
+        if r["corr_dp"] is not None
+    }
+    best = max(corr, key=lambda k: (abs(corr[k]), -k[0], -k[1]))
+    assert pair == {best}
+    beta = rows[0]["beta"]
+    assert all(r["beta"] == beta for r in rows)
+    # replay the trailing z from the emitted spreads requires the
+    # pre-window spreads too — recompute from bars directly
+    bars = _daily_bars(_events_pdf())
+    ua, ub = next(iter(pair))
+    ga = bars[bars["user_id"] == ua].set_index("date")["close_c"]
+    gb = bars[bars["user_id"] == ub].set_index("date")["close_c"]
+    common = sorted(set(ga.index) & set(gb.index))
+    n = float(len(common))
+    xs = [gb[d] for d in common]
+    ys = [ga[d] for d in common]
+    sx, sy = sum(xs) / 100.0, sum(ys) / 100.0
+    sxy = sum(x * y for x, y in zip(xs, ys)) / 10000.0
+    sxx = sum(x * x for x in xs) / 10000.0
+    exp_beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert beta == exp_beta
+    spreads = [ya / 100.0 - exp_beta * (xb / 100.0) for xb, ya in zip(xs, ys)]
+    got_by_date = {r["date"]: r for r in rows}
+    for i, d in enumerate(common):
+        if i < PAIRS_Z_WINDOW - 1:
+            assert d.to_pydatetime() not in got_by_date
+            continue
+        trail = sorted(spreads[i - PAIRS_Z_WINDOW + 1 : i + 1])
+        trail2 = sorted(s * s for s in spreads[i - PAIRS_Z_WINDOW + 1 : i + 1])
+        acc = 0.0
+        for x in trail:
+            acc += x
+        acc2 = 0.0
+        for x in trail2:
+            acc2 += x
+        mean = acc / PAIRS_Z_WINDOW
+        var = acc2 / PAIRS_Z_WINDOW - mean * mean
+        r = got_by_date[d.to_pydatetime()]
+        assert r["spread"] == spreads[i]
+        if var > 0:
+            assert r["z_spread"] == (spreads[i] - mean) / math.sqrt(var)
