@@ -1339,11 +1339,13 @@ def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(pair), F.col("user_id") == F.col("user_a")
     ).select("user_a", "user_b", "date", F.col("close_d").alias("ca"))
     b = bars.select(
-        F.col("user_id").alias("ub"), "date", F.col("close_d").alias("cb")
+        F.col("user_id").alias("ub"),
+        F.col("date").alias("date_b"),
+        F.col("close_d").alias("cb"),
     )
-    p = a.join(b, (F.col("user_b") == F.col("ub")) & (a["date"] == b["date"])).select(
-        "user_a", "user_b", a["date"].alias("date"), "ca", "cb"
-    )
+    p = a.join(
+        b, (F.col("user_b") == F.col("ub")) & (F.col("date") == F.col("date_b"))
+    ).select("user_a", "user_b", "date", "ca", "cb")
     mom = p.groupBy("user_a", "user_b").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cb").cast("double").alias("sx"),
