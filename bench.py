@@ -164,6 +164,7 @@ def bench_query_names() -> list[str]:
         "tick_imbalance_bars",
         "drawdown_panel",
         "pairs_spread_zscore",
+        "inverse_variance_weights",
     ]
     available = all_queries()
     return [q for q in preferred if q in available]

@@ -1504,6 +1504,125 @@ ORDER BY date
 """
 
 
+def inverse_variance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-variance portfolio allocation over the top-K active
+    series — the naive-risk-parity baseline every allocation study
+    starts from (and the leaf-level rule inside HRP): weight_i ∝
+    1/σ²_i over daily close changes, normalized to sum to 1.
+
+    Exactness: per-series variance comes from exact integer-cents
+    power sums in one agreed double tree (the return_moments
+    discipline); the cross-series normalizer Σ 1/σ² — a cross-row
+    DOUBLE sum — folds the K inverse variances in ascending-double
+    order (sorted-fold, K = {XSECT_TOP_K} values) and is broadcast
+    back as a 1-row frame (no unpartitioned window).
+
+    Scale shape: bounded by contract to the top-K panel; everything
+    after the per-series aggregate is K-row arithmetic."""
+    from .fin_domain import ohlcv_resample
+
+    bars = ohlcv_resample(spark, sf_dir).select(
+        "user_id", "date", F.col("close").cast("decimal(18,2)").alias("close_d")
+    )
+    rets = _rets_from_bars(bars)
+    topk = (
+        rets.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_bars"))
+        .orderBy(F.desc("n_bars"), F.asc("user_id"))
+        .limit(XSECT_TOP_K)
+        .select("user_id")
+    )
+    d = rets.join(F.broadcast(topk), "user_id").select(
+        "user_id", (F.col("dp") * 100).cast("bigint").alias("dc")
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dc").alias("s1c"),
+        F.sum(F.col("dc") * F.col("dc")).alias("s2c"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1c").cast("double") / F.lit(1e2)
+    s2 = F.col("s2c").cast("double") / F.lit(1e4)
+    var = (n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))
+    pv = agg.filter(F.col("n") >= 2).select(
+        "user_id",
+        "n",
+        var.alias("var_dp"),
+    ).filter(F.col("var_dp") > 0)
+    inv = (F.lit(1.0) / F.col("var_dp")).alias("inv_var")
+    pv = pv.select("*", inv)
+    tot = pv.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("inv_var")), F.lit(0.0), lambda a, x: a + x
+        ).alias("__tot")
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            "var_dp",
+            (F.col("inv_var") / F.col("__tot")).alias("weight"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_INVERSE_VARIANCE_WEIGHTS = f"""
+WITH t AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS date, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_d
+  FROM events
+),
+bars AS (
+  SELECT user_id, date,
+         CAST(MIN(CASE WHEN rn_d = 1 THEN value END) AS DECIMAL(18,2)) AS close_d
+  FROM t GROUP BY user_id, date
+),
+rets AS (
+  SELECT user_id, date,
+         CAST(close_d - LAG(close_d) OVER (PARTITION BY user_id ORDER BY date)
+              AS DECIMAL(18,2)) AS dp
+  FROM bars
+  QUALIFY dp IS NOT NULL
+),
+topk AS (
+  SELECT user_id FROM (
+    SELECT user_id, COUNT(*) AS n_bars FROM rets GROUP BY user_id
+  ) ORDER BY n_bars DESC, user_id ASC LIMIT {XSECT_TOP_K}
+),
+d AS (
+  SELECT r.user_id, CAST(r.dp * 100 AS BIGINT) AS dc
+  FROM rets r JOIN topk USING (user_id)
+),
+a AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(dc) AS BIGINT) AS s1c,
+         CAST(SUM(dc * dc) AS BIGINT) AS s2c
+  FROM d GROUP BY user_id
+),
+pv AS (
+  SELECT user_id, n,
+         (CAST(n AS DOUBLE) * (CAST(s2c AS DOUBLE) / 1e4)
+            - (CAST(s1c AS DOUBLE) / 1e2) * (CAST(s1c AS DOUBLE) / 1e2))
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1e0)) AS var_dp
+  FROM a WHERE n >= 2
+),
+pv2 AS (
+  SELECT * , 1e0 / var_dp AS inv_var FROM pv WHERE var_dp > 0
+),
+tot AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(inv_var))),
+                     (acc, x) -> acc + x) AS total
+  FROM pv2
+)
+SELECT pv2.user_id, pv2.n, pv2.var_dp, pv2.inv_var / tot.total AS weight
+FROM pv2, tot
+ORDER BY pv2.user_id
+"""
+
+
 QUERIES = {
     "dollar_bars": dollar_bars,
     "microstructure_liquidity": microstructure_liquidity,
@@ -1516,6 +1635,7 @@ QUERIES = {
     "tick_imbalance_bars": tick_imbalance_bars,
     "drawdown_panel": drawdown_panel,
     "pairs_spread_zscore": pairs_spread_zscore,
+    "inverse_variance_weights": inverse_variance_weights,
 }
 
 ORACLES = {
@@ -1530,4 +1650,5 @@ ORACLES = {
     "tick_imbalance_bars": ORACLE_TICK_IMBALANCE_BARS,
     "drawdown_panel": ORACLE_DRAWDOWN_PANEL,
     "pairs_spread_zscore": _pairs_oracle(),
+    "inverse_variance_weights": ORACLE_INVERSE_VARIANCE_WEIGHTS,
 }

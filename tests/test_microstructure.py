@@ -706,3 +706,23 @@ def test_pairs_spread_zscore_invariants(spark):
         assert r["spread"] == spreads[i]
         if var > 0:
             assert r["z_spread"] == (spreads[i] - mean) / math.sqrt(var)
+
+
+def test_inverse_variance_weights_sum_to_one_and_recompute(spark):
+    from fin_trade_craft_spark.queries.microstructure import inverse_variance_weights
+
+    rows = inverse_variance_weights(spark, SF_SMOKE).collect()
+    assert rows
+    assert len(rows) <= XSECT_TOP_K
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-12
+    bars = _daily_bars(_events_pdf())
+    for r in rows:
+        g = bars[bars["user_id"] == r["user_id"]]
+        cc = list(g["close_c"])
+        ds = [cc[i] - cc[i - 1] for i in range(1, len(cc))]
+        n = float(len(ds))
+        s1 = float(sum(ds)) / 1e2
+        s2 = float(sum(d * d for d in ds)) / 1e4
+        var = (n * s2 - s1 * s1) / (n * (n - 1.0))
+        assert r["var_dp"] == var
+        assert r["weight"] > 0
