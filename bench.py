@@ -257,6 +257,19 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # r10 verdict (What's wrong #1): the single JSON line with the
+    # per-query `attempts` map outgrew the driver's tail capture at
+    # 87 queries, so BENCH_r10.json recorded `parsed: null`.  Keep
+    # stdout to ONE compact headline line the driver can always
+    # parse; the cold/warm attempts map (r9 verdict task 3) goes to
+    # a sidecar file next to this script instead.
+    try:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_ATTEMPTS.json")
+        with open(sidecar, "w") as f:
+            json.dump({"sf": sf, "attempts": attempts}, f, indent=1)
+    except OSError:
+        pass  # a read-only checkout must not sink the bench record
     print(
         json.dumps(
             {
@@ -264,7 +277,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "attempts": attempts,
                 "sf": sf,
             }
         )

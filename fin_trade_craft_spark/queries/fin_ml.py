@@ -647,8 +647,6 @@ def triple_barrier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leads",
         sigma.alias("sigma"),
     )
-    up = F.col("close") + F.expr(TBD_K) * F.col("sigma")
-    dn = F.col("close") - F.expr(TBD_K) * F.col("sigma")
     first_up = F.expr(
         f"array_min(filter(sequence(1, {TB_HORIZON}),"
         f" i -> get(leads, i - 1) >= close + {TBD_K} * sigma))"

@@ -322,7 +322,8 @@ def _corr_panel_from_rets(rets: DataFrame) -> DataFrame:
     )
     n = F.col("n_days").cast("double")
     corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.expr(
-        "nullif(sqrt(n_days * sxx - sx * sx) * sqrt(n_days * syy - sy * sy), 0d)"
+        "nullif(sqrt(greatest(0d, n_days * sxx - sx * sx))"
+        " * sqrt(greatest(0d, n_days * syy - sy * sy)), 0d)"
     )
     return m.filter(F.col("n_days") >= 3).select(
         "user_a", "user_b", "n_days", corr.alias("corr_dp")
@@ -400,8 +401,8 @@ m AS (
 )
 SELECT user_a, user_b, n_days,
   (CAST(n_days AS DOUBLE) * sxy - sx * sy)
-    / NULLIF(SQRT(CAST(n_days AS DOUBLE) * sxx - sx * sx)
-           * SQRT(CAST(n_days AS DOUBLE) * syy - sy * sy), 0e0) AS corr_dp
+    / NULLIF(SQRT(GREATEST(0e0, CAST(n_days AS DOUBLE) * sxx - sx * sx))
+           * SQRT(GREATEST(0e0, CAST(n_days AS DOUBLE) * syy - sy * sy)), 0e0) AS corr_dp
 FROM m
 WHERE n_days >= 3
 ORDER BY user_a, user_b
@@ -817,10 +818,19 @@ def realized_variance_jumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("d").over(w).alias("d_prev"),
     )
     half_pi = F.expr(_lit17(_math.pi / 2.0))
+    # DECIMAL hop before the products (same discipline as
+    # return_moments' s3/s4): raw BIGINT·BIGINT wraps silently under
+    # Spark's non-ANSI mode while DuckDB's HUGEINT sum raises — an
+    # asymmetric overflow mode at extreme cents magnitudes (ADVICE
+    # r10).  decimal(19,0)² → decimal(38,0) sums exactly; the final
+    # bigint cast matches the oracle's CAST(SUM(..) AS BIGINT).
+    dd = F.col("d").cast("decimal(19,0)")
+    dp_abs = F.abs(F.col("d")).cast("decimal(19,0)")
+    dprev_abs = F.abs(F.col("d_prev")).cast("decimal(19,0)")
     agg = t.groupBy("user_id", "date").agg(
         F.count(F.when(F.col("d").isNotNull(), 1)).alias("n_moves"),
-        F.sum(F.col("d") * F.col("d")).alias("rv_c"),
-        F.sum(F.abs(F.col("d")) * F.abs(F.col("d_prev"))).alias("bp_c"),
+        F.sum(dd * dd).cast("bigint").alias("rv_c"),
+        F.sum(dp_abs * dprev_abs).cast("bigint").alias("bp_c"),
     )
     rv = F.col("rv_c").cast("double") / F.lit(10000.0)
     bpv = half_pi * (F.col("bp_c").cast("double") / F.lit(10000.0))
@@ -925,8 +935,13 @@ def return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(6.0) * mean * mean * (s2 / n)
         - F.lit(3.0) * mean * mean * mean * mean
     )
-    skew = m3 / F.expr("nullif(__m2 * sqrt(__m2), 0d)")
-    kurt = m4 / F.expr("nullif(__m2 * __m2, 0d)") - F.lit(3.0)
+    skew = m3 / F.expr(
+        "nullif(greatest(0d, __m2) * sqrt(greatest(0d, __m2)), 0d)"
+    )
+    kurt = (
+        m4 / F.expr("nullif(greatest(0d, __m2) * greatest(0d, __m2), 0d)")
+        - F.lit(3.0)
+    )
     return (
         agg.filter(F.col("n") >= 4)
         .withColumn("__m2", m2)
@@ -996,8 +1011,8 @@ m AS (
 )
 SELECT user_id, n, mean AS mean_dp,
        SQRT(GREATEST(0e0, m2)) AS std_dp,
-       m3 / NULLIF(m2 * SQRT(m2), 0e0) AS skew_dp,
-       m4 / NULLIF(m2 * m2, 0e0) - 3e0 AS ex_kurt_dp
+       m3 / NULLIF(GREATEST(0e0, m2) * SQRT(GREATEST(0e0, m2)), 0e0) AS skew_dp,
+       m4 / NULLIF(GREATEST(0e0, m2) * GREATEST(0e0, m2), 0e0) - 3e0 AS ex_kurt_dp
 FROM m
 WHERE n >= 4
 ORDER BY user_id
@@ -1445,8 +1460,8 @@ m AS (
 corr AS (
   SELECT user_a, user_b,
     (CAST(n_days AS DOUBLE) * sxy - sx * sy)
-      / NULLIF(SQRT(CAST(n_days AS DOUBLE) * sxx - sx * sx)
-             * SQRT(CAST(n_days AS DOUBLE) * syy - sy * sy), 0e0) AS corr_dp
+      / NULLIF(SQRT(GREATEST(0e0, CAST(n_days AS DOUBLE) * sxx - sx * sx))
+             * SQRT(GREATEST(0e0, CAST(n_days AS DOUBLE) * syy - sy * sy)), 0e0) AS corr_dp
   FROM m WHERE n_days >= 3
 ),
 pair AS (

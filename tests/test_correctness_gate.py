@@ -64,3 +64,33 @@ def test_all_registered_oracles_are_dtype_clean(duck):
         if fails:
             bad[name] = fails
     assert bad == {}
+
+
+def test_driver_slate_is_cross_family_first_50():
+    """The grading driver value-checks the FIRST 50 entries of
+    ``queries()``.  r10 verdict #1: left to module order that sample
+    was the same relational family for ten rounds.  Pin that the
+    first 50 is the explicit DRIVER_SLATE, that every slate entry has
+    a value oracle, and that the slate spans ≥10 query modules."""
+    import importlib
+
+    import __spark_entry__ as entrymod
+
+    from fin_trade_craft_spark.queries import _MODULES, DRIVER_SLATE
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    first50 = list(qs)[:50]
+    assert first50 == DRIVER_SLATE
+    assert list(oracles)[:50] == DRIVER_SLATE
+    assert all(n in oracles for n in first50)
+
+    by_module = {}
+    for m in _MODULES:
+        mod = importlib.import_module(f"fin_trade_craft_spark.queries.{m}")
+        for name in mod.QUERIES:
+            by_module[name] = m
+    families = {by_module[n] for n in first50}
+    assert len(families) >= 10, families
+    # reordering must not drop or duplicate anything
+    assert len(qs) == len(set(qs)) == 223

@@ -726,3 +726,93 @@ def test_inverse_variance_weights_sum_to_one_and_recompute(spark):
         var = (n * s2 - s1 * s1) / (n * (n - 1.0))
         assert r["var_dp"] == var
         assert r["weight"] > 0
+
+
+def _const_delta_sf_dir(tmp_path, n_days: int) -> str:
+    """A degenerate fixture: two series whose daily close rises by
+    EXACTLY one cent per day.  The population variance of Δclose is
+    zero in exact arithmetic, but the double cancellation
+    s2/n − mean² (and the matching correlation denominator
+    n·sxx − sx²) rounds a hair NEGATIVE for specific n — pre-guard,
+    Spark yielded NaN while DuckDB's SQRT raised 'Out of Range'
+    (ADVICE r10), so the oracle replay crashed on data the engine
+    handled.  n_days=7 → 6 moves triggers the moments case;
+    n_days=8 → 7 shared ret days triggers the correlation case."""
+    import json
+
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for k in range(n_days):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp(2024, 1, 1 + k, 12, 0, 0),
+                    "user_id": u,
+                    "event_type": "purchase",
+                    "value": round(100.00 + 0.01 * k, 2),
+                    "props": json.dumps({"k": 1}),
+                }
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmp_path / f"const_delta_{n_days}"
+    d.mkdir()
+    pdf.to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+def test_return_moments_constant_delta_guarded(spark, tmp_path):
+    import duckdb
+    import pytest as _pytest
+
+    from fin_trade_craft_spark.queries.microstructure import (
+        ORACLE_RETURN_MOMENTS,
+        return_moments,
+    )
+
+    sf = _const_delta_sf_dir(tmp_path, n_days=7)
+    got = return_moments(spark, sf).toPandas()
+    assert len(got) == 2
+    assert (got["std_dp"] == 0.0).all()
+    # zero-variance series: skew/kurt are undefined → NULL, not NaN/crash
+    assert got["skew_dp"].isna().all()
+    assert got["ex_kurt_dp"].isna().all()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    odf = con.sql(ORACLE_RETURN_MOMENTS).df()  # pre-guard: raised Out of Range
+    assert odf["skew_dp"].isna().all()
+    # prove the fixture is potent: the UNGUARDED denominator still crashes
+    with _pytest.raises(duckdb.Error):
+        con.sql(
+            """
+            WITH d AS (SELECT CAST(1 AS BIGINT) AS d FROM range(6)),
+            a AS (SELECT COUNT(*) AS n, SUM(d) AS s1c, SUM(d*d) AS s2c FROM d)
+            SELECT SQRT(CAST(s2c AS DOUBLE)/1e4/n
+                        - (CAST(s1c AS DOUBLE)/1e2/n)*(CAST(s1c AS DOUBLE)/1e2/n))
+            FROM a
+            """
+        ).df()
+    con.close()
+
+
+def test_cross_sectional_correlation_constant_delta_guarded(spark, tmp_path):
+    import duckdb
+
+    from fin_trade_craft_spark.queries.microstructure import (
+        ORACLE_CROSS_SECTIONAL_CORRELATION,
+    )
+
+    sf = _const_delta_sf_dir(tmp_path, n_days=8)
+    got = cross_sectional_correlation(spark, sf).toPandas()
+    assert len(got) == 1
+    assert got["corr_dp"].isna().all()  # zero-variance pair → undefined corr
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    odf = con.sql(ORACLE_CROSS_SECTIONAL_CORRELATION).df()  # pre-guard: raised
+    assert len(odf) == 1
+    assert odf["corr_dp"].isna().all()
+    con.close()
