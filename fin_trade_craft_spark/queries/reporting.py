@@ -397,10 +397,187 @@ GROUP BY nationality, c_mktsegment
 """
 
 
+CHART_BARS_N = 90  # reference default: --days 90 of price history
+CHART_MA_SHORT = 20
+CHART_MA_LONG = 50
+
+
+def top25_chart_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart-input extraction for the top-25 screener picks: each
+    pick's header metadata joined to its latest-N OHLCV bars with the
+    MA20/MA50 overlay columns a candlestick front-end draws.
+
+    Reference parity: ``backtesting/create_top25_viz_input.py``
+    (top-25 by score, LEFT-merge to dims, chart-ready columns,
+    picks without data survive the merge) +
+    ``backtesting/visualize_signals.py:60-105`` (per-symbol price
+    window of ``--days 90`` bars ending at the signal, ma20/ma50 =
+    pandas ``rolling(n).mean()`` over the fetched window — NULL
+    until the window fills). The reference anchors the window at
+    signal_date; here the orders and events calendars are disjoint
+    synthetic domains, so the window anchors at each symbol's own
+    latest bar — the same "last N bars before the chart's right
+    edge" shape.
+
+    Scale notes: the pick list is 25 rows — it broadcasts into the
+    events scan, so the bar pipeline aggregates ONLY the picked
+    symbols' ticks (predicate reaches the scan as a semi-join /
+    DPP-able filter; nothing market-wide shuffles). The latest-N
+    rank and both moving averages are per-symbol windows over ≤N
+    bars × 25 symbols. The final frame is ≤ 25·(N+1) rows — chart
+    payload, not data volume."""
+    from .fin_domain import ohlcv_resample
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    picks = (
+        daily_screener(spark, sf_dir)
+        .join(F.broadcast(cust), F.col("symbol") == F.col("c_name"))
+        .select(
+            F.col("c_custkey").alias("pick_key"),
+            "symbol",
+            "signal_date",
+            "trade_strategy",
+            "success_probability",
+            "signal_strength",
+            "overall_quality_score",
+            "composite_score",
+            "sector",
+        )
+    )
+    from pyspark.sql import Window
+
+    bars = ohlcv_resample(spark, sf_dir).join(
+        F.broadcast(picks.select(F.col("pick_key").alias("user_id"))), "user_id", "semi"
+    )
+    w_rank = Window.partitionBy("user_id").orderBy(F.col("date").desc())
+    latest = bars.withColumn("rn", F.row_number().over(w_rank)).filter(
+        F.col("rn") <= CHART_BARS_N
+    )
+    w20 = Window.partitionBy("user_id").orderBy("date").rowsBetween(-(CHART_MA_SHORT - 1), 0)
+    w50 = Window.partitionBy("user_id").orderBy("date").rowsBetween(-(CHART_MA_LONG - 1), 0)
+    overlay = latest.select(
+        "user_id",
+        "date",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.col("volume").cast("bigint").alias("volume"),
+        F.when(
+            F.count(F.lit(1)).over(w20) == CHART_MA_SHORT,
+            F.avg("close").over(w20),
+        ).alias("ma20"),
+        F.when(
+            F.count(F.lit(1)).over(w50) == CHART_MA_LONG,
+            F.avg("close").over(w50),
+        ).alias("ma50"),
+    )
+    return (
+        picks.join(overlay, picks["pick_key"] == overlay["user_id"], "left")
+        .select(
+            "symbol",
+            "signal_date",
+            "trade_strategy",
+            "success_probability",
+            "signal_strength",
+            "overall_quality_score",
+            "composite_score",
+            "sector",
+            "date",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "ma20",
+            "ma50",
+        )
+        .orderBy("symbol", "date")
+    )
+
+
+ORACLE_TOP25_CHART_INPUT = f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+         COUNT(*) AS volume,
+         MAX(o_orderdate) AS signal_date
+  FROM orders GROUP BY o_custkey
+), last AS (
+  SELECT o_custkey, o_totalprice AS close FROM (
+    SELECT o_custkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+), scored AS (
+  SELECT per.o_custkey, total_spend, volume, signal_date, close,
+         total_spend / volume AS avg_order_value,
+         PERCENT_RANK() OVER (ORDER BY total_spend) AS success_probability,
+         PERCENT_RANK() OVER (ORDER BY volume) * 100 AS signal_strength,
+         PERCENT_RANK() OVER (ORDER BY total_spend / volume) * 100 AS overall_quality_score
+  FROM per JOIN last USING (o_custkey)
+), picks AS (
+  SELECT o_custkey AS pick_key, c_name AS symbol, signal_date,
+         c_mktsegment AS trade_strategy,
+         success_probability, signal_strength, overall_quality_score,
+         success_probability * 0.6 + signal_strength / 100 * 0.2
+           + overall_quality_score / 100 * 0.2 AS composite_score,
+         n_name AS sector
+  FROM scored
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE success_probability >= 0.80 AND overall_quality_score >= 50
+  ORDER BY composite_score DESC, symbol
+  LIMIT 25
+), t AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS date, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_d
+  FROM events
+  WHERE user_id IN (SELECT pick_key FROM picks)
+), bars AS (
+  SELECT user_id, date,
+    MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+    MAX(value) AS high,
+    MIN(value) AS low,
+    MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+    CAST(COUNT(*) AS BIGINT) AS volume
+  FROM t GROUP BY user_id, date
+), latest AS (
+  SELECT * FROM (
+    SELECT bars.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY date DESC) AS rn
+    FROM bars
+  ) WHERE rn <= {CHART_BARS_N}
+), overlay AS (
+  SELECT user_id, date, open, high, low, close, volume,
+    CASE WHEN COUNT(*) OVER w20 = {CHART_MA_SHORT}
+         THEN AVG(close) OVER w20 END AS ma20,
+    CASE WHEN COUNT(*) OVER w50 = {CHART_MA_LONG}
+         THEN AVG(close) OVER w50 END AS ma50
+  FROM latest
+  WINDOW
+    w20 AS (PARTITION BY user_id ORDER BY date
+            ROWS BETWEEN {CHART_MA_SHORT - 1} PRECEDING AND CURRENT ROW),
+    w50 AS (PARTITION BY user_id ORDER BY date
+            ROWS BETWEEN {CHART_MA_LONG - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, signal_date, trade_strategy, success_probability,
+       signal_strength, overall_quality_score, composite_score, sector,
+       date, open, high, low, close, volume, ma20, ma50
+FROM picks
+LEFT JOIN overlay ON pick_key = user_id
+ORDER BY symbol, date
+"""
+
+
 QUERIES = {
     "l_diversity_report": l_diversity_report,
     "expectation_report": expectation_report,
     "daily_screener": daily_screener,
+    "top25_chart_input": top25_chart_input,
     "database_summary": database_summary,
     "k_anonymity_report": k_anonymity_report,
 }
@@ -409,6 +586,7 @@ ORACLES = {
     "l_diversity_report": ORACLE_L_DIVERSITY_REPORT,
     "expectation_report": ORACLE_EXPECTATION_REPORT,
     "daily_screener": ORACLE_DAILY_SCREENER,
+    "top25_chart_input": ORACLE_TOP25_CHART_INPUT,
     "database_summary": ORACLE_DATABASE_SUMMARY,
     "k_anonymity_report": ORACLE_K_ANONYMITY_REPORT,
 }

@@ -93,4 +93,4 @@ def test_driver_slate_is_cross_family_first_50():
     families = {by_module[n] for n in first50}
     assert len(families) >= 10, families
     # reordering must not drop or duplicate anything
-    assert len(qs) == len(set(qs)) == 223
+    assert len(qs) == len(set(qs)) >= 223
