@@ -90,6 +90,35 @@ class TableIO:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
+    def read_committed(self, table: str, attempts: int = 40, wait: float = 0.05) -> DataFrame:
+        """Reader half of the swap protocol's isolation story: the
+        commit (`_commit_staged_dir`) is two atomic directory renames,
+        so a reader can only ever observe (a) the complete pre-swap
+        table, (b) the complete post-swap table, or (c) NO directory —
+        the instant between the renames. Never a partial mix: staged
+        files live under a different directory until the rename, and a
+        listing captured before the swap fails LOUDLY at scan time
+        when those files move (ignoreMissingFiles is off by default),
+        rather than silently blending old and new parts.
+
+        This wrapper turns case (c) into a short bounded wait: if the
+        table directory is momentarily absent while an old/staged pair
+        exists (mid-commit signature), re-check until the committer's
+        second rename lands. A caller whose scan then races a LATER
+        swap gets the loud missing-file error and simply re-creates
+        the frame."""
+        import os
+        import time as _time
+
+        final, tmp, old = self._swap_paths(table)
+        for _ in range(attempts):
+            if os.path.exists(final):
+                return self.read(table)
+            if not (os.path.exists(tmp) or os.path.exists(old)):
+                break  # genuinely no table — not a mid-commit window
+            _time.sleep(wait)
+        return self.read(table)  # raises the standard path-not-found
+
     def overwrite(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         if self.retain_history > 0 and self.exists(table):
             # versioned CTAS: route through the commit protocol so
