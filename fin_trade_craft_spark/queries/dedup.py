@@ -63,7 +63,9 @@ def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frames are registered via pinning.mark_session_owned, so no query
 # result's GC ever releases them: the caches belong to the session,
 # not to any one query result.
-_LSH_MEMO: dict[tuple, dict] = {}
+from ..operators.memo import SessionMemo
+
+_LSH_MEMO = SessionMemo("lsh")
 
 
 def _lsh_state(spark: SparkSession, sf_dir: str) -> dict:
@@ -84,7 +86,7 @@ def _lsh_state(spark: SparkSession, sf_dir: str) -> dict:
         os.path.abspath(sf_dir),
         path_stamp(os.path.join(sf_dir, "documents.parquet")),
     )
-    st = _LSH_MEMO.get(key)
+    st = _LSH_MEMO.get(key, dataset=key[1])
     if st is None:
         sets = D.with_shingle_sets(_docs_wide(spark, sf_dir)).persist()
         sigs = D.minhash_signatures(sets, num_perm=8)
@@ -95,7 +97,7 @@ def _lsh_state(spark: SparkSession, sf_dir: str) -> dict:
         pairs = scored.filter(F.col("jaccard") >= 0.5)
         st = {"sets": sets, "scored": scored, "pairs": pairs, "cc": None}
         mark_session_owned(sets, scored)
-        _LSH_MEMO[key] = st
+        _LSH_MEMO.put(key, st, dataset=key[1])
     return st
 
 

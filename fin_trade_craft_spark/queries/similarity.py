@@ -238,7 +238,9 @@ def kmeans_params(n: int) -> dict:
 # exact integer sum of ids and first components), so a dataset
 # regenerated in place under the same path — even at the same
 # cardinality — misses the cache.
-_KMEANS_MEMO: dict[tuple, tuple] = {}
+from ..operators.memo import SessionMemo
+
+_KMEANS_MEMO = SessionMemo("kmeans")
 
 
 def _fingerprint(emb: DataFrame, sf_dir: str | None = None):
@@ -295,8 +297,9 @@ def _train_kmeans(
         fp = _fingerprint(emb, sf_dir if where is None else None)
     n_rows = fp["n"]
     memo_key = (sf_dir, n_rows, fp["ids"], fp["c0"], str(where), k_override)
-    if memo_key in _KMEANS_MEMO:
-        return _KMEANS_MEMO[memo_key]
+    hit = _KMEANS_MEMO.get(memo_key, dataset=memo_key[0])
+    if hit is not None:
+        return hit
     p = kmeans_params(n_rows)
     if k_override is not None:
         p["k"] = max(2, int(k_override))
@@ -357,7 +360,7 @@ def _train_kmeans(
             # ints — identical to the oracle's posmod-subtract // form)
             cent[int(r["cid"])][int(r["i"])] = r["sq"] // r["cnt"]
     out = (np.array(cids, dtype=np.int64), np.stack([cent[c] for c in cids]), p)
-    _KMEANS_MEMO[memo_key] = out
+    _KMEANS_MEMO.put(memo_key, out, dataset=memo_key[0])
     return out
 
 
@@ -1327,7 +1330,7 @@ PQ_ITERS = KM_ITERS
 PQ_TOPK = 10
 PQ_SHORTLIST = 50  # ADC candidates kept per query before exact rerank
 
-_PQ_MEMO: dict[tuple, tuple] = {}
+_PQ_MEMO = SessionMemo("pq")
 
 
 def _train_pq(spark: SparkSession, sf_dir: str):
@@ -1345,8 +1348,9 @@ def _train_pq(spark: SparkSession, sf_dir: str):
     emb = _emb(spark, sf_dir)
     fp = _fingerprint(emb, sf_dir)
     memo_key = (sf_dir, fp["n"], fp["ids"], fp["c0"])
-    if memo_key in _PQ_MEMO:
-        return _PQ_MEMO[memo_key]
+    hit = _PQ_MEMO.get(memo_key, dataset=memo_key[0])
+    if hit is not None:
+        return hit
     dims = _embedding_dims(sf_dir)
     if dims % PQ_M:
         raise ValueError(f"dims={dims} not divisible by PQ_M={PQ_M}")
@@ -1420,7 +1424,7 @@ def _train_pq(spark: SparkSession, sf_dir: str):
             # (sub, cid) cells keep their previous centroid
             C[int(r["sub"]), cid_ix[int(r["cid"])], int(r["j"])] = r["sq"] // r["cnt"]
     out = (carr, C, sd)
-    _PQ_MEMO[memo_key] = out
+    _PQ_MEMO.put(memo_key, out, dataset=memo_key[0])
     return out
 
 
@@ -2148,7 +2152,7 @@ def cell_pair_edges(v: DataFrame, theta: float) -> DataFrame:
 # a memo miss adds no construction jobs beyond the codebook
 # training every consumer already declares; frames are registered
 # session-owned so no query result's GC evicts them.
-_SEM_MEMO: dict[tuple, dict] = {}
+_SEM_MEMO = SessionMemo("sem")
 
 
 def _sem_state(spark: SparkSession, sf_dir: str) -> dict:
@@ -2163,7 +2167,7 @@ def _sem_state(spark: SparkSession, sf_dir: str) -> dict:
         path_stamp(os.path.join(sf_dir, "embeddings.parquet")),
         spark.conf.get(QUANTIZER_CONF, "auto"),
     )
-    st = _SEM_MEMO.get(key)
+    st = _SEM_MEMO.get(key, dataset=key[1])
     if st is None:
         cells = _cell_assignments(spark, sf_dir)
         emb = _emb(spark, sf_dir).select("vec_id", "embedding")
@@ -2171,7 +2175,7 @@ def _sem_state(spark: SparkSession, sf_dir: str) -> dict:
         edges = cell_pair_edges(v, SEMDEDUP_THETA).persist()
         mark_session_owned(v, edges)
         st = {"v": v, "edges": edges, "cc": None}
-        _SEM_MEMO[key] = st
+        _SEM_MEMO.put(key, st, dataset=key[1])
     return st
 
 
@@ -2667,7 +2671,7 @@ def hierarchical_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "existing corpus" of the incremental family was built with) —
 # shared by incremental_semdedup_ingest and corpus_build_ingest,
 # which otherwise each re-run the full assignment kernel per call.
-_EVEN_CELLS_MEMO: dict[tuple, DataFrame] = {}
+_EVEN_CELLS_MEMO = SessionMemo("even_cells")
 
 
 def _even_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2682,11 +2686,11 @@ def _even_trained_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         path_stamp(os.path.join(sf_dir, "embeddings.parquet")),
         spark.conf.get(QUANTIZER_CONF, "auto"),
     )
-    df = _EVEN_CELLS_MEMO.get(key)
+    df = _EVEN_CELLS_MEMO.get(key, dataset=key[1])
     if df is None:
         df = _cell_assignments(spark, sf_dir, where=F.col("vec_id") % 2 == 0).persist()
         mark_session_owned(df)
-        _EVEN_CELLS_MEMO[key] = df
+        _EVEN_CELLS_MEMO.put(key, df, dataset=key[1])
     return df
 
 
