@@ -96,6 +96,9 @@ def bench_query_names() -> list[str]:
         "kmeans_centroids",
         "incremental_semdedup_ingest",
         "daily_screener",
+        # r11: chart-input extraction (screener picks -> latest-N
+        # bars + MA overlays), the last reference-surface leftover
+        "top25_chart_input",
         "length_curriculum_buckets",
         # r05 late: two-level quantizer build (the extreme-scale
         # tier), DSIR data-selection weights, interpolated bigram LM

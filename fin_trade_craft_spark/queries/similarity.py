@@ -823,7 +823,17 @@ def exact_near_dupe_pairs(emb: DataFrame, max_rows: int = EXACT_NEAR_DUPES_MAX_R
         "embedding_near_dupes",
         "srp_lsh_near_dupes (LSH candidates) or semdedup (IVF cells)",
     )
-    a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1"))
+    # The θ-join plans as a broadcast nested loop whose task count is
+    # the STREAMED side's partition count — a single-file parquet read
+    # makes that 1 task doing all n²/2 exact dot products (measured at
+    # sf1: 20k vectors → 200M pairs stuck on one core for 25+ min).
+    # Spread the streamed side across the session's parallelism; the
+    # broadcast side stays whole. Harmless at fixture scale, linear
+    # speedup at the guard ceiling.
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.select(F.col("vec_id").alias("d1"), F.col("embedding").alias("e1")).repartition(
+        n_parts
+    )
     b = emb.select(F.col("vec_id").alias("d2"), F.col("embedding").alias("e2"))
     pairs = a.join(b, F.col("d1") < F.col("d2"))
     cos = S.cosine(S.dot_exact("e1", "e2"), S.norm2_exact("e1"), S.norm2_exact("e2"))

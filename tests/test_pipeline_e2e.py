@@ -322,9 +322,25 @@ def test_incremental_market_run_wall_scales_with_delta_at_sf1(spark, tmp_path):
     b = rebuilt.orderBy(*key).collect()
     assert a == b
 
-    assert inc_wall < full_wall * 3, (inc_wall, full_wall)
+    # Wall yardstick measured in the SAME load window as inc_wall:
+    # full_wall was captured minutes earlier, so under concurrent
+    # box load (the full suite racing a scale sweep) the two
+    # windows aren't comparable and the old `inc < 3·full` bound
+    # flaked (r11: 22.6s vs a 6.4s full_wall measured on idle
+    # cores). Re-time the full market build now and compare against
+    # the LARGER of the two full-build measurements — a genuine
+    # accidental full recompute still trips this (inc would do 48×
+    # the input of the scoped path), while uniform box slowdowns
+    # inflate both sides together.
+    t2 = time.monotonic()
+    full2 = compute_indicators(io.read("raw/ts"))
+    full2.write.format("noop").mode("overwrite").save()
+    full_wall2 = time.monotonic() - t2
+    yardstick = max(full_wall, full_wall2)
+    assert inc_wall < yardstick * 3, (inc_wall, full_wall, full_wall2)
     print(
         f"sf1-class incremental: full_build_wall={full_wall:.2f}s "
+        f"full_rebuild_wall_same_window={full_wall2:.2f}s "
         f"incremental_wall={inc_wall:.2f}s corpus_rows={N_SYM * N_DAYS} "
         f"delta_input_rows={len(TOUCHED) * (N_DAYS + 1)} "
         f"(input fraction 1/{N_SYM * N_DAYS // (len(TOUCHED) * (N_DAYS + 1))})"
