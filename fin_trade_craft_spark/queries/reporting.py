@@ -30,8 +30,10 @@ from ..operators.total_order import global_percent_rank
 from ..sources.catalog import load_table
 
 
-def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite-scored top-25 screener table.
+def _screener_top25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-scored top-25 screener table, WITH the customer key
+    (``pick_key``) — the handle the chart-input extraction joins bars
+    back on. ``daily_screener`` is this minus the key.
 
     Scale notes: the three market-wide percent ranks are GLOBAL
     cross-sectional ranks (reference semantics) but run through
@@ -101,6 +103,14 @@ def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, scored["o_custkey"] == cust["c_custkey"])  # customer scales with SF — no hard broadcast hint; AQE decides
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .select(
+            # pick_key is for the chart-input consumer
+            # (top25_chart_input); daily_screener's own contract
+            # drops it below. The tiebreak includes it so the
+            # limit-25 cut is deterministic even when customer NAMES
+            # collide (the scale-replica datasets repeat base rows
+            # under offset keys, so (composite, symbol) can tie
+            # across clones with different keys).
+            F.col("c_custkey").alias("pick_key"),
             F.col("c_name").alias("symbol"),
             "signal_date",
             F.col("c_mktsegment").alias("trade_strategy"),
@@ -112,10 +122,16 @@ def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("sector"),
             "volume",
         )
-        .orderBy(F.col("composite_score").desc(), F.col("symbol"))
+        .orderBy(F.col("composite_score").desc(), F.col("symbol"), F.col("pick_key"))
         .limit(25)
     )
     return result
+
+
+def daily_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The screener's public reference contract (no key column —
+    the reference's table_screener.py displays names only)."""
+    return _screener_top25(spark, sf_dir).drop("pick_key")
 
 
 ORACLE_DAILY_SCREENER = """
@@ -428,21 +444,21 @@ def top25_chart_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload, not data volume."""
     from .fin_domain import ohlcv_resample
 
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    picks = (
-        daily_screener(spark, sf_dir)
-        .join(F.broadcast(cust), F.col("symbol") == F.col("c_name"))
-        .select(
-            F.col("c_custkey").alias("pick_key"),
-            "symbol",
-            "signal_date",
-            "trade_strategy",
-            "success_probability",
-            "signal_strength",
-            "overall_quality_score",
-            "composite_score",
-            "sector",
-        )
+    # picks carry the customer KEY from the screener core — joining
+    # back on the displayed name is wrong: names need not be unique
+    # (the scale replicas repeat base customers under offset keys),
+    # and a name join fans each pick across its clones (25 → 250
+    # rows at the sf1 replica).
+    picks = _screener_top25(spark, sf_dir).select(
+        "pick_key",
+        "symbol",
+        "signal_date",
+        "trade_strategy",
+        "success_probability",
+        "signal_strength",
+        "overall_quality_score",
+        "composite_score",
+        "sector",
     )
     from pyspark.sql import Window
 
@@ -528,7 +544,7 @@ WITH per AS (
   JOIN customer ON o_custkey = c_custkey
   JOIN nation ON c_nationkey = n_nationkey
   WHERE success_probability >= 0.80 AND overall_quality_score >= 50
-  ORDER BY composite_score DESC, symbol
+  ORDER BY composite_score DESC, symbol, pick_key
   LIMIT 25
 ), t AS (
   SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS date, value,
