@@ -449,16 +449,26 @@ def top25_chart_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the scale replicas repeat base customers under offset keys),
     # and a name join fans each pick across its clones (25 → 250
     # rows at the sf1 replica).
-    picks = _screener_top25(spark, sf_dir).select(
-        "pick_key",
-        "symbol",
-        "signal_date",
-        "trade_strategy",
-        "success_probability",
-        "signal_strength",
-        "overall_quality_score",
-        "composite_score",
-        "sector",
+    # picks feeds TWO consumers (the bar semi-join's broadcast build
+    # and the final header join) — persist + pin so the screener's
+    # rank pipeline runs once, not twice (the r07 shared-branch
+    # discipline; the frame is 25 rows).
+    from ..operators.pinning import pin_on_first_action
+
+    picks = (
+        _screener_top25(spark, sf_dir)
+        .select(
+            "pick_key",
+            "symbol",
+            "signal_date",
+            "trade_strategy",
+            "success_probability",
+            "signal_strength",
+            "overall_quality_score",
+            "composite_score",
+            "sector",
+        )
+        .persist()
     )
     from pyspark.sql import Window
 
@@ -488,7 +498,7 @@ def top25_chart_input(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("close").over(w50),
         ).alias("ma50"),
     )
-    return (
+    result = (
         picks.join(overlay, picks["pick_key"] == overlay["user_id"], "left")
         .select(
             "symbol",
@@ -510,6 +520,7 @@ def top25_chart_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "date")
     )
+    return pin_on_first_action(result, [picks])
 
 
 ORACLE_TOP25_CHART_INPUT = f"""
