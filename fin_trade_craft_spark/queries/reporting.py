@@ -447,12 +447,11 @@ def top25_chart_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     # picks carry the customer KEY from the screener core — joining
     # back on the displayed name is wrong: names need not be unique
     # (the scale replicas repeat base customers under offset keys),
-    # and a name join fans each pick across its clones (25 → 250
-    # rows at the sf1 replica).
-    # picks feeds TWO consumers (the bar semi-join's broadcast build
-    # and the final header join) — persist + pin so the screener's
-    # rank pipeline runs once, not twice (the r07 shared-branch
-    # discipline; the frame is 25 rows).
+    # so a name join fans each pick across its clones (25 → 250 rows
+    # at the sf1 replica). The frame feeds TWO consumers (the bar
+    # semi-join's broadcast build and the final header join) —
+    # persist + pin so the screener's rank pipeline runs once, not
+    # twice (the r07 shared-branch discipline; the frame is 25 rows).
     from ..operators.pinning import pin_on_first_action
 
     picks = (
