@@ -91,6 +91,14 @@ class SessionMemo:
     def put(self, key: Hashable, value: Any, dataset: Hashable) -> Any:
         g = self._groups.setdefault(dataset, {})
         self._groups.move_to_end(dataset)
+        # Re-putting under a live key must release the displaced
+        # value, or the replaced persisted frame stays pinned in
+        # executor storage until its whole dataset group evicts —
+        # partially defeating the boundedness this class exists to
+        # provide (ADVICE r11).
+        old = g.get(key)
+        if old is not None and old is not value:
+            self._releaser(old)
         g[key] = value
         while len(self._groups) > self.max_datasets:
             _, old = self._groups.popitem(last=False)

@@ -745,13 +745,35 @@ def publish_corpus_index_tables(spark: SparkSession, sf_dir: str, io) -> None:
 # warehouse path of the published index store per (session, dataset):
 # publish once — the initial corpus build — then every ingest call
 # (bench attempt 2, the oracle run, repeated batches) reads parquet.
-def _release_index_store(wh) -> None:
-    """Evicting a stored-index memo removes its session tempdir —
-    the on-disk twin of unpersisting an executor cache."""
+#
+# Eviction DEFERS the tempdir removal to process exit (ADVICE r11):
+# unlike unpersist-on-evict — which leaves frames recomputable — an
+# immediate rmtree is unrecoverable for any still-live lazy DataFrame
+# or TableIO handle obtained from a prior _index_store() call, which
+# would fail with path-not-found at its next action once two other
+# datasets were touched (max_datasets=2). The paths are session
+# tempdirs holding ~MB-scale index tables; parking them until exit
+# keeps outstanding readers valid at negligible disk cost, and the
+# atexit sweep still guarantees no tempdir outlives the process.
+_RETIRED_STORES: list[str] = []
+
+
+def _sweep_retired_stores() -> None:
     import shutil
 
+    while _RETIRED_STORES:
+        shutil.rmtree(_RETIRED_STORES.pop(), ignore_errors=True)
+
+
+def _release_index_store(wh) -> None:
+    """Evicting a stored-index memo retires its session tempdir —
+    removal happens at process exit so lazy readers stay valid."""
     if isinstance(wh, str):
-        shutil.rmtree(wh, ignore_errors=True)
+        if not _RETIRED_STORES:
+            import atexit
+
+            atexit.register(_sweep_retired_stores)
+        _RETIRED_STORES.append(wh)
     else:
         _release_value(wh)
 

@@ -165,7 +165,11 @@ FROM scored
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE success_probability >= 0.80 AND overall_quality_score >= 50
-ORDER BY composite_score DESC, symbol
+-- o_custkey mirrors the Spark side's pick_key tiebreak: on the scale
+-- replicas customer NAMES repeat under offset keys, so a
+-- (composite, symbol) tie spanning the LIMIT 25 boundary would
+-- otherwise leave the surviving row engine-arbitrary (ADVICE r11).
+ORDER BY composite_score DESC, symbol, o_custkey
 LIMIT 25
 """
 
@@ -500,6 +504,7 @@ def top25_chart_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = (
         picks.join(overlay, picks["pick_key"] == overlay["user_id"], "left")
         .select(
+            "pick_key",
             "symbol",
             "signal_date",
             "trade_strategy",
@@ -517,7 +522,13 @@ def top25_chart_input(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ma20",
             "ma50",
         )
-        .orderBy("symbol", "date")
+        # (symbol, date) alone is not a total order in the documented
+        # name-collision case (two picks = clone customers sharing a
+        # name → identical (symbol, date) bar rows from different
+        # pick_keys); pick_key makes the sort total on both sides
+        # (ADVICE r11), then drops from the output contract.
+        .orderBy("symbol", "pick_key", "date")
+        .drop("pick_key")
     )
     return pin_on_first_action(result, [picks])
 
@@ -595,7 +606,7 @@ SELECT symbol, signal_date, trade_strategy, success_probability,
        date, open, high, low, close, volume, ma20, ma50
 FROM picks
 LEFT JOIN overlay ON pick_key = user_id
-ORDER BY symbol, date
+ORDER BY symbol, pick_key, date
 """
 
 

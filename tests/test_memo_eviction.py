@@ -78,6 +78,45 @@ def test_multiple_keys_per_dataset_live_and_die_together():
     assert len(m) == 0 and released[-1] in ("c1", "d1")
 
 
+def test_put_overwrite_releases_displaced_value():
+    """ADVICE r11: re-putting under a live (dataset, key) must release
+    the displaced value immediately — a replaced persisted frame must
+    not stay pinned until its whole dataset group evicts."""
+    from fin_trade_craft_spark.operators.memo import SessionMemo
+
+    released = []
+    m = SessionMemo("t", max_datasets=2, releaser=released.append)
+    m.put(("a", 1), "v_old", dataset="a")
+    m.put(("a", 1), "v_new", dataset="a")
+    assert released == ["v_old"]
+    assert m.get(("a", 1), dataset="a") == "v_new"
+    # idempotent re-put of the SAME object must NOT self-release
+    m.put(("a", 1), "v_new", dataset="a")
+    assert released == ["v_old"]
+    m.release_all()
+
+
+def test_index_store_eviction_defers_rmtree(tmp_path, monkeypatch):
+    """ADVICE r11: evicting a stored-index memo must NOT delete the
+    published tempdir while the process lives — still-live lazy
+    frames from a prior _index_store() call would fail with
+    path-not-found. Retirement parks the path; the atexit sweep
+    removes it."""
+    from fin_trade_craft_spark.queries import corpus_build as CB
+
+    # isolate from any stores the real queries retired this session
+    monkeypatch.setattr(CB, "_RETIRED_STORES", [])
+    d = tmp_path / "corpus_index_store_test"
+    d.mkdir()
+    (d / "marker").write_text("x")
+    CB._release_index_store(str(d))
+    assert str(d) in CB._RETIRED_STORES
+    assert d.exists(), "eviction must defer deletion, not rmtree now"
+    CB._sweep_retired_stores()
+    assert not d.exists()
+    assert CB._RETIRED_STORES == []
+
+
 def test_explicit_release_paths(spark):
     from fin_trade_craft_spark.operators.memo import SessionMemo, release_all_memos
     from fin_trade_craft_spark.operators.pinning import _SESSION_OWNED, mark_session_owned
