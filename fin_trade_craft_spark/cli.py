@@ -33,6 +33,19 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--include-market", action="store_true", help="include the market group (21k-symbol pass; reference default-off)")
     p.add_argument("--dry-run", action="store_true", help="print what would run without executing")
     p.add_argument("--check-only", action="store_true", help="consistency report only (rebuild --check-only analog)")
+    p.add_argument(
+        "--daily-market",
+        metavar="SF_DIR",
+        help="orchestrated daily market run over an sf parquet dir: "
+        "incremental discovery (watermark ledger) -> indicators -> "
+        "signals -> screener -> chart input, with stage breakdown",
+    )
+    p.add_argument(
+        "--staleness-hours",
+        type=float,
+        default=168.0,
+        help="ledger staleness threshold for --daily-market work discovery",
+    )
     return p
 
 
@@ -62,6 +75,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("fin-trade-craft-pipeline")
     io = TableIO(spark, args.warehouse)
+
+    if args.daily_market:
+        from .plans.daily_run import run_daily_market
+
+        rep = run_daily_market(
+            spark, args.daily_market, io, staleness_hours=args.staleness_hours
+        )
+        for line in rep.lines():
+            print(line)
+        return 0
 
     if args.check_only:
         for row in consistency_check(io).collect():

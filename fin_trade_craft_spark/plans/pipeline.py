@@ -179,6 +179,10 @@ def consistency_check(io: TableIO) -> DataFrame:
         ("raw/time_series_daily_adjusted", "symbol_id", "date"),
         ("transforms/time_series_daily_adjusted", "symbol_id", "date"),
         ("transforms/trading_signals", "symbol_id", "date"),
+        # daily-run outputs (plans/daily_run.py) — present only after
+        # an orchestrated run; exists() below skips them otherwise
+        ("transforms/daily_screener", "symbol", "signal_date"),
+        ("transforms/top25_chart_input", "symbol", "date"),
     ]
     for table, key, datecol in specs:
         if not io.exists(table):

@@ -66,16 +66,13 @@ GROUP BY user_id, date
 """
 
 
-def fin_signals_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full domain pipeline: resample → compute_indicators (54
-    ohlcv_* + 20 target_* columns, EWM island included) →
-    all 11 trading strategies. VALUE-VERIFIED end-to-end since r06
-    (recursive-CTE EWM replays + in-order-fold SMAs + unrolled
-    Welford Bollinger — the flagship query hash-matches its SQL
-    oracle bit-for-bit)."""
-    from ..domain.indicators import compute_indicators
-    from ..domain.trading_signals import all_signals
-
+def market_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLCV bars in the reference's
+    ``raw.time_series_daily_adjusted`` schema (symbol_id, symbol,
+    date, O/H/L/C, volume), resampled from the events tick feed and
+    repartitioned for the indicator fan-out. Shared by the flagship
+    ``fin_signals_pipeline`` query and the orchestrated daily run
+    (``plans.daily_run``)."""
     bars = ohlcv_resample(spark, sf_dir).select(
         F.col("user_id").alias("symbol_id"),
         F.concat(F.lit("USER"), F.col("user_id")).alias("symbol"),
@@ -100,8 +97,20 @@ def fin_signals_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             str(max(1, spark.sparkContext.defaultParallelism // 4)),
         )
     )
-    bars = bars.repartition(n_parts, "symbol_id")
-    return all_signals(compute_indicators(bars))
+    return bars.repartition(n_parts, "symbol_id")
+
+
+def fin_signals_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full domain pipeline: resample → compute_indicators (54
+    ohlcv_* + 20 target_* columns, EWM island included) →
+    all 11 trading strategies. VALUE-VERIFIED end-to-end since r06
+    (recursive-CTE EWM replays + in-order-fold SMAs + unrolled
+    Welford Bollinger — the flagship query hash-matches its SQL
+    oracle bit-for-bit)."""
+    from ..domain.indicators import compute_indicators
+    from ..domain.trading_signals import all_signals
+
+    return all_signals(compute_indicators(market_bars(spark, sf_dir)))
 
 
 # ------------------------------------------------------------------
