@@ -1531,33 +1531,71 @@ def fuzzy_title_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition — standard blocking semantics, traded for never
     running the O(n²) all-pairs edit distance.
 
-    Scale shape: a self-equi-join on the block key (shuffle both
-    sides on an 8-char string); block populations are bounded by
-    construction on real title data (here ≤4 at sf0.1) — a skewed
-    block (common prefix like 'the ') would get a secondary
-    blocking key appended, not a bigger join."""
+    Scale shape (r12 rework — the r12 sf5 sweep caught the naive
+    doc-level self-join putting 97% of 276M candidate pairs into a
+    handful of mega-block reducers, two tasks grinding Levenshtein
+    for 25+ minutes):
+
+    - the expensive lev verification runs at DISTINCT-TITLE grain,
+      not doc grain — exact-duplicate titles (clone boilerplate, the
+      dominant mass in a replicated corpus) never re-verify;
+    - the title-level block self-join goes through the salted-join
+      operator (`operators/skew.py`), so one hot block (common
+      prefix like 'the ') spreads over ``n_salt`` reducers instead
+      of one — same result, bounded task size;
+    - matched title pairs (output-sized, small) expand back to doc
+      pairs with two equi-joins, and same-title doc pairs come from
+      a per-title self-join with NO lev call at all (distance 0 by
+      identity).
+
+    Result set, column for column, is identical to the naive
+    doc-level join — the DuckDB oracle below is unchanged."""
+    from ..operators.skew import salted_join
+
     t = _docs(spark, sf_dir).select(
         "doc_id",
         F.lower(F.substring(T.normalize_ws(F.col("text")), 1, FUZZY_TITLE_LEN)).alias(
             "title"
         ),
     ).withColumn("blk", F.substring("title", 1, FUZZY_BLOCK_LEN))
-    a, b = t.alias("a"), t.alias("b")
-    lev = F.levenshtein(F.col("a.title"), F.col("b.title"))
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            lev.cast("int").alias("edit_distance"),
-            (lev == 0).alias("is_exact"),
-        )
-        .filter(F.col("edit_distance") <= FUZZY_MAX_EDITS)
-        .orderBy("doc_a", "doc_b")
+
+    # --- lev at distinct-title grain, hot blocks salted ---
+    d = t.select("blk", "title").distinct()
+    left = d.select("blk", F.col("title").alias("title_a"))
+    right = d.select("blk", F.col("title").alias("title_b"))
+    lev = F.levenshtein(F.col("title_a"), F.col("title_b"))
+    n_salt = max(8, spark.sparkContext.defaultParallelism)
+    tp = (
+        salted_join(left, right, ["blk"], n_salt=n_salt)
+        .filter((F.col("title_a") < F.col("title_b")) & (lev <= FUZZY_MAX_EDITS))
+        .select("title_a", "title_b", lev.cast("int").alias("edit_distance"))
     )
+
+    # --- expand matched title pairs back to doc pairs ---
+    xa = t.select(F.col("title").alias("title_a"), F.col("doc_id").alias("id_a"))
+    xb = t.select(F.col("title").alias("title_b"), F.col("doc_id").alias("id_b"))
+    cross = (
+        tp.join(xa, "title_a")
+        .join(xb, "title_b")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "edit_distance",
+            F.lit(False).alias("is_exact"),  # title_a < title_b ⇒ lev ≥ 1
+        )
+    )
+
+    # --- same-title doc pairs: distance 0 by identity, no lev ---
+    x, y = t.alias("x"), t.alias("y")
+    same = x.join(
+        y, (F.col("x.title") == F.col("y.title")) & (F.col("x.doc_id") < F.col("y.doc_id"))
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.lit(0).alias("edit_distance"),
+        F.lit(True).alias("is_exact"),
+    )
+    return cross.unionByName(same).orderBy("doc_a", "doc_b")
 
 
 ORACLE_FUZZY_TITLE_MATCHES = f"""
