@@ -304,3 +304,80 @@ def test_bm25_planted_relevance_ndcg_mrr(spark):
     q2 = (1 / math.log2(3)) / 1.0
     assert abs(got_ndcg - (q1 + q2) / 2) < 1e-12
     assert abs(got_mrr - 0.75) < 1e-12
+
+
+def test_fuzzy_title_matches_pigeonhole_differential(spark, tmp_path):
+    """Adversarial differential for the r12 pigeonhole band rework:
+    random titles plus mutated variants (substitutions AND indels up
+    to edit distance 4, at every region of the string — including
+    edits that SHIFT later segments, the case the ±3 probe window
+    exists for), short titles for the fallback tier, and exact clones
+    for the same-title path. The query must equal a brute-force
+    blocked-Levenshtein reference exactly."""
+    import itertools
+    import random
+
+    from fin_trade_craft_spark.queries.text import (
+        FUZZY_BLOCK_LEN,
+        FUZZY_MAX_EDITS,
+        FUZZY_TITLE_LEN,
+        fuzzy_title_matches,
+    )
+
+    rng = random.Random(1207)
+    alpha = "abcdefghij"
+
+    def rand_title(n=FUZZY_TITLE_LEN):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    def mutate(s, n_edits):
+        s = list(s)
+        for _ in range(n_edits):
+            op = rng.choice(("sub", "ins", "del"))
+            # never touch the block prefix: blocked semantics exclude
+            # pairs differing there, so keep mutants in-block
+            i = rng.randrange(FUZZY_BLOCK_LEN, max(FUZZY_BLOCK_LEN + 1, len(s)))
+            if op == "sub" and i < len(s):
+                s[i] = rng.choice(alpha)
+            elif op == "ins":
+                s.insert(i, rng.choice(alpha))
+            elif op == "del" and i < len(s):
+                del s[i]
+        return "".join(s)[:FUZZY_TITLE_LEN]
+
+    titles = []
+    for _ in range(40):
+        base = rand_title()
+        titles.append(base)
+        for k in (1, 2, 3, 4):  # 4 > FUZZY_MAX_EDITS: must be excluded
+            titles.append(mutate(base, k))
+    # clones (same-title tier) and shorts (fallback tier)
+    titles += [titles[0], titles[5]]
+    titles += [titles[0][: FUZZY_BLOCK_LEN + 5], rand_title(FUZZY_BLOCK_LEN + 3),
+               rand_title(FUZZY_BLOCK_LEN - 2)]
+    rows = [(i + 1, t) for i, t in enumerate(titles)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    norm = [(i, " ".join(t.split()).lower()[:FUZZY_TITLE_LEN]) for i, t in rows]
+    expect = sorted(
+        (i, j, lev(a, b), a == b)
+        for (i, a), (j, b) in itertools.combinations(norm, 2)
+        if a[:FUZZY_BLOCK_LEN] == b[:FUZZY_BLOCK_LEN] and lev(a, b) <= FUZZY_MAX_EDITS
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.edit_distance, r.is_exact)
+        for r in fuzzy_title_matches(spark, str(tmp_path)).collect()
+    )
+    assert got == expect
+    assert any(e[2] == FUZZY_MAX_EDITS for e in expect), "fixture must reach ed=3"
+    assert any(e[3] for e in expect), "fixture must exercise exact clones"
