@@ -1654,6 +1654,14 @@ def fuzzy_title_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(same).orderBy("doc_a", "doc_b")
 
 
+# The oracle verifies the SAME spec — every doc pair in one block
+# with lev ≤ 3 — but evaluates lev at distinct-title grain and
+# expands matches back to doc pairs (r12): the naive doc-level
+# replay ran 276M single-threaded Levenshteins at sf5 (30+ min of
+# oracle wall per sweep); this form is ~4 min there and identical
+# everywhere (667,712 rows at sf5, row-for-row). is_exact is TRUE
+# exactly on same-title pairs (lev(x,x)=0) and FALSE on cross-title
+# pairs (distinct strings ⇒ lev ≥ 1), so the CASE disappears.
 ORACLE_FUZZY_TITLE_MATCHES = f"""
 WITH t AS (
   SELECT doc_id,
@@ -1661,12 +1669,22 @@ WITH t AS (
   FROM documents
 ), b AS (
   SELECT doc_id, title, substr(title, 1, {FUZZY_BLOCK_LEN}) AS blk FROM t
+), d AS (
+  SELECT DISTINCT title, blk FROM b
+), tp AS (
+  SELECT a.title AS ta, c.title AS tb,
+         CAST(levenshtein(a.title, c.title) AS INT) AS ed
+  FROM d a JOIN d c ON a.blk = c.blk AND a.title < c.title
+  WHERE levenshtein(a.title, c.title) <= {FUZZY_MAX_EDITS}
 )
+SELECT least(x.doc_id, y.doc_id) AS doc_a,
+       greatest(x.doc_id, y.doc_id) AS doc_b,
+       ed AS edit_distance, FALSE AS is_exact
+FROM tp JOIN b x ON x.title = tp.ta JOIN b y ON y.title = tp.tb
+UNION ALL
 SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       CAST(levenshtein(x.title, y.title) AS INT) AS edit_distance,
-       levenshtein(x.title, y.title) = 0 AS is_exact
-FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
-WHERE levenshtein(x.title, y.title) <= {FUZZY_MAX_EDITS}
+       0 AS edit_distance, TRUE AS is_exact
+FROM b x JOIN b y ON x.title = y.title AND x.doc_id < y.doc_id
 ORDER BY doc_a, doc_b
 """
 
