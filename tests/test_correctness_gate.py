@@ -66,17 +66,21 @@ def test_all_registered_oracles_are_dtype_clean(duck):
     assert bad == {}
 
 
-def test_driver_slate_is_cross_family_first_50():
+def test_driver_slate_rotation_contract():
     """The grading driver value-checks the FIRST 50 entries of
-    ``queries()``.  r10 verdict #1: left to module order that sample
-    was the same relational family for ten rounds.  Pin that the
-    first 50 is the explicit DRIVER_SLATE, that every slate entry has
-    a value oracle, and that the slate spans ≥10 query modules."""
-    import importlib
+    ``queries()``.  r11 pinned a cross-family slate; since r12 the
+    slate ROTATES (r11 verdict #2): 5 fixed relational anchors + the
+    next 45 queries, in registry order, never sampled in any prior
+    round's CORRECTNESS_r*.json.  Pin that the first 50 is the
+    explicit DRIVER_SLATE, that every entry has a value oracle, that
+    the anchors lead, and that the 45 rotating names have no prior
+    driver row (so every round's sample adds new driver evidence)."""
+    import glob
+    import json
 
     import __spark_entry__ as entrymod
 
-    from fin_trade_craft_spark.queries import _MODULES, DRIVER_SLATE
+    from fin_trade_craft_spark.queries import DRIVER_SLATE, SLATE_ROUND
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -85,12 +89,21 @@ def test_driver_slate_is_cross_family_first_50():
     assert list(oracles)[:50] == DRIVER_SLATE
     assert all(n in oracles for n in first50)
 
-    by_module = {}
-    for m in _MODULES:
-        mod = importlib.import_module(f"fin_trade_craft_spark.queries.{m}")
-        for name in mod.QUERIES:
-            by_module[name] = m
-    families = {by_module[n] for n in first50}
-    assert len(families) >= 10, families
+    anchors = [
+        "pricing_summary",
+        "top_revenue_customers",
+        "regional_revenue",
+        "latest_order_per_customer",
+        "top_orders_per_segment",
+    ]
+    assert first50[:5] == anchors
+    sampled_before = set()
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        if rnd < SLATE_ROUND:
+            sampled_before |= set(json.load(open(f)).keys())
+    rotating = first50[5:]
+    already = [n for n in rotating if n in sampled_before]
+    assert already == [], f"rotating slate entries already driver-sampled: {already}"
     # reordering must not drop or duplicate anything
     assert len(qs) == len(set(qs)) >= 223
