@@ -372,7 +372,7 @@ per_src AS (
 ),
 raw_t AS (
   SELECT source,
-         CAST(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS DECIMAL(28,10)) AS raw
+         CAST(CAST(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS VARCHAR) AS DECIMAL(28,10)) AS raw
   FROM per_src
 ),
 wt AS (
@@ -1224,7 +1224,7 @@ per_src AS (
 ),
 raw_t AS (
   SELECT source,
-         CAST(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS DECIMAL(28,10)) AS raw
+         CAST(CAST(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS VARCHAR) AS DECIMAL(28,10)) AS raw
   FROM per_src
 ),
 wt AS (

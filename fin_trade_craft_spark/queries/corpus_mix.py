@@ -47,25 +47,47 @@ MIX_TOKEN_BUDGET = 1_000_000
 
 def _with_mix_weight_quota(per_src: DataFrame) -> DataFrame:
     """Shared temperature-mixture weight math over a per-source frame
-    with a ``total_tokens`` column — used by BOTH the weights report
-    and the epoch expansion so the two queries can never
-    desynchronize (see source_mixture_weights for the pow-quantize
-    rationale). The normalizing total is an aggregate broadcast back
-    (1-row crossJoin), not a ``SUM() OVER ()`` empty-frame window —
-    same exact decimal sum, no single-task WindowExec. Attaches
-    ``mix_weight`` and ``token_quota``."""
-    raw = F.pow(F.col("total_tokens").cast("double"), F.lit(MIX_ALPHA)).cast(
-        "decimal(28,10)"
-    )
-    d = per_src.withColumn("__raw", raw)
-    tot = d.agg(F.sum("__raw").alias("__tot"))
-    d = d.crossJoin(F.broadcast(tot))
-    weight = F.col("__raw").cast("double") / F.col("__tot").cast("double")
-    return (
-        d.withColumn("mix_weight", weight)
-        .withColumn("token_quota", weight * F.lit(float(MIX_TOKEN_BUDGET)))
-        .drop("__raw", "__tot")
-    )
+    with a ``total_tokens`` column — used by the weights report, the
+    epoch expansion and every corpus_build mixture stage so they can
+    never desynchronize. Attaches ``mix_weight`` and ``token_quota``.
+
+    The pow chain is computed DRIVER-SIDE (r12): JVM ``Math.pow``
+    differs from C libm ``pow`` by 1 ulp on ~10% of inputs (measured
+    204/1961 on this box), and no decimal quantization can fully
+    absorb that — a 1-ulp pair straddles a grain boundary with
+    probability ulp/grain, which the r12 sf5 sweep hit on 2 of 20
+    sources (the r10 sweep's int128 finding was the same chain one
+    step later). CPython's ``math.pow`` IS the C libm DuckDB calls
+    (12,384/12,384 bit-equal on this box), so computing raw =
+    HALF_UP(shortest-repr(pow), 10dp) in Python reproduces the
+    oracle's ``CAST(CAST(pow(…) AS VARCHAR) AS DECIMAL(28,10))``
+    exactly, the Decimal sum is exact on both sides, and the final
+    divisions are IEEE-deterministic given bit-equal operands.
+
+    The collect is bounded by contract: one row per corpus SOURCE
+    (a handful at any data size — sources are provenance labels,
+    not data). The weights frame re-enters the plan as a broadcast
+    join, so nothing downstream changes shape at 100 TB."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    spark = per_src.sparkSession
+    totals = per_src.select("source", "total_tokens").collect()
+    raws = {
+        r["source"]: Decimal(repr(math.pow(float(r["total_tokens"]), MIX_ALPHA))).quantize(
+            Decimal(1).scaleb(-10), rounding=ROUND_HALF_UP
+        )
+        for r in totals
+    }
+    tot = sum(raws.values(), Decimal(0))
+    rows = []
+    for src, raw in raws.items():
+        # float(str(Decimal)) is strtod — correctly rounded, matching
+        # the oracle's VARCHAR->DOUBLE casts bit for bit
+        weight = float(str(raw)) / float(str(tot))
+        rows.append((src, weight, weight * float(MIX_TOKEN_BUDGET)))
+    wdf = spark.createDataFrame(rows, "source string, mix_weight double, token_quota double")
+    return per_src.join(F.broadcast(wdf), "source")
 
 
 def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +125,7 @@ WITH per_src AS (
   FROM documents GROUP BY source
 ), raw_t AS (
   SELECT source, n_docs, total_tokens,
-         CAST(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS DECIMAL(28,10)) AS raw
+         CAST(CAST(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS VARCHAR) AS DECIMAL(28,10)) AS raw
   FROM per_src
 ), wt AS (
   -- decimal->double via VARCHAR (r9 2^53 policy, tripped again by the
@@ -195,7 +217,7 @@ WITH d AS (
   SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM d GROUP BY source
 ), raw_t AS (
   SELECT source, total_tokens,
-         CAST(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS DECIMAL(28,10)) AS raw
+         CAST(CAST(pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS VARCHAR) AS DECIMAL(28,10)) AS raw
   FROM per_src
 ), eps AS (
   SELECT source,
