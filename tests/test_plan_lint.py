@@ -187,6 +187,13 @@ CONSTRUCTION_JOBS_ALLOWED = {
     "dedup_clusters": "star-contraction rounds probe convergence",
     "leakage_safe_split": "star-contraction rounds probe convergence",
     "bpe_convergent_merges": "per-round argmax convergence probe (1-row collect)",
+    # --- r12: the temperature-mixture pow chain is computed driver-
+    # side (JVM Math.pow diverges 1 ulp from the libm pow DuckDB and
+    # CPython share — the sf5 sweep caught the decimal quantization
+    # leaking at grain boundaries); the per-source totals collect is
+    # one row per corpus source by contract.
+    "source_mixture_weights": "per-source totals collect (pow chain on driver)",
+    "mixture_epoch_expansion": "per-source totals collect (pow chain on driver)",
     "corpus_build": "dedup-ladder capstone: two component loops + codebook training",
     "corpus_build_ingest": "prior-manifest component loops + probe-kernel stage checkpoints",
     "corpus_build_ingest_stored": "one-time index publish (the initial build) + batch stage checkpoints + codebook load",
