@@ -536,7 +536,20 @@ def _km_sql(train_pred: str = "TRUE", k_sql: str | None = None) -> str:
     COUNT(*)) the way _train_kmeans(k_override=...) does — used by
     the hierarchical level-1 oracle. Generated (like the PageRank
     oracle) because the rounds are pure repetition."""
+    # Distance blocks (kd{t}, kdist) evaluate per (vector, centroid)
+    # PAIR with an inline list-lambda sum over the dims, not per
+    # (vector, centroid, dim) ROW (r12): the flat formulation
+    # materialized n·k·dims join rows into a hash aggregate — 5.0B
+    # rows at sf5 (100k vecs × 782 cells × 64 dims), which spilled
+    # DuckDB's temp past the box's 77 GB and killed the sweep's
+    # ivf_pq/pq_tier oracles. The pair-grain form streams n·k rows
+    # (78M) through the same exact integer math — identical dist2
+    # values (BIGINT products summed in any order), ~2 orders less
+    # intermediate state. kq keeps the per-dim shape for the seed and
+    # mean-update blocks (and external consumers); kcent keeps
+    # (cid, i, cv).
     k_expr = k_sql or f"GREATEST(2, CAST(CEIL(COUNT(*) / {KM_TARGET_CELL}.0) AS BIGINT))"
+    d2 = "list_sum(list_transform(range(1, len(q.ql) + 1), j -> (q.ql[j] - c.cl[j]) * (q.ql[j] - c.cl[j])))"
     head = f"""kparams AS (
   SELECT COUNT(*) AS n,
          {k_expr} AS k
@@ -553,6 +566,11 @@ kq AS MATERIALIZED (
          CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
   FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
 ),
+kql AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS ql
+  FROM embeddings
+),
 kseeds AS (
   SELECT {_H16_SQL} % k AS cid, arg_min(vec_id, md5(CAST(vec_id AS VARCHAR))) AS seed_vid
   FROM embeddings, kparams2 WHERE {train_pred} GROUP BY 1
@@ -566,10 +584,12 @@ ksamp AS MATERIALIZED (SELECT vec_id FROM embeddings, kparams2
     prev = "kc0"
     for t in range(1, KM_ITERS + 1):
         body += f""",
+kcl{t} AS MATERIALIZED (
+  SELECT cid, list(cv ORDER BY i) AS cl FROM {prev} GROUP BY cid
+),
 kd{t} AS (
-  SELECT q.vec_id, c.cid, SUM((q.q - c.cv) * (q.q - c.cv)) AS dist2
-  FROM kq q JOIN ksamp USING (vec_id) JOIN {prev} c ON q.i = c.i
-  GROUP BY 1, 2
+  SELECT q.vec_id, c.cid, {d2} AS dist2
+  FROM kql q JOIN ksamp USING (vec_id), kcl{t} c
 ),
 ka{t} AS (
   SELECT vec_id, cid FROM (
@@ -589,10 +609,12 @@ kc{t} AS MATERIALIZED (
         prev = f"kc{t}"
     tail = f""",
 kcent AS (SELECT cid, i, cv FROM {prev}),
+kcentl AS MATERIALIZED (
+  SELECT cid, list(cv ORDER BY i) AS cl FROM kcent GROUP BY cid
+),
 kdist AS (
-  SELECT q.vec_id, q.label, c.cid, SUM((q.q - c.cv) * (q.q - c.cv)) AS dist2
-  FROM kq q JOIN kcent c ON q.i = c.i
-  GROUP BY 1, 2, 3
+  SELECT q.vec_id, q.label, c.cid, {d2} AS dist2
+  FROM kql q, kcentl c
 ),
 kranked AS MATERIALIZED (
   SELECT vec_id, label, cid, CAST(dist2 AS BIGINT) AS dist2,
