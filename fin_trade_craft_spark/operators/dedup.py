@@ -128,12 +128,25 @@ def exact_jaccard_pairs(
     immaterial below ~billions of distinct shingles, and the
     DuckDB-oracle differential would surface one at test scale)."""
     if candidates is not None:
+        # Both join sides are data-proportional (candidate pairs AND
+        # shingle sets grow with the corpus), so neither may be
+        # planned as a static broadcast: parquet-at-rest size
+        # estimates undershoot the in-memory expansion of the
+        # array<string> shingle column by ~10x, and a mis-planned
+        # broadcast of the set side OOMs the driver the moment the
+        # store outgrows the estimate (found by the r12 sf5 sweep:
+        # streaming_corpus_ingest's stage-2 probe against the grown
+        # sig_store died in notEnoughMemoryToBuildAndBroadcast).
+        # merge hints pin sort-merge at static planning and AQE
+        # honors them through runtime re-planning (verified on the
+        # final adaptive plan), so the set sides can never land on
+        # the driver regardless of how wrong the estimate is.
         s1 = shingle_sets.select(F.col(id_col).alias("d1"), F.col("shingles").alias("__s1"))
         s2 = shingle_sets.select(F.col(id_col).alias("d2"), F.col("shingles").alias("__s2"))
         j = (
             candidates.select("d1", "d2")
-            .join(s1, "d1")
-            .join(s2, "d2")
+            .join(s1.hint("merge"), "d1")
+            .join(s2.hint("merge"), "d2")
             .select(
                 "d1",
                 "d2",
