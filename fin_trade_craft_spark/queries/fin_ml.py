@@ -69,9 +69,20 @@ def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wc).alias("n"),
     )
     mid = F.ceil(F.lit(0.5) * F.col("n")).cast("int")
+    # r12 optimization: meds (one row per user) feeds the MAD branch
+    # AND the final aggregate — lazy, each consumer re-ran the full
+    # rank-window pass over events (before-plan: 4 events scans).
+    # Eager-checkpointing the bounded per-user frame makes the query
+    # exactly three tick passes (med rank, MAD rank, final agg) —
+    # the algorithmic minimum for sequential med → MAD → z. Wall-
+    # neutral at sf0.1 (min-of-6 fresh-JVM: 1.25 vs 1.34s — the
+    # duplicate pass rode the page cache); the lever is the pass
+    # count at 100 TB. mads stays lazy: it has ONE consumer, and an
+    # eager cut there only serializes work the broadcast build
+    # overlaps.
     meds = ranked.groupBy("user_id").agg(
         F.min(F.when(F.col("rn") == mid, F.col("value"))).alias("med")
-    )
+    ).localCheckpoint(eager=True)
     dev = ev.join(F.broadcast(meds), "user_id").select(
         "user_id",
         "event_id",
@@ -1215,9 +1226,19 @@ def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
         )
     )
+    # cells is ≤ 3 features × 3 buckets × 3 labels rows, but it feeds
+    # FOUR consumers (the three marginal broadcasts mx/my/mn and the
+    # per-feature fold) — without a materialization boundary each
+    # branch re-evaluates the whole panel lineage (events scan →
+    # bars → Δclose window → triple-barrier labels → join): the
+    # r12 before-plan shows events.parquet scanned 8×, 0 reuse.
+    # Eager-checkpointing the dozens-of-rows cell frame runs the
+    # panel ONCE (don't recompute whole passes); measured at sf0.1
+    # (fresh JVM, min-of-attempts): 4.2s → 2.3s warm, 11.9 → 5.2s
+    # cold. At 100 TB the saving is 6 full tick-table passes.
     cells = joined.groupBy("feature", "bucket", "label").agg(
         F.count(F.lit(1)).alias("c_xy")
-    )
+    ).localCheckpoint(eager=True)
     mx = cells.groupBy("feature", "bucket").agg(F.sum("c_xy").alias("c_x"))
     my = cells.groupBy("feature", "label").agg(F.sum("c_xy").alias("c_y"))
     mn = cells.groupBy("feature").agg(F.sum("c_xy").alias("n"))

@@ -1333,7 +1333,6 @@ def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: rides the correlation panel's bounded K² frame;
     the spread series itself is one pair's calendar — everything
     after the panel is broadcast-sized."""
-    from ..operators.pinning import pin_on_first_action
     from .fin_domain import ohlcv_resample
 
     bars = ohlcv_resample(spark, sf_dir).select(
@@ -1343,12 +1342,23 @@ def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # correlation query, whose own persisted rets frame would be
     # orphaned here — the pin-lifecycle leak ADVICE r09 flagged)
     corr = _corr_panel_from_rets(_rets_from_bars(bars))
+    # r12 optimization: `pair` (1 row) is the argmax of the whole
+    # K²-pair correlation panel, and `p` (one pair's calendar, ≤
+    # |dates| rows) feeds both the β-moment broadcast build and the
+    # spread branch — left lazy, each broadcast build re-evaluated
+    # the panel/pair lineage (before-plan: 57 exchanges, 0 reuse;
+    # 5.2s in-harness). Eager checkpoints pin both bounded frames so
+    # the panel argmax runs ONCE and the bars cache can be released
+    # at construction end instead of via the result pin. Measured at
+    # sf0.1 (fresh JVM, min-of-3): 8.2 → 5.9s warm, 15.1 → 10.1s
+    # cold; at scale the panel argmax is the whole K²-pair pass.
     pair = (
         corr.orderBy(
             F.abs(F.col("corr_dp")).desc_nulls_last(), "user_a", "user_b"
         )
         .limit(1)
         .select("user_a", "user_b")
+        .localCheckpoint(eager=True)
     )
     a = bars.join(
         F.broadcast(pair), F.col("user_id") == F.col("user_a")
@@ -1358,9 +1368,12 @@ def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("date").alias("date_b"),
         F.col("close_d").alias("cb"),
     )
-    p = a.join(
-        b, (F.col("user_b") == F.col("ub")) & (F.col("date") == F.col("date_b"))
-    ).select("user_a", "user_b", "date", "ca", "cb")
+    p = (
+        a.join(b, (F.col("user_b") == F.col("ub")) & (F.col("date") == F.col("date_b")))
+        .select("user_a", "user_b", "date", "ca", "cb")
+        .localCheckpoint(eager=True)
+    )
+    bars.unpersist()
     mom = p.groupBy("user_a", "user_b").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cb").cast("double").alias("sx"),
@@ -1404,7 +1417,7 @@ def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("spread") - mean) / F.expr(
         "nullif(sqrt(greatest(0d, __var)), 0d)"
     )
-    result = (
+    return (
         sp.filter(F.size("tw") == PAIRS_Z_WINDOW)
         .withColumn("__var", var)
         .select(
@@ -1417,7 +1430,6 @@ def pairs_spread_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date")
     )
-    return pin_on_first_action(result, [bars])
 
 
 def _pairs_oracle() -> str:
@@ -1539,13 +1551,25 @@ def inverse_variance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = ohlcv_resample(spark, sf_dir).select(
         "user_id", "date", F.col("close").cast("decimal(18,2)").alias("close_d")
     )
-    rets = _rets_from_bars(bars)
+    # r12 optimization: rets feeds the top-K broadcast build AND the
+    # moment aggregate, and the K-row pv frame feeds the normalizer
+    # broadcast AND the main branch — the before-plan evaluated the
+    # events → bars → Δclose lineage 4× (4 events scans, 0 reuse).
+    # Construction-scoped persist + two bounded eager checkpoints
+    # (topk = K rows, pv ≤ K rows) collapse that to ONE tick pass;
+    # the cache is dropped before returning, so no session storage
+    # outlives the call. At sf0.1 the change is wall-neutral (min
+    # 1.60 → 1.64s, fresh JVM — re-scans of a 100 MB table ride the
+    # OS page cache); the point is the pass count at scale, where
+    # each avoided pass is a full tick-table read.
+    rets = _rets_from_bars(bars).persist()
     topk = (
         rets.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_bars"))
         .orderBy(F.desc("n_bars"), F.asc("user_id"))
         .limit(XSECT_TOP_K)
         .select("user_id")
+        .localCheckpoint(eager=True)
     )
     d = rets.join(F.broadcast(topk), "user_id").select(
         "user_id", (F.col("dp") * 100).cast("bigint").alias("dc")
@@ -1565,7 +1589,8 @@ def inverse_variance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_dp"),
     ).filter(F.col("var_dp") > 0)
     inv = (F.lit(1.0) / F.col("var_dp")).alias("inv_var")
-    pv = pv.select("*", inv)
+    pv = pv.select("*", inv).localCheckpoint(eager=True)
+    rets.unpersist()
     tot = pv.agg(
         F.aggregate(
             F.array_sort(F.collect_list("inv_var")), F.lit(0.0), lambda a, x: a + x

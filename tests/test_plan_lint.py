@@ -209,6 +209,15 @@ CONSTRUCTION_JOBS_ALLOWED = {
     # 11 strategy branches race the cache (13.8s vs 8.0s at sf0.1,
     # see domain/trading_signals.all_signals).
     "fin_signals_pipeline": "eager feature checkpoint (measured 1.7x)",
+    # --- r12 optimization round: measured materialization
+    # boundaries — a dozens-of-rows shared frame whose consumers
+    # (broadcast builds + main branch) each re-ran the full panel /
+    # corpus lineage without the cut (before-plans: base table
+    # scanned 4-8x, zero exchange reuse).
+    "feature_mi_ranking": "eager cell-count checkpoint (panel ran 4x)",
+    "inverse_variance_weights": "eager topk/pv checkpoints (tick lineage ran 4x)",
+    "pairs_spread_zscore": "eager pair/calendar checkpoints (panel argmax ran per broadcast build)",
+    "robust_outlier_mad": "eager med/MAD checkpoints (rank pass ran per broadcast build)",
 }
 
 
