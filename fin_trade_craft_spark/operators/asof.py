@@ -38,6 +38,7 @@ def asof_join(
     tiebreak: list[Column] | None = None,
     how: str = "left",
     direction: str = "backward",
+    band_window_us: int | None = None,
 ) -> DataFrame:
     """For each left row, attach ONE right row selected by
     ``direction`` (pandas ``merge_asof`` parity), preserving
@@ -64,6 +65,18 @@ def asof_join(
     ``validity`` is an extra boolean Column over the joined row
     (e.g. a bounded lookback window). ``tiebreak`` orders equal
     right_time rows deterministically.
+
+    ``band_window_us`` (r12 optimization, guide §3): when the
+    validity window bounds |left_time − right_time| ≤ W
+    microseconds, pass W here and the join adds an equality key on
+    floor(unix_micros(t)/W), with the right side exploded to its
+    bucket ±1. Every validity-passing pair has bucket distance ≤ 1,
+    so results are IDENTICAL — but the join enumerates only pairs
+    within ±2 windows instead of the full per-key cross product
+    (each purchase × every same-user row, which the plain equi-join
+    materializes and only then filters — per-key QUADRATIC at
+    scale). Both time columns must be timestamps. Callers are
+    responsible for W being a true bound on validity-passing |Δt|.
 
     Column resolution is side-QUALIFIED (``left[...]``/``right[...]``),
     so ``left_time`` and ``right_time`` may share a name (ts-vs-ts is
@@ -93,7 +106,22 @@ def asof_join(
     for k in on:
         cond = cond & (left[k] == right[k])
 
+    if band_window_us is not None:
+        # bucket equality prunes the per-key candidate enumeration;
+        # a NULL time yields a NULL bucket on either side, which
+        # fails the equality exactly as the NULL time already failed
+        # the validity/ordering predicates — no semantic change.
+        lb = F.floor(F.unix_micros(lt) / F.lit(band_window_us))
+        rb = F.floor(F.unix_micros(rt) / F.lit(band_window_us))
+        left = left.withColumn("__asof_band", lb)
+        right = right.withColumn(
+            "__asof_band", F.explode(F.array(rb - 1, rb, rb + 1))
+        )
+        cond = cond & (left["__asof_band"] == right["__asof_band"])
+
     joined = left.join(right, cond, how)
+    if band_window_us is not None:
+        joined = joined.drop(left["__asof_band"]).drop(right["__asof_band"])
     for k in on:
         joined = joined.drop(right[k])
     left_key = [left_key] if isinstance(left_key, str) else left_key

@@ -44,6 +44,7 @@ def asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         validity=validity & (purchases["p_user"] == views["v_user"]),
         tiebreak=[F.col("v_id").desc()],
         how="left",
+        band_window_us=VALIDITY_US,
     )
     return out.select("p_id", "p_user", "p_ts", "p_value", "v_id", "v_ts", "v_value")
 
@@ -101,6 +102,7 @@ def asof_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=[F.col("c_id").asc()],
         how="left",
         direction="forward",
+        band_window_us=VALIDITY_US,
     )
     return out.select("p_id", "p_user", "p_ts", "p_value", "c_id", "c_ts", "c_value")
 
@@ -160,6 +162,7 @@ def asof_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=[F.col("v_id").asc()],
         how="left",
         direction="nearest",
+        band_window_us=NEAREST_US,
     )
     return out.select("p_id", "p_user", "p_ts", "p_value", "v_id", "v_ts", "v_value")
 

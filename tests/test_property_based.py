@@ -169,6 +169,45 @@ def test_asof_join_on_keys_and_shared_time_name(spark):
 
 @SETTINGS
 @given(
+    left_ts=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=12),
+    right_ts=st.lists(st.integers(min_value=0, max_value=100), min_size=0, max_size=12),
+    validity=st.integers(min_value=1, max_value=50),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_asof_join_band_equivalence_property(spark, left_ts, right_ts, validity, direction):
+    """r12 optimization: ``band_window_us`` (bucketed candidate
+    pruning) must be result-IDENTICAL to the plain join for every
+    direction, including rows exactly at the window boundary (the
+    hour grid makes |Δt| == W exact). The hypothesis grid also
+    produces bucket-edge collisions (ts at multiples of W)."""
+    d0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, d0 + timedelta(hours=t)) for i, t in enumerate(left_ts)], "lid int, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(i, d0 + timedelta(hours=t)) for i, t in enumerate(right_ts)], "rid int, rt timestamp"
+    ) if right_ts else spark.createDataFrame([], "rid int, rt timestamp")
+    h = 3_600_000_000
+    if direction == "backward":
+        win = F.unix_micros(F.col("lt")) - F.unix_micros(F.col("rt")) <= validity * h
+        tb = [F.col("rid").desc()]
+    elif direction == "forward":
+        win = F.unix_micros(F.col("rt")) - F.unix_micros(F.col("lt")) <= validity * h
+        tb = [F.col("rid").asc()]
+    else:
+        win = F.abs(F.unix_micros(F.col("lt")) - F.unix_micros(F.col("rt"))) <= validity * h
+        tb = [F.col("rid").asc()]
+    kw = dict(on=[], left_time="lt", right_time="rt", left_key="lid",
+              validity=win, tiebreak=tb, direction=direction)
+    plain = asof_join(left, right, **kw)
+    banded = asof_join(left, right, **kw, band_window_us=validity * h)
+    got_p = {r.lid: r.rid for r in plain.collect()}
+    got_b = {r.lid: r.rid for r in banded.collect()}
+    assert got_b == got_p, (direction, left_ts, right_ts, validity)
+
+
+@SETTINGS
+@given(
     tokens=st.lists(st.integers(min_value=0, max_value=5), min_size=8, max_size=60),
     data=st.data(),
 )
