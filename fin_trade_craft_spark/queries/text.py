@@ -1286,12 +1286,23 @@ def bigram_interpolated_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(toks) - 1),"
         " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
     )
+    # doc_bg feeds THREE consumers (bg → ctx, the stats join, and the
+    # per-doc scoring join) and bg itself feeds two (ctx and stats).
+    # Left lazy, column pruning makes each consumer's exchange subtree
+    # non-identical, so exchange reuse never fires and the tokenize →
+    # explode → partial-agg lineage executed three times (r12 jobprof:
+    # three 32-task stages, each re-writing the same 4.2MB aggregate).
+    # Persisting the two aggregated frames (far smaller than the
+    # exploded gram stream) runs the corpus pass ONCE; pins fill at
+    # the query's own first action and release on result GC (guide
+    # §2.4 "remove shuffles outright" / §5 caching-when-reused).
     doc_bg = (
         d.select("doc_id", F.explode(bl).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("c_d"))
+        .persist()
     )
-    bg = doc_bg.groupBy("bigram").agg(F.sum("c_d").alias("c_b"))
+    bg = doc_bg.groupBy("bigram").agg(F.sum("c_d").alias("c_b")).persist()
     bg = bg.withColumn("x", F.expr("split_part(bigram, ' ', 1)")).withColumn(
         "y", F.expr("split_part(bigram, ' ', 2)")
     )
@@ -1331,11 +1342,16 @@ def bigram_interpolated_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fold = F.aggregate(F.col("ts"), F.lit(0.0), lambda acc, x: acc + x)
-    return per_doc.select(
+    from ..operators.pinning import pin_on_first_action
+
+    result = per_doc.select(
         "doc_id",
         "n_bigrams",
         F.round(fold / F.col("n_bigrams").cast("double"), 9).alias("avg_logprob10_interp"),
     ).orderBy("doc_id")
+    # upstream-first: doc_bg's fill runs the one corpus pass, bg's
+    # fill then aggregates from that cache
+    return pin_on_first_action(result, [doc_bg, bg])
 
 
 ORACLE_BIGRAM_INTERPOLATED_SCORES = f"""
@@ -1744,6 +1760,18 @@ def bm25_on(
 
     spark = docs.sparkSession
     d = docs.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    # dl feeds both the corpus-stats aggregate and the scoring join,
+    # and d feeds the posting (tf) pass — so the tokenize lineage is
+    # evaluated three times per query. Examined in the r12
+    # optimization pass and deliberately LEFT ALONE: the three
+    # evaluations are independent leaf stages that the scheduler runs
+    # CONCURRENTLY, so on non-saturated capacity they cost near-zero
+    # wall clock, while the pinned-cache variant (persist dl + fill
+    # before the action) serializes one evaluation onto the critical
+    # path — measured +0.3-0.8s at sf0.1 and +0.5s at sf1 (A/B/A/B,
+    # min-of-3). On a saturated cluster the cached 16-byte/doc frame
+    # wins on throughput; latency-optimized serving keeps the
+    # concurrent shape.
     dl = d.select("doc_id", F.size("toks").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
