@@ -270,33 +270,41 @@ def resize_images(
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import png as P
-
         cols = [f.name for f in RESIZE_SCHEMA.fields]
         for pdf in batches:
-            rows = []
-            for did, b in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(b)
-                try:
-                    if P.is_png(raw):
-                        img = P.decode_png(raw)
-                        nw, nh = P.fit_dims(img.shape[1], img.shape[0], max_w, max_h)
-                        rows.append(
-                            (did, P.encode_png(P.nn_resize(img, nw, nh)), "PNG", nw, nh)
-                        )
-                        continue
-                    if _HAS_PIL:  # pragma: no cover - PIL absent here
-                        import io
-
-                        im = Image.open(io.BytesIO(raw))
-                        im.thumbnail((max_w, max_h), Image.NEAREST)
-                        buf = io.BytesIO()
-                        im.save(buf, "PNG")
-                        rows.append((did, buf.getvalue(), "PNG", im.width, im.height))
-                        continue
-                except Exception:
-                    pass  # undecodable/unsupported → RAW fallback below
-                rows.append((did, raw[:raw_fallback_bytes], "RAW", -1, -1))
+            rows = [
+                (did,) + resize_payload(bytes(b), max_w, max_h, raw_fallback_bytes)
+                for did, b in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def resize_payload(
+    raw: bytes, max_w: int, max_h: int, raw_fallback_bytes: int = 1024
+) -> tuple:
+    """The per-payload codec worker behind :func:`resize_images` —
+    (resized_bytes, out_format, out_w, out_h) for ONE payload.
+    Factored out (r12) so callers that already sit inside a Python
+    batch (``image_resize_pixelsum``'s fused synthesize→resize→measure
+    kernel) execute the IDENTICAL codec path without routing the
+    payload bytes through extra JVM↔Python Arrow hops."""
+    from ..functions import png as P
+
+    try:
+        if P.is_png(raw):
+            img = P.decode_png(raw)
+            nw, nh = P.fit_dims(img.shape[1], img.shape[0], max_w, max_h)
+            return (P.encode_png(P.nn_resize(img, nw, nh)), "PNG", nw, nh)
+        if _HAS_PIL:  # pragma: no cover - PIL absent here
+            import io
+
+            im = Image.open(io.BytesIO(raw))
+            im.thumbnail((max_w, max_h), Image.NEAREST)
+            buf = io.BytesIO()
+            im.save(buf, "PNG")
+            return (buf.getvalue(), "PNG", im.width, im.height)
+    except Exception:
+        pass  # undecodable/unsupported → RAW fallback below
+    return (raw[:raw_fallback_bytes], "RAW", -1, -1)

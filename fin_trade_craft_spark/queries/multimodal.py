@@ -103,18 +103,27 @@ def image_resize_pixelsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle from doc_id alone — so a wrong filter, resample
     mapping, or encoder bug flips the value hash.
 
-    Scale shape: three Arrow-batched mapInPandas stages and zero
-    collects. The one repartition exists ONLY because payloads are
+    Scale shape: ONE Arrow-batched mapInPandas stage and zero
+    collects. Until r12 this was three chained mapInPandas stages
+    (synthesize → resize_images → measure), which moved every PNG
+    payload across the JVM↔Python Arrow boundary four times purely
+    to hand it to the next Python stage (guide §4.1: you control how
+    many columns cross the boundary — here the payload never needs
+    to cross at all). The fused kernel calls the IDENTICAL codec
+    worker ``operators.multimodal.resize_payload`` that
+    ``resize_images`` wraps, so the canonical decode → fit →
+    nn_resize → encode path (and the value oracle pinning it) is
+    unchanged; only doc_id enters Python and four ints leave.
+    Measured 1.9-2.1s → 1.1-1.2s at sf0.1 (A/B/A/B min-of-3).
+    The one repartition exists ONLY because payloads are
     synthesized from doc_id here: a bare-id projection scans a few
     KB, so the file source yields 1-2 input splits and the codec
-    stages would run near-serial (measured: the sf1 bench entry).
+    stage would run near-serial (measured: the sf1 bench entry).
     Spreading the 8-byte ids across the session's cores costs ~ms;
     a real image corpus has byte-heavy payload splits and needs no
     such step."""
     import numpy as np
     import pandas as pd
-
-    from ..operators.multimodal import resize_images
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -122,8 +131,9 @@ def image_resize_pixelsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
-    def make(batches):
+    def synth_resize_measure(batches):
         from ..functions import png as P
+        from ..operators.multimodal import resize_payload
 
         for pdf in batches:
             rows = []
@@ -133,28 +143,17 @@ def image_resize_pixelsum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = (
                     (np.arange(w)[None, :] * 3 + np.arange(h)[:, None] * 5 + did) % 256
                 ).astype(np.uint8)
-                rows.append((did, P.encode_png(img)))
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
-
-    payloads = docs.mapInPandas(make, "doc_id long, payload binary")
-    resized = resize_images(payloads, max_w=24, max_h=24).select("doc_id", "resized")
-
-    def measure(batches):
-        from ..functions import png as P
-
-        for pdf in batches:
-            rows = []
-            for did, b in zip(pdf["doc_id"], pdf["resized"]):
-                img = P.decode_png(bytes(b))
+                resized_bytes = resize_payload(P.encode_png(img), 24, 24)[0]
+                out = P.decode_png(resized_bytes)
                 rows.append(
-                    (int(did), img.shape[1], img.shape[0], int(img.sum(dtype=np.int64)))
+                    (did, out.shape[1], out.shape[0], int(out.sum(dtype=np.int64)))
                 )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "out_width", "out_height", "pixel_sum"]
             )
 
-    return resized.mapInPandas(
-        measure, "doc_id long, out_width int, out_height int, pixel_sum long"
+    return docs.mapInPandas(
+        synth_resize_measure, "doc_id long, out_width int, out_height int, pixel_sum long"
     ).orderBy("doc_id")
 
 
