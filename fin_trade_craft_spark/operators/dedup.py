@@ -328,18 +328,31 @@ def connected_components_star(
         nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         rounds += 1
         edges = nxt
-        viol_chain = (
-            nxt.select(F.col("dst").alias("k"))
-            .join(nxt.select(F.col("src").alias("k")).distinct(), "k")
-            .select(F.lit(1).alias("__v"))
+        # Both violations in ONE aggregation shuffle (r12 guide §2:
+        # the probe ran every round as a 3-shuffle join+groupBy+union
+        # chain — several AQE jobs per round of pure scheduling
+        # overhead on KB-sized late-round edge sets). Emit each edge
+        # under both endpoints: src rows carry the partner, dst rows
+        # a NULL partner. Per node: __nd = COUNT(DISTINCT partner)
+        # counts src-role parents only (count_distinct skips NULLs),
+        # __is_dst marks dst-role appearances. Chain violation =
+        # node is both a src (__nd >= 1) and a dst (__is_dst);
+        # multi-parent violation = __nd > 1 — exactly the two
+        # star-forest violations probed separately before.
+        dst_t = nxt.schema["dst"].dataType
+        roles = nxt.select(F.col("src").alias("node"), F.col("dst").alias("partner")).unionAll(
+            nxt.select(F.col("dst").alias("node"), F.lit(None).cast(dst_t).alias("partner"))
         )
-        viol_multi_parent = (
-            nxt.groupBy("src")
-            .agg(F.count_distinct("dst").alias("__nd"))
-            .filter(F.col("__nd") > 1)
-            .select(F.lit(1).alias("__v"))
+        not_fixed = (
+            roles.groupBy("node")
+            .agg(
+                F.count_distinct("partner").alias("__nd"),
+                F.max(F.col("partner").isNull()).alias("__is_dst"),
+            )
+            .filter((F.col("__nd") > 1) | ((F.col("__nd") >= 1) & F.col("__is_dst")))
+            .limit(1)
+            .count()
         )
-        not_fixed = viol_chain.unionByName(viol_multi_parent).limit(1).count()
         if not_fixed == 0:
             break
     if not_fixed != 0:
