@@ -33,6 +33,17 @@ _BASE_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Long-lived sessions (the 88-query bench, the CLI daily run)
+    # compile hundreds of distinct codegen units in one JVM; the
+    # default codegen class cache (100 entries) and HotSpot code
+    # cache (240 MB) both overflow well before the tail of the run,
+    # forcing re-generation/re-JIT (or interpreted execution) for
+    # every late query — measured as tail-query inflation vs
+    # isolated runs (guide §1: measure the steady state you actually
+    # serve). Both are driver-side compiler caches, independent of
+    # data scale.
+    "spark.sql.codegen.cache.maxEntries": "1000",
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
 }
 
 
