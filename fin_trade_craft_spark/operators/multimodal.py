@@ -208,41 +208,55 @@ def ahash_images(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
     hashing is embarrassingly parallel; pair-finding on top of it is
     the caller's banded join (see queries/multimodal.py
     image_ahash_near_dupes)."""
-    import numpy as np
-
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions import png as P
-
-        shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             rows = []
             for did, b in zip(pdf[id_col], pdf[bin_col]):
-                try:
-                    img = P.decode_png(bytes(b))
-                except Exception:
+                hashed = ahash_payload(bytes(b))
+                if hashed is None:
                     # undecodable/unsupported payload: EXCLUDE from
                     # hashing rather than kill the stage (mirrors
                     # resize_images' mixed-corpus stance; a sentinel
                     # sig would band-collide all bad images into
                     # fake duplicate pairs)
                     continue
-                if img.ndim == 3 and img.shape[2] >= 3:
-                    # integer luma; alpha (if any) ignored
-                    r, g, bl = (img[..., i].astype(np.int64) for i in range(3))
-                    gray = (299 * r + 587 * g + 114 * bl) // 1000
-                else:
-                    # 2-D gray, or (h, w, 1)/(h, w, 2) gray(+alpha)
-                    gray = (img if img.ndim == 2 else img[..., 0]).astype(np.int64)
-                h, w = gray.shape
-                ys = (np.arange(8) * h) // 8
-                xs = (np.arange(8) * w) // 8
-                cells = gray[np.ix_(ys, xs)]
-                bits = (cells * 64 >= cells.sum()).flatten()  # row-major y*8+x
-                sig_u = (bits.astype(np.uint64) << shifts).sum(dtype=np.uint64)
-                rows.append((int(did), int(sig_u.astype(np.int64)), w, h))
+                rows.append((int(did),) + hashed)
             yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA.fields])
 
     return df.mapInPandas(fn, AHASH_SCHEMA)
+
+
+def ahash_payload(raw: bytes) -> tuple | None:
+    """The per-payload aHash worker behind :func:`ahash_images` —
+    (sig, width, height) for ONE payload, or None when undecodable.
+    Factored out (r12) so callers already inside a Python batch
+    (``image_ahash_near_dupes``'s fused synthesize→hash kernel) run
+    the IDENTICAL decode+hash path without routing payload bytes
+    through extra JVM↔Python Arrow hops."""
+    import numpy as np
+
+    from ..functions import png as P
+
+    try:
+        img = P.decode_png(raw)
+    except Exception:
+        return None
+    if img.ndim == 3 and img.shape[2] >= 3:
+        # integer luma; alpha (if any) ignored
+        r, g, bl = (img[..., i].astype(np.int64) for i in range(3))
+        gray = (299 * r + 587 * g + 114 * bl) // 1000
+    else:
+        # 2-D gray, or (h, w, 1)/(h, w, 2) gray(+alpha)
+        gray = (img if img.ndim == 2 else img[..., 0]).astype(np.int64)
+    h, w = gray.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    cells = gray[np.ix_(ys, xs)]
+    bits = (cells * 64 >= cells.sum()).flatten()  # row-major y*8+x
+    sig_u = (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        dtype=np.uint64
+    )
+    return (int(sig_u.astype(np.int64)), w, h)
 
 
 def resize_images(

@@ -218,16 +218,23 @@ def image_ahash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from ..operators.multimodal import ahash_images
-
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
-    def make(batches):
+    # Fused synthesize→hash kernel (r12, guide §4 — same treatment as
+    # image_resize_pixelsum): the payload used to cross the Arrow
+    # boundary twice (out of the synth stage, into the hash stage)
+    # purely to reach the next Python stage. The fused kernel runs
+    # the IDENTICAL codec path — encode_png then the factored
+    # ahash_payload worker, i.e. still a real encode→decode→hash of
+    # PNG bytes — so only doc_id enters Python and (doc_id, sig)
+    # leaves. Plan: 2 Python eval nodes → 1.
+    def synth_hash(batches):
         from ..functions import png as P
+        from ..operators.multimodal import ahash_payload
 
         for pdf in batches:
             rows = []
@@ -241,11 +248,13 @@ def image_ahash_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 y = np.arange(h)[:, None]
                 noise = m * ((x * 7 + y * 13) % 5 == 0)
                 img = ((x * sx + y * sy + base + noise) % 256).astype(np.uint8)
-                rows.append((did, P.encode_png(img)))
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+                hashed = ahash_payload(P.encode_png(img))
+                if hashed is None:  # pragma: no cover - synth PNGs decode
+                    continue
+                rows.append((did, hashed[0]))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
 
-    payloads = docs.mapInPandas(make, "doc_id long, payload binary")
-    sigs = ahash_images(payloads).select("doc_id", "ahash")
+    sigs = docs.mapInPandas(synth_hash, "doc_id long, ahash long")
     bands = sigs.select(
         "doc_id",
         "ahash",

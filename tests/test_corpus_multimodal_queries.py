@@ -99,3 +99,43 @@ def test_ahash_invariants(spark):
     # and some off — all-0/all-64 popcounts would mean a broken threshold
     assert (pdf["pop"] > 0).all() and (pdf["pop"] < 64).all()
     assert 20 <= pdf["pop"].mean() <= 44
+
+
+def test_ahash_payload_matches_operator(spark):
+    """The factored per-payload worker (r12 fused-kernel seam) is
+    bit-identical to the ahash_images operator path for the same
+    payloads — including color/luma and the undecodable→None stance
+    the operator expresses as row exclusion."""
+    import numpy as np
+    import pandas as pd
+
+    from fin_trade_craft_spark.functions import png as P
+    from fin_trade_craft_spark.operators.multimodal import ahash_images, ahash_payload
+
+    payloads = []
+    for did in range(24):
+        w, h = 16 + did % 49, 16 + (did * 7) % 49
+        gray = ((np.arange(w)[None, :] * 3 + np.arange(h)[:, None] * 5 + did) % 256).astype(
+            np.uint8
+        )
+        if did % 3 == 0:  # exercise the RGB→luma branch too
+            img = np.stack([gray, (gray * 2) % 256, (gray * 3) % 256], axis=-1).astype(
+                np.uint8
+            )
+        else:
+            img = gray
+        payloads.append((did, P.encode_png(img)))
+
+    via_op = {
+        int(r["doc_id"]): (int(r["ahash"]), int(r["width"]), int(r["height"]))
+        for r in ahash_images(
+            spark.createDataFrame(
+                pd.DataFrame(payloads, columns=["doc_id", "payload"]),
+                "doc_id long, payload binary",
+            )
+        ).collect()
+    }
+    assert len(via_op) == 24
+    for did, raw in payloads:
+        assert ahash_payload(bytes(raw)) == via_op[did]
+    assert ahash_payload(b"not a png") is None
