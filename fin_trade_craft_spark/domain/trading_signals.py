@@ -264,5 +264,37 @@ def all_signals(feat: DataFrame) -> DataFrame:
     (``TableIO.overwrite`` + re-read) — same plan shape, replicated
     storage.
     """
+    # Project to exactly the columns the 11 strategies read BEFORE
+    # materializing (r12, guide §5 "project early"): the checkpoint
+    # barrier blocks column pruning, so checkpointing the full
+    # ~74-column indicator frame forced the window stage to compute
+    # (and the checkpoint to store, and every strategy branch to
+    # carry) dozens of indicator/target columns no strategy uses.
+    # With the projection, Catalyst prunes the unused window
+    # expressions below the checkpoint entirely. Keep this list in
+    # sync with the strategy bodies above — a missed column fails
+    # fast at plan time (unresolved attribute), and the end-to-end
+    # fin_signals_pipeline value oracle pins the semantics.
+    feat = feat.select(
+        "symbol",
+        "symbol_id",
+        "date",
+        "close",
+        "high",
+        "low",
+        "volume",
+        "ohlcv_sma_5",
+        "ohlcv_sma_10",
+        "ohlcv_sma_20",
+        "ohlcv_sma_50",
+        "ohlcv_ema_8",
+        "ohlcv_ema_21",
+        "ohlcv_rsi_14",
+        "ohlcv_macd_histogram",
+        "ohlcv_bb_upper",
+        "ohlcv_bb_lower",
+        "ohlcv_volume_sma_20",
+        "ohlcv_willr_14",
+    )
     feat = feat.localCheckpoint(eager=True)
     return reduce(lambda a, b: a.unionByName(b), (fn(feat) for fn in STRATEGIES.values()))
