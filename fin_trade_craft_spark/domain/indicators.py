@@ -90,6 +90,26 @@ def compute_indicators(ohlcv: DataFrame) -> DataFrame:
     adjusted_close?, volume, ...) → wide feature frame."""
     w = Window.partitionBy("symbol_id").orderBy("date")
     df = _ewm_island(ohlcv, "date")
+    # Re-establish the symbol clustering explicitly after the island:
+    # mapInPandas reports UnknownPartitioning, so EnsureRequirements
+    # would insert this exact exchange anyway (at
+    # spark.sql.shuffle.partitions wide, or AQE-coalesced). Making it
+    # explicit pins the window-stage width to the documented
+    # signals-partitions conf (scale-adaptive: defaultParallelism/4
+    # locally, symbol_bucket layout at production scale — see
+    # market_bars) and keeps the width deterministic when a consumer
+    # executes this lineage with AQE disabled (all_signals' eager
+    # checkpoint, which needs AQE off so the checkpoint preserves
+    # this partitioning — see trading_signals.all_signals). The
+    # shuffle count is unchanged either way; only its width is pinned.
+    spark = ohlcv.sparkSession
+    n_parts = int(
+        spark.conf.get(
+            "spark.fin_trade_craft.signals.partitions",
+            str(max(1, spark.sparkContext.defaultParallelism // 4)),
+        )
+    )
+    df = df.repartition(n_parts, "symbol_id")
     close, volume = F.col("close"), F.col("volume")
 
     def frame(n):

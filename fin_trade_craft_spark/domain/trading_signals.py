@@ -296,5 +296,28 @@ def all_signals(feat: DataFrame) -> DataFrame:
         "ohlcv_volume_sma_20",
         "ohlcv_willr_14",
     )
-    feat = feat.localCheckpoint(eager=True)
+    # Execute the checkpoint with AQE disabled (r12, guide §2.4
+    # "remove shuffles outright"): Dataset.localCheckpoint preserves
+    # the physical plan's outputPartitioning/outputOrdering in the
+    # resulting LogicalRDD, but under AQE the executed plan is an
+    # AdaptiveSparkPlanExec whose outputPartitioning reports
+    # UnknownPartitioning — so the checkpoint forgot that the feature
+    # frame is hash-partitioned by symbol_id and sorted by (symbol_id,
+    # date), and EVERY windowed strategy branch re-shuffled AND
+    # re-sorted the frame (measured: 10 Exchanges + 10 Sorts in the
+    # 11-way union; at scale that is 10 redundant full-frame shuffles
+    # per run). With AQE off for this one execution the preserved
+    # metadata satisfies each branch's window requirements exactly:
+    # 0 Exchanges, 0 Sorts (plans/r12/fin_signals_pipeline_after.txt).
+    # The width AQE would have tuned is pinned instead by the explicit
+    # signals-partitions repartition inside compute_indicators. Values
+    # are unchanged by construction — same rows, same per-key order —
+    # and the end-to-end fin_signals_pipeline value oracle pins it.
+    spark = feat.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        feat = feat.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return reduce(lambda a, b: a.unionByName(b), (fn(feat) for fn in STRATEGIES.values()))
