@@ -45,6 +45,7 @@ def grouped_map(
     schema,
     num_partitions: int | None = None,
     max_rows_per_frame: int | None = 1_000_000,
+    batch_fn=None,
 ) -> DataFrame:
     """Per-group pandas transform without per-group Arrow overhead.
 
@@ -68,7 +69,20 @@ def grouped_map(
     (EWM, the trade ledger) are exactly the operators that need the
     full series in one frame; that floor is inherent, and the knob
     bounds everything else. ``max_rows_per_frame=None`` restores the
-    whole-partition shape (no within-partition sort)."""
+    whole-partition shape (no within-partition sort).
+
+    ``batch_fn`` (r12, guide §4.2): when set, it replaces the
+    per-group Python loop — it receives a pandas frame holding only
+    WHOLE groups (the same buffering/cut guarantees as ``fn``) and
+    must apply the per-group semantics itself via pandas' grouped
+    C kernels (``groupby().ewm()/diff()/shift()``, one cython call
+    for all groups instead of ~40 pandas calls per group). The
+    per-group loop costs ~9 ms/group on 27-row groups (pure pandas
+    overhead); the grouped-kernel path is 30x+ faster and
+    bit-identical because pandas evaluates the same window kernel
+    per group slice. ``fn`` is ignored when ``batch_fn`` is given;
+    ``batch_fn`` is responsible for any within-group ordering (the
+    buffered frame is key-clustered but not order-sorted)."""
     import numpy as np
 
     keys = [keys] if isinstance(keys, str) else list(keys)
@@ -77,6 +91,11 @@ def grouped_map(
     def run_groups(pdf):
         import pandas as pd
 
+        if batch_fn is not None:
+            out = batch_fn(pdf)
+            if out is not None and not out.empty:
+                yield out
+            return
         by = keys[0] if len(keys) == 1 else keys
         # dropna=False: pandas groupby silently DROPS null-key rows
         # by default — a null symbol/user would vanish from the

@@ -240,3 +240,83 @@ def test_ewm_oracle_step_matches_pandas_on_mid_series_nulls():
             np.nan_to_num(got2[col].to_numpy(), nan=-1),
             np.nan_to_num(want.to_numpy(), nan=-1),
         ), f"{col} diverged on NULL series"
+
+
+def test_ewm_island_batch_kernel_matches_per_group_reference():
+    """The production island path (_ewm_island_batch_fn: pandas
+    grouped-window C kernels, one call for all groups) must be
+    bit-identical to the definitional per-group kernel
+    (_ewm_island_group_fn: plain Series.ewm per symbol — the
+    reference's exact semantics). Adversarial shapes: multi-symbol,
+    single-row group, constant series (exercises the ewma kernel's
+    weighted_avg != cur skip branch), two-row group inside RSI/ATR
+    warmup, and unsorted input rows."""
+    import numpy as np
+
+    from fin_trade_craft_spark.domain import indicators as I
+
+    rows = []
+    # symbol 1: 60-step random walk
+    v = 100.0
+    import random
+
+    rng = random.Random(13)
+    for i in range(60):
+        v *= 1 + rng.uniform(-0.03, 0.03)
+        rows.append((1, i, round(v + 1, 2), round(v - 1, 2), round(v, 2), 10 + i))
+    # symbol 2: constant close (ewma update-skip branch)
+    for i in range(30):
+        rows.append((2, i, 51.0, 49.0, 50.0, 5))
+    # symbol 3: single row
+    rows.append((3, 0, 10.5, 9.5, 10.0, 1))
+    # symbol 4: two rows (inside min_periods warmup of RSI/ATR)
+    rows.append((4, 0, 21.0, 19.0, 20.0, 2))
+    rows.append((4, 1, 22.0, 20.0, 21.0, 2))
+    pdf = pd.DataFrame(
+        rows, columns=["symbol_id", "date", "high", "low", "close", "volume"]
+    )
+    # shuffle row order: both kernels must sort internally
+    pdf = pdf.sample(frac=1.0, random_state=5).reset_index(drop=True)
+
+    # schema stand-in: the island only reads schema field NAMES
+    class _F:
+        def __init__(self, name):
+            self.name = name
+
+    class _S:
+        fields = [
+            _F(c)
+            for c in [
+                "symbol_id",
+                "date",
+                "high",
+                "low",
+                "close",
+                "volume",
+                *[f"ohlcv_ema_{n}" for n in I.EMA_PERIODS],
+                "ohlcv_macd",
+                "ohlcv_macd_signal",
+                "ohlcv_macd_histogram",
+                *[f"ohlcv_rsi_{n}" for n in I.RSI_PERIODS],
+                *[f"ohlcv_atr_{n}" for n in I.ATR_PERIODS],
+            ]
+        ]
+
+    ref_fn = I._ewm_island_group_fn(_S, "date")
+    ref = pd.concat(
+        [ref_fn(g) for _, g in pdf.groupby("symbol_id", sort=False, dropna=False)],
+        ignore_index=True,
+    ).sort_values(["symbol_id", "date"], kind="stable").reset_index(drop=True)
+    got = (
+        I._ewm_island_batch_fn(_S, "date")(pdf)
+        .sort_values(["symbol_id", "date"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert list(ref.columns) == list(got.columns)
+    for c in ref.columns:
+        a, b = ref[c].to_numpy(), got[c].to_numpy()
+        if a.dtype.kind == "f":
+            same = (a == b) | (np.isnan(a) & np.isnan(b))
+        else:
+            same = a == b
+        assert same.all(), (c, a[~same][:5], b[~same][:5])
