@@ -177,7 +177,23 @@ def ema_features(
             out[f"{value}_ema_{n}_ratio"] = pdf[value] / ema
         return out
 
-    return grouped_map(df, key, fn, schema)
+    # Whole-batch twin of fn via pandas grouped-window C kernels
+    # (r12, guide §4.2): groupby().ewm() runs the same cython ewma
+    # kernel per group slice, so values are bit-identical; the win
+    # is dropping the ~per-group pandas overhead of the Python loop.
+    # The pytest parity suite (operator vs pandas.Series.ewm) pins
+    # the equivalence.
+    def batch(pdf):
+        pdf = pdf.sort_values([key, *order], kind="mergesort").reset_index(drop=True)
+        gb = pdf.groupby(key, sort=False, dropna=False)
+        out = pdf[keep].copy()
+        for n in spans:
+            ema = gb[value].ewm(span=n).mean().reset_index(drop=True)
+            out[f"ema_{n}"] = ema
+            out[f"{value}_ema_{n}_ratio"] = pdf[value] / ema
+        return out
+
+    return grouped_map(df, key, fn, schema, batch_fn=batch)
 
 
 def macd_features(
@@ -206,7 +222,25 @@ def macd_features(
         out["macd_hist"] = macd - sig
         return out
 
-    return grouped_map(df, key, fn, schema)
+    # grouped-kernel twin — see ema_features.batch for the rationale
+    def batch(pdf):
+        pdf = pdf.sort_values([key, *order], kind="mergesort").reset_index(drop=True)
+        gb = pdf.groupby(key, sort=False, dropna=False)
+        out = pdf[keep].copy()
+        macd = (
+            gb[value].ewm(span=fast).mean().reset_index(drop=True)
+            - gb[value].ewm(span=slow).mean().reset_index(drop=True)
+        )
+        work = pdf[[key]].copy()
+        work["__macd"] = macd
+        gw = work.groupby(key, sort=False, dropna=False)
+        sig = gw["__macd"].ewm(span=signal).mean().reset_index(drop=True)
+        out["macd"] = macd
+        out["macd_signal"] = sig
+        out["macd_hist"] = macd - sig
+        return out
+
+    return grouped_map(df, key, fn, schema, batch_fn=batch)
 
 
 def rsi_wilder(
@@ -236,7 +270,23 @@ def rsi_wilder(
         out[f"rsi_{length}"] = 100.0 - 100.0 / (1.0 + rs)
         return out
 
-    return grouped_map(df, key, fn, schema)
+    # grouped-kernel twin — see ema_features.batch for the rationale
+    def batch(pdf):
+        pdf = pdf.sort_values([key, *order], kind="mergesort").reset_index(drop=True)
+        gb = pdf.groupby(key, sort=False, dropna=False)
+        out = pdf[keep].copy()
+        delta = gb[value].diff().reset_index(drop=True)
+        work = pdf[[key]].copy()
+        work["__gain"] = delta.clip(lower=0)
+        work["__loss"] = (-delta).clip(lower=0)
+        gw = work.groupby(key, sort=False, dropna=False)
+        avg_gain = gw["__gain"].ewm(alpha=1.0 / length, min_periods=length).mean().reset_index(drop=True)
+        avg_loss = gw["__loss"].ewm(alpha=1.0 / length, min_periods=length).mean().reset_index(drop=True)
+        rs = avg_gain / avg_loss
+        out[f"rsi_{length}"] = 100.0 - 100.0 / (1.0 + rs)
+        return out
+
+    return grouped_map(df, key, fn, schema, batch_fn=batch)
 
 
 def atr_features(
@@ -275,4 +325,28 @@ def atr_features(
             out[f"atr_{n}_pct"] = 100.0 * atr / pdf[close]
         return out
 
-    return grouped_map(df, key, fn, schema)
+    # grouped-kernel twin — see ema_features.batch for the rationale
+    def batch(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([key, *order], kind="mergesort").reset_index(drop=True)
+        gb = pdf.groupby(key, sort=False, dropna=False)
+        out = pdf[keep].copy()
+        prev_close = gb[close].shift(1).reset_index(drop=True)
+        work = pdf[[key]].copy()
+        work["__tr"] = pd.concat(
+            [
+                pdf[high] - pdf[low],
+                (pdf[high] - prev_close).abs(),
+                (pdf[low] - prev_close).abs(),
+            ],
+            axis=1,
+        ).max(axis=1)
+        gw = work.groupby(key, sort=False, dropna=False)
+        for n in lengths:
+            atr = gw["__tr"].ewm(alpha=1.0 / n, min_periods=n).mean().reset_index(drop=True)
+            out[f"atr_{n}"] = atr
+            out[f"atr_{n}_pct"] = 100.0 * atr / pdf[close]
+        return out
+
+    return grouped_map(df, key, fn, schema, batch_fn=batch)

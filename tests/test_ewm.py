@@ -320,3 +320,95 @@ def test_ewm_island_batch_kernel_matches_per_group_reference():
         else:
             same = a == b
         assert same.all(), (c, a[~same][:5], b[~same][:5])
+
+
+def test_grouped_kernel_batch_paths_bitwise_vs_per_group(spark):
+    """The r12 batch_fn twins (grouped-window C kernels) of
+    ema/macd/rsi/atr must be BIT-identical to the per-group pandas
+    reference — same fixtures class as the island differential:
+    random walk, constant series (ewma update-skip branch), single
+    row, warmup-length group."""
+    import numpy as np
+
+    rows = []
+    v = 100.0
+    import random
+
+    rng = random.Random(29)
+    for i in range(50):
+        v *= 1 + rng.uniform(-0.03, 0.03)
+        rows.append((1, i, round(v + 1, 2), round(v - 1, 2), round(v, 2)))
+    for i in range(25):
+        rows.append((2, i, 51.0, 49.0, 50.0))
+    rows.append((3, 0, 10.5, 9.5, 10.0))
+    rows.append((4, 0, 21.0, 19.0, 20.0))
+    rows.append((4, 1, 22.0, 20.0, 21.0))
+    df = spark.createDataFrame(
+        rows, "sym long, bar long, high double, low double, close double"
+    )
+
+    def ref_per_group(pdf, builder):
+        outs = [builder(g.sort_values("bar", kind="mergesort").reset_index(drop=True))
+                for _, g in pdf.groupby("sym", sort=False, dropna=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    pdf = pd.DataFrame(rows, columns=["sym", "bar", "high", "low", "close"])
+
+    def check(got, ref, cols):
+        got = got.sort_values(["sym", "bar"], kind="stable").reset_index(drop=True)
+        ref = ref.sort_values(["sym", "bar"], kind="stable").reset_index(drop=True)
+        for c in cols:
+            a, b = ref[c].to_numpy(), got[c].to_numpy()
+            same = (a == b) | (np.isnan(a) & np.isnan(b))
+            assert same.all(), (c, np.flatnonzero(~same)[:5])
+
+    # ema
+    def b_ema(g):
+        out = g[["sym", "bar", "close"]].copy()
+        for n in (8, 21):
+            e = g["close"].ewm(span=n).mean()
+            out[f"ema_{n}"] = e
+            out[f"close_ema_{n}_ratio"] = g["close"] / e
+        return out
+
+    got = ewm.ema_features(df, "sym", ["bar"], "close", spans=(8, 21)).toPandas()
+    check(got, ref_per_group(pdf, b_ema), ["ema_8", "ema_21", "close_ema_8_ratio"])
+
+    # macd
+    def b_macd(g):
+        out = g[["sym", "bar", "close"]].copy()
+        macd = g["close"].ewm(span=12).mean() - g["close"].ewm(span=26).mean()
+        sig = macd.ewm(span=9).mean()
+        out["macd"], out["macd_signal"], out["macd_hist"] = macd, sig, macd - sig
+        return out
+
+    got = ewm.macd_features(df, "sym", ["bar"], "close").toPandas()
+    check(got, ref_per_group(pdf, b_macd), ["macd", "macd_signal", "macd_hist"])
+
+    # rsi
+    def b_rsi(g):
+        out = g[["sym", "bar", "close"]].copy()
+        d = g["close"].diff()
+        ag = d.clip(lower=0).ewm(alpha=1.0 / 14, min_periods=14).mean()
+        al = (-d).clip(lower=0).ewm(alpha=1.0 / 14, min_periods=14).mean()
+        out["rsi_14"] = 100.0 - 100.0 / (1.0 + ag / al)
+        return out
+
+    got = ewm.rsi_wilder(df, "sym", ["bar"], "close", 14).toPandas()
+    check(got, ref_per_group(pdf, b_rsi), ["rsi_14"])
+
+    # atr
+    def b_atr(g):
+        out = g[["sym", "bar", "high", "low", "close"]].copy()
+        pc = g["close"].shift(1)
+        tr = pd.concat(
+            [g["high"] - g["low"], (g["high"] - pc).abs(), (g["low"] - pc).abs()], axis=1
+        ).max(axis=1)
+        for n in (10, 14):
+            a = tr.ewm(alpha=1.0 / n, min_periods=n).mean()
+            out[f"atr_{n}"] = a
+            out[f"atr_{n}_pct"] = 100.0 * a / g["close"]
+        return out
+
+    got = ewm.atr_features(df, "sym", ["bar"], "high", "low", "close").toPandas()
+    check(got, ref_per_group(pdf, b_atr), ["atr_10", "atr_14", "atr_14_pct"])
