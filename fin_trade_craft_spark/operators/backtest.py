@@ -73,6 +73,27 @@ def simulate_trades(
     )
     position_value = capital * position_pct
 
+    # Decide with small rows (r12, guide §8/§4): the state machine
+    # below transitions ONLY on buy/sell rows — a row with neither
+    # signal is a no-op in every branch — plus the group's LAST row
+    # (end-of-period force close reads its date/close). So rows
+    # without signals never need to cross the JVM->Python boundary
+    # or the grouped_map shuffle: keep signal rows and each
+    # (strategy, symbol) group's last row, drop the rest. The loop
+    # over the filtered sequence is step-for-step identical (skipped
+    # rows changed no state); groups with zero signal rows keep only
+    # their last row and still emit zero trades. At sf0.1 this cuts
+    # the island input from |strategies| x |price panel| (~440k
+    # rows) to the sparse signal set; the reduction grows with
+    # panel density at scale. Pinned by the backtest_sma_events /
+    # backtest_edge_cases value oracles and tests/test_backtest.py.
+    w_last = Window.partitionBy("strategy", "symbol").orderBy(F.col("date").desc())
+    series = (
+        series.withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("buy_signal") | F.col("sell_signal") | (F.col("__rn") == 1))
+        .drop("__rn")
+    )
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("date").reset_index(drop=True)
         trades = []
@@ -126,9 +147,82 @@ def simulate_trades(
             )
         return pd.DataFrame(out, columns=[f.name for f in TRADE_SCHEMA.fields])
 
+    # Whole-batch twin of fn (r12, guide §4.2): one linear scan over
+    # the (strategy, symbol, date)-sorted batch, resetting the ledger
+    # state at each group boundary — the same state machine without
+    # the ~1 ms/group pandas groupby-slice + sort + frame-build
+    # overhead (16.5k groups at sf0.1). Every branch mirrors fn line
+    # for line (cooldown, the `close and close > 0` truthiness guard
+    # incl. its NaN behavior, whole-share floor, BUY-wins ordering,
+    # end-of-period force close on the group's last row). Pinned by
+    # tests/test_backtest.py's batch==per-group differential and the
+    # backtest_sma_events / backtest_edge_cases value oracles.
+    def batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["strategy", "symbol", "date"], kind="stable").reset_index(drop=True)
+        out = []
+
+        def close_out(strategy, symbol, trades):
+            for (ed, ep, sh), (xd, xp), reason in trades:
+                entry_value = ep * sh
+                commission = (entry_value + xp * sh) * commission_pct
+                pnl = xp * sh - entry_value - commission
+                out.append(
+                    {
+                        "strategy": strategy,
+                        "symbol": symbol,
+                        "entry_date": ed,
+                        "exit_date": xd,
+                        "entry_price": float(ep),
+                        "exit_price": float(xp),
+                        "shares": float(sh),
+                        "pnl": float(pnl),
+                        "pnl_pct": float(pnl / entry_value * 100.0),
+                        "commission": float(commission),
+                        "exit_reason": reason,
+                    }
+                )
+
+        cur = None  # (strategy, symbol)
+        entry = None
+        last_exit_date = None
+        trades: list = []
+        prev = None  # previous row (last row of the running group)
+        for row in pdf.itertuples(index=False):
+            key = (row.strategy, row.symbol)
+            if key != cur:
+                if cur is not None:
+                    if entry is not None and prev is not None:
+                        trades.append((entry, (prev.date, prev.close), "end_of_period"))
+                    close_out(cur[0], cur[1], trades)
+                cur = key
+                entry = None
+                last_exit_date = None
+                trades = []
+            if entry is None and row.buy_signal:
+                if (
+                    last_exit_date is not None
+                    and (row.date - last_exit_date).total_seconds() < cooldown_days * 86400.0
+                ):
+                    prev = row
+                    continue
+                if row.close and row.close > 0:
+                    sh = int(position_value / row.close)
+                    if sh > 0:
+                        entry = (row.date, row.close, sh)
+            elif entry is not None and row.sell_signal:
+                trades.append((entry, (row.date, row.close), "sell_signal"))
+                last_exit_date = row.date
+                entry = None
+            prev = row
+        if cur is not None:
+            if entry is not None and prev is not None:
+                trades.append((entry, (prev.date, prev.close), "end_of_period"))
+            close_out(cur[0], cur[1], trades)
+        return pd.DataFrame(out, columns=[f.name for f in TRADE_SCHEMA.fields])
+
     from .ewm import grouped_map
 
-    return grouped_map(series, ["strategy", "symbol"], fn, TRADE_SCHEMA)
+    return grouped_map(series, ["strategy", "symbol"], fn, TRADE_SCHEMA, batch_fn=batch)
 
 
 def backtest_metrics(trades: DataFrame) -> DataFrame:

@@ -158,3 +158,90 @@ def test_simulator_cooldown_and_edge_cases(spark):
     # the same-bar force-close costs exactly round-trip commission
     t3 = trades[-1]
     assert t3.pnl == -(2000.0 + 2000.0) * 0.001
+
+
+def test_simulator_batch_scan_matches_per_group_reference(spark):
+    """r12 differential: the whole-batch linear-scan simulator (one
+    itertuples pass with group-boundary resets, over the JVM-side
+    signal/last-row filter) must reproduce the reference per-group
+    loop exactly on a randomized multi-strategy/multi-symbol panel
+    with both-signal rows, cooldown collisions, and a zero-price
+    buy."""
+    import random
+
+    import pandas as pd
+
+    from fin_trade_craft_spark.operators.backtest import simulate_trades
+
+    rng = random.Random(41)
+    n_days = 90
+    symbols = list(range(1, 13))
+    strategies = ["alpha", "beta", "gamma"]
+    price_rows, sig_rows = [], []
+    for sym in symbols:
+        c = 40.0 + sym
+        for d in range(n_days):
+            c *= 1 + rng.uniform(-0.04, 0.04)
+            close = 0.0 if (sym == 7 and d == 10) else round(c, 2)
+            price_rows.append((sym, D0 + timedelta(days=d), float(close)))
+    for st in strategies:
+        for sym in symbols:
+            for d in range(n_days):
+                buy = rng.random() < 0.08
+                sell = rng.random() < 0.08
+                if buy or sell:
+                    sig_rows.append((st, sym, D0 + timedelta(days=d), buy, sell))
+    prices = spark.createDataFrame(price_rows, "symbol long, date timestamp, close double")
+    sigs = spark.createDataFrame(
+        sig_rows,
+        "strategy string, symbol long, date timestamp, buy_signal boolean, sell_signal boolean",
+    )
+
+    got = (
+        simulate_trades(sigs, prices)
+        .toPandas()
+        .sort_values(["strategy", "symbol", "entry_date"])
+        .reset_index(drop=True)
+    )
+
+    # independent reference: the per-(strategy, symbol) loop exactly
+    # as backtest_strategies.py specifies it
+    sig_map = {(st, sym, d): (b, s) for st, sym, d, b, s in sig_rows}
+    expected = []
+    for st in strategies:
+        for sym in symbols:
+            rows = [
+                (d, c, *sig_map.get((st, sym, d), (False, False)))
+                for _, d, c in sorted(
+                    (r for r in price_rows if r[0] == sym), key=lambda r: r[1]
+                )
+            ]
+            entry, last_exit, trades = None, None, []
+            for d, c, b, s in rows:
+                if entry is None and b:
+                    if last_exit is not None and (d - last_exit).total_seconds() < 60 * 86400.0:
+                        continue
+                    if c and c > 0:
+                        sh = int(100_000.0 * 0.02 / c)
+                        if sh > 0:
+                            entry = (d, c, sh)
+                elif entry is not None and s:
+                    trades.append((entry, (d, c), "sell_signal"))
+                    last_exit = d
+                    entry = None
+            if entry is not None and rows:
+                trades.append((entry, (rows[-1][0], rows[-1][1]), "end_of_period"))
+            for (ed, ep, sh), (xd, xp), reason in trades:
+                ev = ep * sh
+                com = (ev + xp * sh) * 0.001
+                pnl = xp * sh - ev - com
+                expected.append((st, sym, ed, xd, float(ep), float(xp), float(sh),
+                                 float(pnl), float(pnl / ev * 100.0), float(com), reason))
+    exp = pd.DataFrame(
+        expected,
+        columns=["strategy", "symbol", "entry_date", "exit_date", "entry_price",
+                 "exit_price", "shares", "pnl", "pnl_pct", "commission", "exit_reason"],
+    ).sort_values(["strategy", "symbol", "entry_date"]).reset_index(drop=True)
+
+    assert len(got) == len(exp) and len(exp) > 20
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
