@@ -87,11 +87,33 @@ def simulate_trades(
     # rows) to the sparse signal set; the reduction grows with
     # panel density at scale. Pinned by the backtest_sma_events /
     # backtest_edge_cases value oracles and tests/test_backtest.py.
-    w_last = Window.partitionBy("strategy", "symbol").orderBy(F.col("date").desc())
+    #
+    # The "last row per (strategy, symbol)" predicate is computed
+    # WITHOUT shuffling the panel (r12 follow-up, guide §8): a
+    # row_number() window over (strategy, symbol) would insert a
+    # full-panel Exchange+Sort just to find each group's last row.
+    # But `series` is prices × strategies — every group's date set
+    # IS its symbol's price-date set — so the group's last row is
+    # determined by a per-SYMBOL max(date) over `prices` alone:
+    # a map-side-combined aggregate of n_symbols rows, attached by
+    # broadcast. The panel itself is never shuffled; only decision
+    # rows reach the grouped-map exchange below. Equivalence needs
+    # (symbol, date) unique in prices (true of bar data; the window
+    # variant's row_number()==1 was only deterministic under the
+    # same assumption). eqNullSafe on both keys keeps the null-
+    # symbol and all-null-date group behavior: such groups still
+    # retain (at least) their force-close row.
+    last_bar = prices.groupBy(F.col("symbol").alias("__sym")).agg(
+        F.max("date").alias("__last_date")
+    )
     series = (
-        series.withColumn("__rn", F.row_number().over(w_last))
-        .filter(F.col("buy_signal") | F.col("sell_signal") | (F.col("__rn") == 1))
-        .drop("__rn")
+        series.join(F.broadcast(last_bar), F.col("symbol").eqNullSafe(F.col("__sym")), "left")
+        .filter(
+            F.col("buy_signal")
+            | F.col("sell_signal")
+            | F.col("date").eqNullSafe(F.col("__last_date"))
+        )
+        .drop("__sym", "__last_date")
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
