@@ -2,12 +2,22 @@
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32)
-and prints ONE compact JSON line (scalars only — the driver
-tail-captures just the last 2,000 chars of stdout):
+and prints ONE compact JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "sf": <sf>, "n_queries": <n>}
-Per-query timings and both cold/warm attempts go to the
-``BENCH_ATTEMPTS.json`` sidecar next to this script.
+     "sf": <sf>, "n_queries": <n>, "queries": {name: sec, ...}}
+The driver tail-captures only the last 2,000 chars of stdout, and
+the 88 query names alone weigh 1,999 bytes as JSON keys (measured
+r13) — a COMPLETE per-query map cannot physically fit, whatever the
+value encoding (centisecond ints: 2,239 B; 2-decimal floats:
+2,354 B). The ``queries`` map therefore carries the most expensive
+queries first, greedily, up to a 1,900-byte line budget (~70 of 88
+entries — every multi-second query is visible), with
+``queries_omitted`` counting the cheap tail that did not fit. The
+COMPLETE per-query timings and both cold/warm attempts go to the
+``BENCH_ATTEMPTS.json`` sidecar next to this script. Spark's
+console progress bar is suppressed for this session — its stage
+spam (~1.9 KB of the r12 tail capture) would otherwise evict the
+headline line from the driver's window.
 
 Each query is fully materialized through the noop sink so every
 column is computed (a bare count() would let Catalyst prune the
@@ -184,7 +194,16 @@ def main() -> None:
     from fin_trade_craft_spark.queries import all_queries
     from fin_trade_craft_spark.session import get_spark
 
-    spark = get_spark("bench", shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark = get_spark(
+        "bench",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        # The driver reads only the last 2,000 chars of stdout; the
+        # console progress bar's stage spam filled ~1.9 KB of the
+        # BENCH_r12 tail window. Static conf — only effective when
+        # this process creates the SparkContext (always true for a
+        # driver-run bench).
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
@@ -269,16 +288,22 @@ def main() -> None:
 def headline_line(total: float, sf: float, timings: dict[str, float],
                   attempts: dict[str, list[float]]) -> str:
     """Build the ONE stdout line the driver tail-captures, writing the
-    bulky per-query maps to the ``BENCH_ATTEMPTS.json`` sidecar.
+    complete per-query maps to the ``BENCH_ATTEMPTS.json`` sidecar.
 
-    r11 verdict (What's wrong #1, second attempt): the driver captures
-    only the LAST 2,000 characters of stdout. At 88 queries the
-    per-query ``"queries"`` timings map alone is ~2.7 KB, so both
-    BENCH_r10.json and BENCH_r11.json recorded ``parsed: null`` even
-    after the ``attempts`` map moved to the sidecar in r11. The
-    headline line must therefore carry ONLY scalars (measured: ~110
-    bytes); per-query timings AND attempts both live in the sidecar.
-    ``tests/test_bench_contract.py`` asserts the byte length.
+    History of the budget (r10→r13): the driver captures only the
+    LAST 2,000 characters of stdout. The full 88-entry ``queries``
+    map is ~2.4 KB however the values are encoded (the names alone
+    are 1,999 bytes of JSON keys), so r10/r11's complete-map line
+    recorded ``parsed: null`` and r12's ≤200-byte scalar-only line
+    parsed but left the driver's per-query comparator and scaling
+    block empty (PERF_r12 ``n_common: 0``). r12 VERDICT task #1 asks
+    for the map back within the tail window; since the complete map
+    cannot fit, the line carries the MOST EXPENSIVE queries first,
+    greedily, while the whole line stays ≤1,900 bytes (~70 entries —
+    every query the perf story turns on), plus ``queries_omitted``
+    for the cheap tail. Entries can only ever be ADDED vs r12's empty
+    map. ``tests/test_bench_contract.py`` asserts the byte cap and
+    the top-cost-first property.
     """
     try:
         sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -288,16 +313,34 @@ def headline_line(total: float, sf: float, timings: dict[str, float],
                       f, indent=1)
     except OSError:
         pass  # a read-only checkout must not sink the bench record
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "n_queries": len(timings),
-        }
-    )
-    assert len(line.encode("utf-8")) <= 200, len(line)
+
+    def encode(qmap: dict[str, float], omitted: int) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": qmap,
+                "queries_omitted": omitted,
+            },
+            separators=(",", ":"),
+        )
+
+    budget = 1900  # headroom under the 2,000-char tail for the
+    # trailing newline and any stray late stderr line
+    qmap: dict[str, float] = {}
+    # most expensive first, name as deterministic tiebreak; keep
+    # scanning past a miss — a later (cheaper) query's shorter name
+    # may still fit
+    for name in sorted(timings, key=lambda n: (-timings[n], n)):
+        trial = dict(qmap)
+        trial[name] = round(timings[name], 2)
+        if len(encode(trial, len(timings) - len(trial)).encode("utf-8")) <= budget:
+            qmap = trial
+    line = encode(qmap, len(timings) - len(qmap))
+    assert len(line.encode("utf-8")) <= budget, len(line)
     return line
 
 
