@@ -234,6 +234,202 @@ def trend_following(feat: DataFrame) -> DataFrame:
     return _emit(d, "trend_following", buy, sell, strength)
 
 
+def _fused_lag_signals(feat: DataFrame) -> DataFrame:
+    """The nine lag-based / stateless strategies in ONE window pass +
+    ONE generate (r13, guide §3.3 "very wide unions produce enormous
+    plans" / §2.4): the 11-way union planned each strategy as its own
+    filter→Window→project branch over the checkpointed frame — 9
+    structurally identical WindowExecs and ~50 KB of physical plan,
+    whose driver-side planning/codegen (~2 s) and per-task
+    deserialization were fin_signals_pipeline's largest remaining
+    cost after r12 removed the branch shuffles. Here the shared frame
+    is scanned ONCE: every strategy's lag is a masked running
+    last-value in a single Window node, and the per-strategy
+    emit/filter algebra becomes array(struct×9) → inline → filter.
+
+    Equivalence to the per-strategy reference functions (which remain
+    below as the definitional/spec surface, pinned by
+    tests/test_signals_golden.py):
+
+    - Each reference strategy first drops rows with nulls in ITS
+      required columns, then takes ``lag(col)`` over the REMAINING
+      rows — so its "previous value" skips masked-out rows. On the
+      full frame that is exactly
+      ``last(when(mask, col), ignorenulls=True) over (-inf, -1)``:
+      the most recent preceding row where mask holds (when(mask, col)
+      is non-null precisely on mask rows, since mask requires col
+      non-null). At mask rows this equals the dropna'd frame's lag;
+      at non-mask rows the strategy emits nothing (see next point).
+    - ``_emit`` on the dropna'd frame computes
+      buy = coalesce(raw_buy, false),
+      sell = coalesce(raw_sell & ~buy, false) and keeps buy|sell
+      rows. Here the same algebra runs with ``mask & raw_buy`` /
+      ``mask & raw_sell``: on mask rows the conjunction is a no-op,
+      on non-mask rows (false AND x) = false, so the row emits
+      nothing for that strategy — identical to having been dropped.
+    - Strength expressions are copied verbatim (same arithmetic on
+      the same row-local columns ⇒ bit-identical doubles); they are
+      only observable on surviving rows.
+
+    Differential pinned by tests/test_domain_signals.py::
+    test_fused_lag_signals_matches_per_strategy_union (nulls, warmup
+    gaps, zero divisors, both-signal rows) and end-to-end by the
+    fin_signals_pipeline value oracle."""
+    w = _w()
+    pw = w.rowsBetween(Window.unboundedPreceding, -1)
+
+    def mlag(col: Column, mask: Column) -> Column:
+        return F.last(F.when(mask, col), ignorenulls=True).over(pw)
+
+    c = F.col("close")
+    e8, e21 = F.col("ohlcv_ema_8"), F.col("ohlcv_ema_21")
+    rsi = F.col("ohlcv_rsi_14")
+    h = F.col("ohlcv_macd_histogram")
+    u, lo = F.col("ohlcv_bb_upper"), F.col("ohlcv_bb_lower")
+    vol, vs20 = F.col("volume"), F.col("ohlcv_volume_sma_20")
+    r = F.col("ohlcv_willr_14")
+    s5, s10, s20, s50 = (F.col(f"ohlcv_sma_{n}") for n in (5, 10, 20, 50))
+
+    # one mask per distinct dropna(subset=...) in the strategies below
+    m_ema = e8.isNotNull() & e21.isNotNull()
+    m_rsi = rsi.isNotNull()
+    m_macd = h.isNotNull()
+    m_boll = c.isNotNull() & u.isNotNull() & lo.isNotNull()
+    m_vol = c.isNotNull() & vol.isNotNull() & vs20.isNotNull()
+    m_wil = r.isNotNull()
+    m_rib = (
+        c.isNotNull() & s5.isNotNull() & s10.isNotNull() & s20.isNotNull() & s50.isNotNull()
+    )
+    m_tf = (
+        c.isNotNull() & s50.isNotNull() & e8.isNotNull() & e21.isNotNull() & rsi.isNotNull()
+    )
+
+    lagged = feat.select(
+        "*",
+        mlag(e8, m_ema).alias("__p8"),
+        mlag(e21, m_ema).alias("__p21"),
+        mlag(rsi, m_rsi).alias("__prsi"),
+        mlag(h, m_macd).alias("__ph"),
+        mlag(c, m_boll).alias("__pcb"),
+        mlag(u, m_boll).alias("__pu"),
+        mlag(lo, m_boll).alias("__pl"),
+        mlag(c, m_vol).alias("__pcv"),
+        mlag(r, m_wil).alias("__pr"),
+    )
+
+    p8, p21 = F.col("__p8"), F.col("__p21")
+    prsi, ph = F.col("__prsi"), F.col("__ph")
+    pcb, pu, pl = F.col("__pcb"), F.col("__pu"), F.col("__pl")
+    pcv, pr = F.col("__pcv"), F.col("__pr")
+
+    def sig(name: str, mask: Column, buy: Column, sell: Column, strength: Column) -> Column:
+        b = F.coalesce(mask & buy, F.lit(False))
+        s = F.coalesce(mask & sell & ~b, F.lit(False))
+        return F.struct(
+            b.alias("buy_signal"),
+            s.alias("sell_signal"),
+            F.lit(name).alias("trade_strategy"),
+            strength.alias("signal_strength"),
+        )
+
+    # raw buy/sell/strength expressions copied verbatim from the
+    # reference strategy functions below (same names, same order)
+    vr = vol / vs20
+    chg = (c - pcv) / pcv * 100
+    rib_buy = (c > s5) & (s5 > s10) & (s10 > s20) & (s20 > s50)
+    tf_buy = (c > s50) & (e8 > e21) & (rsi > 50)
+    strategies = [
+        sig(
+            "ema_crossover",
+            m_ema,
+            (p8 <= p21) & (e8 > e21),
+            (p8 >= p21) & (e8 < e21),
+            F.least(F.lit(100.0), F.abs(e8 - e21) / e21 * 100),
+        ),
+        sig(
+            "rsi_mean_reversion",
+            m_rsi,
+            (prsi <= 30) & (rsi > 30),
+            (prsi >= 70) & (rsi < 70),
+            F.when((prsi <= 30) & (rsi > 30), rsi).otherwise(100 - rsi),
+        ),
+        sig(
+            "rsi_crossing",
+            m_rsi,
+            (prsi <= 30.0) & (rsi > 30.0) & (rsi < 70.0),
+            (prsi >= 70.0) & (rsi < 70.0) & (rsi > 30.0),
+            F.when((prsi <= 30.0) & (rsi > 30.0) & (rsi < 70.0), rsi).otherwise(100 - rsi),
+        ),
+        sig(
+            "macd_histogram_reversal",
+            m_macd,
+            (ph <= 0) & (h > 0),
+            (ph >= 0) & (h < 0),
+            F.least(F.lit(100.0), F.abs(h) * 10),
+        ),
+        sig(
+            "bollinger_breakout",
+            m_boll,
+            (pcb <= pu) & (c > u),
+            (pcb >= pl) & (c < lo),
+            F.when((pcb <= pu) & (c > u), F.least(F.lit(100.0), (c - u) / u * 100)).otherwise(
+                F.least(F.lit(100.0), (lo - c) / lo * 100)
+            ),
+        ),
+        sig(
+            "volume_spike",
+            m_vol,
+            (vr > 2.0) & (chg > 2.0),
+            (vr > 2.0) & (chg < -2.0),
+            F.least(F.lit(100.0), vr * 10),
+        ),
+        sig(
+            "williams_extremes",
+            m_wil,
+            (pr <= -80) & (r > -80),
+            (pr >= -20) & (r < -20),
+            F.least(F.lit(100.0), F.abs(r + 50) * 2),
+        ),
+        sig(
+            "ma_ribbon",
+            m_rib,
+            rib_buy,
+            (c < s5) & (s5 < s10) & (s10 < s20) & (s20 < s50),
+            F.when(rib_buy, F.least(F.lit(100.0), (c - s50) / s50 * 100)).otherwise(
+                F.least(F.lit(100.0), (s50 - c) / s50 * 100)
+            ),
+        ),
+        sig(
+            "trend_following",
+            m_tf,
+            tf_buy,
+            (c < s50) & (e8 < e21) & (rsi < 50),
+            F.when(tf_buy, F.least(F.lit(100.0), rsi)).otherwise(
+                F.least(F.lit(100.0), 100 - rsi)
+            ),
+        ),
+    ]
+    out = lagged.select("symbol", "symbol_id", "date", F.inline(F.array(*strategies)))
+    return out.filter(F.col("buy_signal") | F.col("sell_signal")).select(*_OUT)
+
+
+# The set of strategies served by the fused single-pass plan above;
+# the per-strategy functions stay as the definitional reference
+# (golden-tested) and for callers that want one strategy.
+_FUSED = frozenset(
+    {
+        "ema_crossover",
+        "rsi_mean_reversion",
+        "rsi_crossing",
+        "macd_histogram_reversal",
+        "bollinger_breakout",
+        "volume_spike",
+        "williams_extremes",
+        "ma_ribbon",
+        "trend_following",
+    }
+)
+
 STRATEGIES = {
     "ema_crossover": ema_crossover,
     "rsi_mean_reversion": rsi_mean_reversion,
@@ -320,4 +516,11 @@ def all_signals(feat: DataFrame) -> DataFrame:
         feat = feat.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
-    return reduce(lambda a, b: a.unionByName(b), (fn(feat) for fn in STRATEGIES.values()))
+    # The nine lag-based/stateless strategies run as ONE fused window
+    # pass + inline-explode (r13 — see _fused_lag_signals: the 11-way
+    # union's per-branch planning/codegen was the pipeline's largest
+    # remaining cost); only the two structurally distinct strategies
+    # (price_breakout's two-stage rolling windows, rsi_divergence's
+    # pivot lattice) remain union branches.
+    others = (fn(feat) for name, fn in STRATEGIES.items() if name not in _FUSED)
+    return reduce(lambda a, b: a.unionByName(b), others, _fused_lag_signals(feat))

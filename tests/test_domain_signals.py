@@ -250,3 +250,83 @@ def test_all_strategies_match_reference_loops(fixture_features, spark):
     # every strategy must actually fire on the fixture
     fired = {t[2] for t in want}
     assert fired == set(TS.STRATEGIES), f"strategies not exercised: {set(TS.STRATEGIES) - fired}"
+
+
+def test_fused_lag_signals_matches_per_strategy_union(spark):
+    """r13: the nine lag-based/stateless strategies run fused (one
+    window pass + inline) — prove bit-exact row equality against the
+    per-strategy reference functions on an adversarial frame: warmup
+    nulls, interior mask gaps (the masked-lag must skip them exactly
+    like each strategy's dropna+lag), zero divisors, both-signal
+    rows, a single-row symbol, and an all-null-indicator symbol."""
+    from functools import reduce
+
+    rng = random.Random(20260818)
+    cols = [
+        "close", "high", "low", "volume",
+        "ohlcv_sma_5", "ohlcv_sma_10", "ohlcv_sma_20", "ohlcv_sma_50",
+        "ohlcv_ema_8", "ohlcv_ema_21", "ohlcv_rsi_14",
+        "ohlcv_macd_histogram", "ohlcv_bb_upper", "ohlcv_bb_lower",
+        "ohlcv_volume_sma_20", "ohlcv_willr_14",
+    ]
+    rows = []
+    d0 = date(2024, 1, 1)
+
+    def val(name):
+        if name == "volume":
+            return float(rng.randint(0, 500))
+        if name == "ohlcv_rsi_14":
+            return rng.uniform(0, 100)
+        if name == "ohlcv_willr_14":
+            return rng.uniform(-100, 0)
+        if name == "ohlcv_macd_histogram":
+            return rng.uniform(-1, 1)
+        return rng.uniform(1, 120)
+
+    for sym in range(1, 5):
+        for i in range(120):
+            row = {"symbol": f"S{sym}", "symbol_id": sym, "date": d0 + timedelta(days=i)}
+            for name in cols:
+                x = val(name)
+                if i < 5 and rng.random() < 0.8:
+                    x = None  # warmup nulls
+                elif rng.random() < 0.12:
+                    x = None  # interior mask gaps
+                elif rng.random() < 0.05:
+                    x = 0.0  # zero divisors (e21, bands, sma50, vsma20)
+                row[name] = x
+            rows.append(row)
+    rows.append({"symbol": "S9", "symbol_id": 9, "date": d0,
+                 **{c: val(c) for c in cols}})  # single-row symbol
+    for i in range(3):  # all-null-indicator symbol
+        rows.append({"symbol": "S8", "symbol_id": 8, "date": d0 + timedelta(days=i),
+                     **{c: None for c in cols}})
+
+    schema = (
+        "symbol string, symbol_id long, date date, "
+        + ", ".join(f"{c} double" for c in cols)
+    )
+    feat = spark.createDataFrame(
+        [tuple(r.get(k) for k in
+               ["symbol", "symbol_id", "date"] + cols) for r in rows],
+        schema,
+    )
+
+    fused = TS._fused_lag_signals(feat).collect()
+    union9 = reduce(
+        lambda a, b: a.unionByName(b),
+        (TS.STRATEGIES[n](feat) for n in sorted(TS._FUSED)),
+    ).collect()
+
+    def key(r):
+        # EXACT float equality — the fused path must be bit-identical
+        return (r.symbol_id, r.date, r.trade_strategy, r.buy_signal,
+                r.sell_signal, r.signal_strength)
+
+    got, want = sorted(map(key, fused)), sorted(map(key, union9))
+    assert got == want, (
+        f"n_fused={len(got)} n_union={len(want)} "
+        f"first_diff={next((a, b) for a, b in zip(got, want) if a != b) if len(got) == len(want) else 'len'}"
+    )
+    assert len(got) > 100  # the fixture actually fires signals
+    assert {t[2] for t in got} == set(TS._FUSED)  # every fused strategy fires

@@ -1,6 +1,6 @@
 """Capture ``explain("formatted")`` output for bench queries into
-``plans/r12/<query>_<tag>.txt`` — the before/after evidence files the
-optimization round commits alongside OPTIMIZATION_r12.md.
+``plans/$PLANS_ROUND/<query>_<tag>.txt`` (default r13) — the before/after evidence files the
+optimization round commits alongside OPTIMIZATION_r{N}.md.
 
 Usage:
     python tools/capture_plans.py <tag> [query ...]
@@ -36,7 +36,7 @@ def main() -> None:
     if not names:
         names = bench.bench_query_names()
 
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / os.environ.get("PLANS_ROUND", "r13")
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = queries[name](spark, sf_dir)
