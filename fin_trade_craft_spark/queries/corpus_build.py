@@ -717,14 +717,27 @@ def publish_corpus_index_tables(spark: SparkSession, sf_dir: str, io) -> None:
 
     prior = _even_prior_state(spark, sf_dir)
     enriched = _enriched(spark, sf_dir)
-    io.overwrite(prior["e_kept"], "kept_manifest")
+    # Size-adaptive output files on every index table (r13, guide §6
+    # "small files hurt twice"): these frames arrive at the write in
+    # session-parallelism partitioning (32 locally), so each KB-scale
+    # index table landed as 32 tiny part files — 129 files across the
+    # store — and every ingest's cold probe paid ~128 parquet footer
+    # opens (plus listing) before any work. A REBALANCE hint lets AQE
+    # coalesce the write to advisory-sized partitions: 1 file per
+    # table at fixture scale, ~advisory-sized (default 64 MB) files
+    # at 100 TB — the same knob both ways, no literal file count.
+    def _packed(df):
+        return df.hint("rebalance")
+
+    io.overwrite(_packed(prior["e_kept"]), "kept_manifest")
     io.overwrite(
-        enriched.filter(F.col("doc_id") % 2 == 0).select("doc_id", "h"), "hash_index"
+        _packed(enriched.filter(F.col("doc_id") % 2 == 0).select("doc_id", "h")),
+        "hash_index",
     )
     lsh = _lsh_state(spark, sf_dir)
     e_s2_sets = lsh["sets"].join(prior["e_s2"], "doc_id", "left_semi")
     e_s2_sigs = D.minhash_signatures(e_s2_sets, num_perm=8)
-    io.overwrite(e_s2_sets.join(e_s2_sigs, "doc_id"), "sig_index")
+    io.overwrite(_packed(e_s2_sets.join(e_s2_sigs, "doc_id")), "sig_index")
     cells = _even_trained_cells(spark, sf_dir)
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     sem_rep = (
@@ -732,14 +745,16 @@ def publish_corpus_index_tables(spark: SparkSession, sf_dir: str, io) -> None:
         .join(prior["e_s3"].select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi")
         .select("vec_id", "embedding", "cell")
     )
-    io.overwrite(sem_rep, "cell_index")
+    io.overwrite(_packed(sem_rep), "cell_index")
     cids, C, _ = _train_kmeans(spark, sf_dir, where=F.col("vec_id") % 2 == 0)
     rows = [
         (int(cid), int(i), int(C[j, i]))
         for j, cid in enumerate(cids)
         for i in range(C.shape[1])
     ]
-    io.overwrite(spark.createDataFrame(rows, "cid long, i long, cv long"), "codebook")
+    io.overwrite(
+        _packed(spark.createDataFrame(rows, "cid long, i long, cv long")), "codebook"
+    )
 
 
 # warehouse path of the published index store per (session, dataset):
