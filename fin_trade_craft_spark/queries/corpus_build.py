@@ -139,14 +139,20 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every later stage reads the cache (no sibling-branch race)
     enriched = _enriched(spark, sf_dir)
 
-    # Each stage's drop list is localCheckpoint-ed (eager) as it is
-    # derived: the frames are tiny ((doc_id, reason) at dup/low-
-    # quality fractions of the corpus), every later stage consumes
-    # them through anti-joins, and the final manifest reads all four
-    # again — without the cut, each downstream evaluation re-runs
-    # the restriction joins and (worst) the component labels' self-
-    # pair branch re-evaluated the whole restricted-edge lineage per
-    # action (measured ~6s of the r09-interim 9s action at sf0.1).
+    # Each stage's drop list is localCheckpoint-ed LAZILY (r13, guide
+    # §2.1 "fewer jobs"): the frames are tiny ((doc_id, reason) at
+    # dup/low-quality fractions of the corpus), every later stage
+    # consumes them through anti-joins, and the final manifest reads
+    # all four again — without the cut, each downstream evaluation
+    # re-runs the restriction joins and (worst) the component labels'
+    # self-pair branch re-evaluated the whole restricted-edge lineage
+    # per action (measured ~6s of the r09-interim 9s action at
+    # sf0.1). eager=False keeps that cut but folds the five
+    # construction materialization jobs into the first consumer (the
+    # stage-3 component loop's opening action): 78 → 73 jobs per warm
+    # pass, same materialize-once guarantee (a lazy localCheckpoint
+    # persists at its first computation; later actions read it — the
+    # r09 pathology was the absence of any checkpoint, not laziness).
     # corpus_build's construction launches jobs by design (lint
     # exemption); at 100 TB these materializations are the manifest
     # intermediates a production pipeline persists anyway.
@@ -156,7 +162,7 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched.join(canon, "h")
         .filter(F.col("doc_id") != F.col("__c"))
         .select("doc_id", F.lit("exact_dup").alias("reason"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     s1 = enriched.join(exact_drop.select("doc_id"), "doc_id", "left_anti")
 
@@ -186,7 +192,7 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_drop = (
         ncc.filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id", F.lit("near_dup").alias("reason"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     s2 = s1.join(near_drop.select("doc_id"), "doc_id", "left_anti")
 
@@ -203,13 +209,13 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     sedges = (
         sedges_full.join(s2.select(F.col("doc_id").alias("d1")), "d1", "left_semi")
         .join(s2.select(F.col("doc_id").alias("d2")), "d2", "left_semi")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     scc = D.connected_components(sedges)
     sem_drop = (
         scc.filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id", F.lit("semantic_dup").alias("reason"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     s3 = s2.join(sem_drop.select("doc_id"), "doc_id", "left_anti")
 
@@ -217,7 +223,7 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     low_drop = (
         s3.filter(F.col("quality") < CB_QUALITY_MIN)
         .select("doc_id", F.lit("low_quality").alias("reason"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # kept = survivors MINUS low_drop (anti-join), NOT the symmetric
     # `quality >= min` filter: a NULL quality (NULL text) fails BOTH
